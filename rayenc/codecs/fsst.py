@@ -1,0 +1,323 @@
+"""FSST: Fast Static Symbol Table string compression.
+
+Not present in apache/parquet-java (verified — no match for "fsst" in the
+reference). Implemented from the published algorithm (Boncz, Neumann, Leis:
+"FSST: Fast Random Access String Compression", VLDB 2020): a table of up to
+255 symbols of 1-8 bytes is trained on a sample by iteratively counting
+symbol and symbol-pair frequencies (gain = count * length); compression is
+greedy longest-match; byte 255 escapes a literal byte.
+
+This implementation is batch-vectorized for the encode hot path:
+
+- per-position longest-match lengths come from packing every l-gram
+  (l = 1..8) into a uint64 key and membership-testing against the symbol
+  keys of that length (sorted arrays + searchsorted);
+- the greedy left-to-right parse runs in *rounds*: round k emits the k-th
+  token of every string simultaneously, so the python-level loop count is
+  the max token count per string, not the total token count;
+- decode separates escape markers from literals with a run-parity argument
+  (every maximal run of 255 bytes starts at a token boundary, so markers
+  are the even offsets within the run), then gathers symbol bytes with one
+  scatter.
+
+Column framing: ``[table][delta_bp lengths of compressed strings][payload]``
+— composing with the DELTA_LENGTH framing like the reference composes
+DELTA_BYTE_ARRAY from DELTA_BINARY_PACKED + DELTA_LENGTH
+(`DeltaByteArrayWriter.java:91-103`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import delta_bp
+from .plain import _ranges
+
+ESCAPE = 255
+MAX_SYMBOLS = 255  # codes 0..254
+MAX_SYMBOL_LEN = 8
+TRAIN_ITERATIONS = 5
+SAMPLE_TARGET = 1 << 14  # 16 KiB of sample text
+
+
+class SymbolTable:
+    """Static symbol table: symbols[i] is the bytes for code i."""
+
+    __slots__ = ("symbols", "_by_len", "_lengths_desc")
+
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMBOLS
+        self.symbols = symbols
+        # per length: (sorted uint64 keys, code for each sorted key)
+        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        groups: dict[int, list[tuple[int, int]]] = {}
+        for code, s in enumerate(symbols):
+            groups.setdefault(len(s), []).append((_pack_key(s), code))
+        for ln, pairs in groups.items():
+            pairs.sort()
+            keys = np.array([k for k, _ in pairs], np.uint64)
+            codes = np.array([c for _, c in pairs], np.uint16)
+            self._by_len[ln] = (keys, codes)
+        self._lengths_desc = sorted(self._by_len, reverse=True)
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.symbols)])
+        for s in self.symbols:
+            out.append(len(s))
+        for s in self.symbols:
+            out += s
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, buf) -> tuple["SymbolTable", int]:
+        n = buf[0]
+        lens = list(buf[1 : 1 + n])
+        pos = 1 + n
+        symbols = []
+        for ln in lens:
+            symbols.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+
+def _pack_key(s: bytes) -> int:
+    """Little-endian uint64 key of a 1-8 byte symbol."""
+    return int.from_bytes(s, "little")
+
+
+def _gram_keys(data: np.ndarray, ln: int) -> np.ndarray:
+    """uint64 key of the ln-gram starting at each position (positions with
+    fewer than ln bytes remaining get a key of the truncated gram — callers
+    mask those out via the string-end check)."""
+    n = len(data)
+    acc = np.zeros(n, np.uint64)
+    d = data.astype(np.uint64)
+    for k in range(ln):
+        acc[: n - k] |= d[k:] << np.uint64(8 * k)
+    return acc
+
+
+def _match(table: SymbolTable, data: np.ndarray, pos_end: np.ndarray):
+    """Per position: (longest symbol length or 0, code of that symbol)."""
+    n = len(data)
+    mlen = np.zeros(n, np.uint8)
+    mcode = np.zeros(n, np.uint16)
+    positions = np.arange(n, dtype=np.int64)
+    for ln in table._lengths_desc:
+        keys, codes = table._by_len[ln]
+        unmatched = mlen == 0
+        if not unmatched.any():
+            break
+        gk = _gram_keys(data, ln)
+        idx = np.searchsorted(keys, gk)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = (keys[idx_c] == gk) & (positions + ln <= pos_end) & unmatched
+        mlen[hit] = ln
+        mcode[hit] = codes[idx_c[hit]]
+    return mlen, mcode
+
+
+def compress(
+    table: SymbolTable, offsets: np.ndarray, data: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress strings -> (out_offsets int64[n+1], out_data uint8)."""
+    offsets = np.asarray(offsets, np.int64)
+    data = np.asarray(data, np.uint8)
+    n = len(offsets) - 1
+    if len(data) == 0:
+        return offsets.copy(), np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    pos_end = np.repeat(offsets[1:], lengths)  # string end for each byte pos
+    mlen, mcode = _match(table, data, pos_end)
+
+    # greedy parse by rounds: emit the k-th token of every string at round k
+    frontier = offsets[:-1].copy()
+    sidx = np.arange(n, dtype=np.int64)
+    tok_str: list[np.ndarray] = []
+    tok_b0: list[np.ndarray] = []
+    tok_b1: list[np.ndarray] = []
+    tok_nb: list[np.ndarray] = []
+    ends = offsets[1:].copy()
+    while len(frontier):
+        active = frontier < ends
+        frontier = frontier[active]
+        sidx = sidx[active]
+        ends = ends[active]
+        if not len(frontier):
+            break
+        ml = mlen[frontier]
+        is_sym = ml > 0
+        b0 = np.where(is_sym, mcode[frontier].astype(np.uint8), np.uint8(ESCAPE))
+        b1 = np.where(is_sym, np.uint8(0), data[frontier])
+        nb = np.where(is_sym, np.uint8(1), np.uint8(2))
+        tok_str.append(sidx.copy())
+        tok_b0.append(b0)
+        tok_b1.append(b1)
+        tok_nb.append(nb)
+        frontier = frontier + np.where(is_sym, ml.astype(np.int64), np.int64(1))
+
+    if not tok_str:
+        return np.zeros(n + 1, np.int64), np.empty(0, np.uint8)
+    all_str = np.concatenate(tok_str)
+    all_b0 = np.concatenate(tok_b0)
+    all_b1 = np.concatenate(tok_b1)
+    all_nb = np.concatenate(tok_nb).astype(np.int64)
+    order = np.argsort(all_str, kind="stable")  # rounds appended in order
+    all_str = all_str[order]
+    all_b0 = all_b0[order]
+    all_b1 = all_b1[order]
+    all_nb = all_nb[order]
+
+    out_lengths = np.bincount(all_str, weights=all_nb, minlength=n).astype(np.int64)
+    out_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(out_lengths, out=out_offsets[1:])
+    out = np.empty(int(out_offsets[-1]), np.uint8)
+    tok_pos = np.cumsum(all_nb) - all_nb  # output position of each token
+    out[tok_pos] = all_b0
+    esc = all_nb == 2
+    out[tok_pos[esc] + 1] = all_b1[esc]
+    return out_offsets, out
+
+
+def decompress(
+    table: SymbolTable, offsets: np.ndarray, data: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decompress -> (out_offsets int64[n+1], out_data uint8)."""
+    offsets = np.asarray(offsets, np.int64)
+    data = np.asarray(data, np.uint8)
+    n = len(offsets) - 1
+    if len(data) == 0:
+        return offsets.copy(), np.empty(0, np.uint8)
+
+    # classify bytes: escape markers / literals / symbol codes.
+    # Maximal runs of 255-bytes always begin at a token boundary, so within a
+    # run the markers are the even offsets... EXCEPT runs that start exactly
+    # at a string boundary following an odd-run spillover cannot happen:
+    # tokens never span strings, and string starts are token starts.
+    is_ff = data == ESCAPE
+    # run starts: is_ff & (prev not ff or position is a string start)
+    prev_ff = np.zeros(len(data), bool)
+    prev_ff[1:] = is_ff[:-1]
+    is_start = np.zeros(len(data), bool)
+    is_start[offsets[:-1][offsets[:-1] < len(data)]] = True
+    run_start = is_ff & (~prev_ff | is_start)
+    ff_pos = np.flatnonzero(is_ff)
+    if len(ff_pos):
+        starts_mask = run_start[ff_pos]
+        first_in_run = np.maximum.accumulate(np.where(starts_mask, ff_pos, 0))
+        dist = ff_pos - first_in_run
+        marker = np.zeros(len(data), bool)
+        marker[ff_pos[dist % 2 == 0]] = True
+    else:
+        marker = np.zeros(len(data), bool)
+    literal = np.zeros(len(data), bool)
+    mpos = np.flatnonzero(marker)
+    literal[np.minimum(mpos + 1, len(data) - 1)] = True
+    literal &= ~marker
+    is_code = ~marker & ~literal
+
+    # output byte count per token
+    sym_lens = np.zeros(256, np.int64)
+    for code, s in enumerate(table.symbols):
+        sym_lens[code] = len(s)
+    out_bytes = np.zeros(len(data), np.int64)
+    out_bytes[is_code & ~is_ff] = sym_lens[data[is_code & ~is_ff]]
+    out_bytes[marker] = 1  # marker+literal pair emits 1 byte
+
+    # per-string output lengths
+    str_id = np.repeat(np.arange(n), np.diff(offsets))
+    out_lengths = np.bincount(str_id, weights=out_bytes, minlength=n).astype(np.int64)
+    out_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(out_lengths, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    out = np.empty(total, np.uint8)
+
+    # destination position of each input byte's output
+    dst = np.cumsum(out_bytes) - out_bytes
+    # literals: copy the byte after each marker
+    out[dst[marker]] = data[np.flatnonzero(marker) + 1]
+    # symbols: scatter each symbol's bytes
+    code_pos = np.flatnonzero(is_code & ~is_ff & (out_bytes > 0))
+    if len(code_pos):
+        codes = data[code_pos]
+        lens = sym_lens[codes]
+        sym_matrix = np.zeros((256, MAX_SYMBOL_LEN), np.uint8)
+        for code, s in enumerate(table.symbols):
+            sym_matrix[code, : len(s)] = np.frombuffer(s, np.uint8)
+        dsts = _ranges(dst[code_pos], lens)
+        within = _ranges(np.zeros(len(code_pos), np.int64), lens)
+        out[dsts] = sym_matrix[np.repeat(codes, lens), within]
+    return out_offsets, out
+
+
+def train(offsets: np.ndarray, data: np.ndarray, seed: int = 0) -> SymbolTable:
+    """Train a symbol table on a deterministic sample of the strings."""
+    offsets = np.asarray(offsets, np.int64)
+    data = np.asarray(data, np.uint8)
+    n = len(offsets) - 1
+    if n == 0 or len(data) == 0:
+        return SymbolTable([])
+    # deterministic sample: evenly strided strings until ~SAMPLE_TARGET bytes
+    avg = max(1, len(data) // n)
+    take = max(1, min(n, SAMPLE_TARGET // avg))
+    stride = max(1, n // take)
+    sample: list[bytes] = []
+    total = 0
+    raw = data.tobytes()
+    for i in range(0, n, stride):
+        s = raw[offsets[i] : offsets[i + 1]]
+        sample.append(s)
+        total += len(s)
+        if total >= SAMPLE_TARGET:
+            break
+
+    table: list[bytes] = []
+    for _ in range(TRAIN_ITERATIONS):
+        by_len: dict[int, dict[bytes, int]] = {}
+        for s in table:
+            by_len.setdefault(len(s), {})[s] = table.index(s)
+        lens_desc = sorted(by_len, reverse=True)
+        gain: dict[bytes, int] = {}
+        for s in sample:
+            prev = None
+            p = 0
+            L = len(s)
+            while p < L:
+                sym = None
+                for ln in lens_desc:
+                    if p + ln <= L and s[p : p + ln] in by_len[ln]:
+                        sym = s[p : p + ln]
+                        break
+                if sym is None:
+                    sym = s[p : p + 1]
+                gain[sym] = gain.get(sym, 0) + len(sym)
+                if prev is not None and len(prev) + len(sym) <= MAX_SYMBOL_LEN:
+                    cat = prev + sym
+                    gain[cat] = gain.get(cat, 0) + len(cat)
+                prev = sym
+                p += len(sym)
+        # keep top symbols by gain; deterministic tie-break on bytes
+        ranked = sorted(gain.items(), key=lambda kv: (-kv[1], kv[0]))
+        table = [s for s, _ in ranked[:MAX_SYMBOLS]]
+    return SymbolTable(table)
+
+
+def encode_column(offsets: np.ndarray, data: np.ndarray, table: SymbolTable | None = None) -> bytes:
+    """[table][delta_bp lengths][compressed payload]."""
+    if table is None:
+        table = train(offsets, data)
+    c_offsets, c_data = compress(table, offsets, data)
+    lengths = np.diff(c_offsets).astype(np.int32)
+    return table.serialize() + delta_bp.encode(lengths) + c_data.tobytes()
+
+
+def decode_column(buf, n: int) -> tuple[np.ndarray, np.ndarray]:
+    table, pos = SymbolTable.deserialize(buf)
+    body = np.frombuffer(buf, np.uint8, offset=pos)
+    end = delta_bp.decoded_byte_end(body)
+    lengths = delta_bp.decode(body[:end], np.int32)
+    assert len(lengths) == n
+    c_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lengths, out=c_offsets[1:])
+    c_data = body[end : end + int(c_offsets[-1])]
+    return decompress(table, c_offsets, c_data)
