@@ -1,0 +1,176 @@
+"""Arrow schema <-> physical column mapping.
+
+Mirrors the role of parquet-java's MessageType / ColumnDescriptor
+(`parquet-column/.../schema/MessageType.java`,
+`column/ColumnDescriptor.java:33-34`): every Arrow field maps to one or two
+*physical* flat columns:
+
+- primitive field           -> one chunk of its physical type
+- string/binary field       -> one BINARY chunk
+- timestamp/date/time field -> one INT32/INT64 chunk (+ arrow type in manifest)
+- list<primitive> field     -> a ``name#lengths`` INT32 chunk plus a
+  ``name#values`` chunk of the element type. Our schemas have exactly one
+  repeated, non-null level, so parquet's rep/def machinery collapses to the
+  Arrow list offsets (SURVEY.md §1.3); ``lengths = diff(offsets)`` is the
+  lossless equivalent.
+
+Nullable flat columns carry a validity stream (RLE bit-width 1 — the
+def-level encoding of `ColumnWriterV1.java:61-81` with max_def = 1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+PTYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE", "BINARY")
+
+
+@dataclass
+class PhysicalColumn:
+    """A flat stream of values of one physical type, nulls removed."""
+
+    name: str
+    ptype: str
+    # fixed types: np.ndarray; BINARY: (offsets int64[n+1], data uint8)
+    values: object
+    null_mask: np.ndarray | None = None  # True where null (length = logical n)
+
+    @property
+    def num_values(self) -> int:
+        if self.ptype == "BINARY":
+            return len(self.values[0]) - 1
+        return len(self.values)
+
+    @property
+    def logical_count(self) -> int:
+        return len(self.null_mask) if self.null_mask is not None else self.num_values
+
+
+def physical_type(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_integer(t):
+        return "INT32" if t.bit_width <= 32 else "INT64"
+    if pa.types.is_float32(t) or pa.types.is_float16(t):
+        return "FLOAT"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_temporal(t):
+        return "INT32" if t.bit_width == 32 else "INT64"
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return "BINARY"
+    raise NotImplementedError(f"unsupported arrow type {t}")
+
+
+_NUMPY_OF = {"INT32": np.int32, "INT64": np.int64, "FLOAT": np.float32, "DOUBLE": np.float64}
+
+
+def _fixed_values(arr: pa.Array, ptype: str) -> np.ndarray:
+    t = arr.type
+    if pa.types.is_temporal(t):
+        arr = arr.cast(pa.int32() if t.bit_width == 32 else pa.int64())
+    elif pa.types.is_dictionary(t):
+        arr = arr.dictionary_decode()
+    np_dtype = _NUMPY_OF[ptype]
+    if arr.null_count:
+        arr = arr.drop_null()
+    return arr.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
+
+
+def shred(field_name: str, arr) -> list[PhysicalColumn]:
+    """Shred one Arrow column into physical columns (the Dremel shredding of
+    `io/MessageColumnIO.java:508`, collapsed to the flat/one-list case)."""
+    from rayenc.codecs.dictionary import binary_parts
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    null_mask = None
+    if arr.null_count:
+        null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if arr.null_count:
+            raise NotImplementedError("null lists not supported yet")
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
+        lengths = np.diff(offsets).astype(np.int32)
+        values = arr.flatten()
+        if values.null_count:
+            raise NotImplementedError("nulls inside lists not supported yet")
+        sub = shred(f"{field_name}#values", values)
+        return [
+            PhysicalColumn(f"{field_name}#lengths", "INT32", lengths),
+        ] + sub
+
+    ptype = physical_type(t)
+    if ptype == "BINARY":
+        if arr.null_count:
+            arr_dense = arr.drop_null()
+        else:
+            arr_dense = arr
+        offsets, data = binary_parts(arr_dense)
+        return [PhysicalColumn(field_name, "BINARY", (offsets, data), null_mask)]
+    if ptype == "BOOLEAN":
+        dense = arr.drop_null() if arr.null_count else arr
+        vals = dense.to_numpy(zero_copy_only=False).astype(bool)
+        return [PhysicalColumn(field_name, "BOOLEAN", vals, null_mask)]
+    return [PhysicalColumn(field_name, ptype, _fixed_values(arr, ptype), null_mask)]
+
+
+def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:
+    """Inverse of shred: rebuild the Arrow array for ``field`` from decoded
+    physical streams. ``chunks[name] = (values, null_mask)``."""
+    from rayenc.codecs.dictionary import binary_array
+
+    t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths, _ = chunks[f"{field.name}#lengths"]
+        offsets = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        elem_field = pa.field(f"{field.name}#values", t.value_type)
+        values = assemble(elem_field, chunks)
+        off_arr = pa.array(offsets, pa.int64())
+        out = pa.LargeListArray.from_arrays(off_arr, values)
+        return out.cast(t)
+
+    values, null_mask = chunks[field.name]
+    ptype = physical_type(t)
+    if ptype == "BINARY":
+        arr = binary_array(*values)
+        arr = _restore_nulls(arr, null_mask, pa.large_string())
+        return arr.cast(t)
+    if ptype == "BOOLEAN":
+        arr = pa.array(np.asarray(values, bool))
+        return _restore_nulls(arr, null_mask, pa.bool_()).cast(t)
+    storage = pa.int32() if ptype == "INT32" else pa.int64() if ptype == "INT64" else None
+    if pa.types.is_temporal(t):
+        arr = pa.array(values, storage)
+        return _restore_nulls(arr, null_mask, storage).cast(t)
+    arr = pa.array(values)
+    return _restore_nulls(arr, null_mask, arr.type).cast(t)
+
+
+def _restore_nulls(dense: pa.Array, null_mask, t) -> pa.Array:
+    if null_mask is None:
+        return dense
+    mask = np.asarray(null_mask, bool)
+    n = len(mask)
+    # scatter dense values into the valid slots
+    take_idx = np.full(n, None, object)
+    valid_pos = np.flatnonzero(~mask)
+    take_idx[valid_pos] = np.arange(len(dense))
+    return dense.take(pa.array(take_idx.tolist(), pa.int64()))
+
+
+def schema_fingerprint(schema: pa.Schema) -> str:
+    import hashlib
+
+    return hashlib.sha256(schema.serialize().to_pybytes()).hexdigest()[:16]

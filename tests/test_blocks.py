@@ -1,0 +1,158 @@
+"""Block container: shred/assemble, chunk encode/decode, selector choices
+(FIXTURES.md F3), page split rule, compression, nulls."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import blocks, selector, stats
+from rayenc.schema import PhysicalColumn, shred, assemble
+
+SF = "/root/testdata/sf0.001"
+
+
+def roundtrip_table(table: pa.Table, config=None):
+    blob, manifest = blocks.encode_block(table, config)
+    out = blocks.decode_block(blob, manifest)
+    assert out.schema == table.schema
+    assert out.equals(table), "decoded table differs"
+    return blob, manifest
+
+
+@pytest.mark.parametrize(
+    "name", ["region", "nation", "supplier", "customer", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+)
+def test_testdata_roundtrip(name):
+    table = pq.read_table(f"{SF}/{name}.parquet")
+    blob, manifest = roundtrip_table(table)
+    assert manifest["num_rows"] == table.num_rows
+
+
+def test_tokenized_schema_roundtrip():
+    rng = np.random.default_rng(42)
+    n = 2000
+    n_tok = rng.integers(1, 50, n)
+    tokens = [rng.integers(0, 50257, k).astype(np.int32) for k in n_tok]
+    table = pa.table(
+        {
+            "doc_id": [f"src{i % 5}/{i:010d}" for i in range(n)],
+            "tokens": pa.array([t.tolist() for t in tokens], pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": [f"source-{i % 7}" for i in range(n)],
+        }
+    )
+    blob, manifest = roundtrip_table(table)
+    names = {c["name"]: c for c in manifest["chunks"]}
+    assert set(names) == {"doc_id", "tokens#lengths", "tokens#values", "n_tok", "source"}
+    # zipf-ish low-NDV source must pick dictionary
+    assert names["source"]["encoding"] == "RLE_DICTIONARY"
+
+
+def test_selector_fixture_choices():
+    """FIXTURES.md F3: engineered single-column blocks -> expected encodings."""
+    rng = np.random.default_rng(0)
+    cfg = selector.EncodeConfig()
+
+    def encoding_of(table):
+        _, manifest = blocks.encode_block(table, cfg)
+        return manifest["chunks"][0]["encoding"]
+
+    # dictionary: zipf NDV=20 strings
+    zipf = [f"source-{min(int(rng.zipf(1.3)), 20)}" for _ in range(5000)]
+    assert encoding_of(pa.table({"c": zipf})) == "RLE_DICTIONARY"
+    # delta-binary-packed: sorted ints
+    assert (
+        encoding_of(pa.table({"c": pa.array(np.sort(rng.integers(0, 10**6, 5000)), pa.int32())}))
+        == "DELTA_BINARY_PACKED"
+    )
+    # plain stays competitive for uniform random doubles
+    assert encoding_of(pa.table({"c": rng.random(5000)})) in ("PLAIN", "BYTE_STREAM_SPLIT")
+    # high-NDV id-like strings in random order -> FSST beats delta/plain
+    ids = [f"web/shard-{i // 100:05d}/doc-{i:012d}" for i in range(5000)]
+    shuffled = [ids[j] for j in rng.permutation(5000)]
+    assert encoding_of(pa.table({"c": shuffled})) == "FSST"
+    # sorted high-NDV strings -> prefix coding wins
+    assert encoding_of(pa.table({"c": sorted(ids)})) == "DELTA_BYTE_ARRAY"
+
+
+def test_chosen_is_min_over_candidates():
+    rng = np.random.default_rng(1)
+    table = pa.table({"c": pa.array(rng.integers(0, 100, 3000), pa.int32())})
+    blob, manifest = blocks.encode_block(table)
+    entry = manifest["chunks"][0]
+    # re-encode each candidate and confirm the winner is minimal
+    col = shred("c", table["c"])[0]
+    cfg = selector.EncodeConfig()
+    st = stats.compute(col)
+    ranges = blocks.page_ranges(col, cfg)
+    sizes = {}
+    for enc in selector.candidates_for(col, st, cfg):
+        r = blocks._encode_candidate(col, enc, ranges, cfg)
+        if r is None:
+            continue
+        aux, _, pages = r
+        sizes[enc] = (len(aux) if aux else 0) + sum(len(p) for p in pages)
+    assert entry["encoded_bytes"] == min(sizes.values())
+
+
+def test_page_split_rule():
+    cfg = selector.EncodeConfig(page_size=1 << 10, page_rows=100)
+    col = PhysicalColumn("c", "INT32", np.arange(1000, dtype=np.int32))
+    ranges = blocks.page_ranges(col, cfg)
+    assert all(b - a <= 100 for a, b in ranges)
+    assert ranges[0] == (0, 100)  # row limit trips before 1KiB/4B=256
+    col2 = PhysicalColumn("c", "INT64", np.arange(1000, dtype=np.int64))
+    ranges2 = blocks.page_ranges(col2, selector.EncodeConfig(page_size=1 << 10))
+    assert ranges2[0] == (0, 128)  # 1KiB / 8B per value
+    assert sum(b - a for a, b in ranges2) == 1000
+
+
+def test_nulls_flat_columns():
+    table = pa.table(
+        {
+            "i": pa.array([1, None, 3, None, 5], pa.int64()),
+            "s": pa.array(["a", None, "c", "d", None]),
+            "f": pa.array([1.0, 2.0, None, 4.0, 5.0]),
+        }
+    )
+    roundtrip_table(table)
+
+
+def test_compressed_pages():
+    table = pq.read_table(f"{SF}/documents.parquet")
+    for codec in ("zstd", "lz4", "gzip", "snappy"):
+        cfg = selector.EncodeConfig(compression=codec)
+        blob, manifest = blocks.encode_block(table, cfg)
+        out = blocks.decode_block(blob, manifest)
+        assert out.equals(table), codec
+
+
+def test_column_encoding_override():
+    cfg = selector.EncodeConfig(column_encodings={"c": "PLAIN"})
+    table = pa.table({"c": pa.array(np.sort(np.arange(1000)), pa.int32())})
+    _, manifest = blocks.encode_block(table, cfg)
+    assert manifest["chunks"][0]["encoding"] == "PLAIN"
+
+
+def test_size_beats_pyarrow_parquet_baseline():
+    """The north-star size gate at block level: our encoded bytes <= parquet
+    (uncompressed, default dictionary behavior) for the tokenized table."""
+    import io
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    n_tok = np.clip(rng.lognormal(4.0, 1.0, n).astype(np.int64), 1, 2000)
+    tokens = [rng.integers(0, 50257, k).astype(np.int32) for k in n_tok]
+    table = pa.table(
+        {
+            "doc_id": [f"src{i % 5}/{i:010d}" for i in range(n)],
+            "tokens": pa.array([t.tolist() for t in tokens], pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": [f"source-{min(int(rng.zipf(1.3)), 20)}" for i in range(n)],
+        }
+    )
+    blob, manifest = blocks.encode_block(table)
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="none", use_dictionary=True)
+    assert len(blob) <= buf.tell(), (len(blob), buf.tell())
