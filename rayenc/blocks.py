@@ -49,22 +49,23 @@ def page_ranges(col: PhysicalColumn, config: sel.EncodeConfig) -> list[tuple[int
         return []
     if col.ptype == "BINARY":
         offsets, _ = col.values
-        cum = 4 * np.arange(1, n + 1, dtype=np.int64) + (offsets[1:] - offsets[0])
-    elif col.ptype == "BOOLEAN":
-        cum = np.arange(1, n + 1, dtype=np.int64) // 8 + 1
+        ranges = []
+        start = 0
+        while start < n:
+            # data-byte budget (the 4-byte length prefixes are second order;
+            # clamp by rows afterwards)
+            budget = offsets[start] + config.page_size
+            hi = int(np.searchsorted(offsets, budget, side="right")) - 1
+            end = max(start + 1, min(hi, start + config.page_rows, n))
+            ranges.append((start, end))
+            start = end
+        return ranges
+    if col.ptype == "BOOLEAN":
+        rows_per_page = config.page_rows
     else:
         itemsize = np.asarray(col.values).dtype.itemsize
-        cum = np.arange(1, n + 1, dtype=np.int64) * itemsize
-    ranges = []
-    start = 0
-    while start < n:
-        base = cum[start - 1] if start else 0
-        # furthest row where size since start <= page_size
-        hi = int(np.searchsorted(cum, base + config.page_size, side="right"))
-        end = max(start + 1, min(hi, start + config.page_rows, n))
-        ranges.append((start, end))
-        start = end
-    return ranges
+        rows_per_page = min(config.page_rows, max(1, config.page_size // itemsize))
+    return [(a, min(a + rows_per_page, n)) for a in range(0, n, rows_per_page)]
 
 
 # ------------------------------------------------------------- page encoding

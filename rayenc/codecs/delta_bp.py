@@ -29,10 +29,23 @@ from .varint import (
     read_uvarint,
     read_zigzag_varint32,
     read_zigzag_varint64,
+    uvarint_encode_batch,
     write_uvarint,
     write_zigzag_varint32,
     write_zigzag_varint64,
 )
+
+
+def _ranges(starts, lengths):
+    """Flat index array covering [starts[i], starts[i]+lengths[i])."""
+    lengths = np.asarray(lengths, np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lengths)
+    return np.arange(total, dtype=np.int64) + np.repeat(
+        np.asarray(starts, np.int64) - (ends - lengths), lengths
+    )
 
 DEFAULT_BLOCK = 128  # DeltaBinaryPackingValuesWriter.DEFAULT_NUM_BLOCK_VALUES
 DEFAULT_MINIBLOCKS = 4  # DEFAULT_NUM_MINIBLOCKS
@@ -98,16 +111,43 @@ def encode(
     flushed = np.arange(miniblocks)[None, :] < mb_real[:, None]
     widths = np.where(flushed, widths, 0)
 
-    mins_l = mins.tolist()
-    widths_l = widths.tolist()
-    mb_real_l = mb_real.tolist()
-    for b in range(nblocks):
-        wzz(out, mins_l[b])
-        out += bytes(widths_l[b])
-        wrow = widths_l[b]
-        for m in range(mb_real_l[b]):
-            out += pack_lsb(adj3[b, m], wrow[m])
-    return bytes(out)
+    # ---- fully vectorized assembly: one pack per distinct width ----
+    # varint(zigzag(min)) per block, batch-encoded
+    if is64:
+        zz = (mins.astype(np.int64) << np.int64(1)) ^ (mins.astype(np.int64) >> np.int64(63))
+        zz = zz.view(np.uint64)
+    else:
+        zz32 = (mins.astype(np.int32) << np.int32(1)) ^ (mins.astype(np.int32) >> np.int32(31))
+        zz = zz32.view(np.uint32).astype(np.uint64)
+    vbytes_flat, vlens = uvarint_encode_batch(zz)
+
+    mb_sizes = np.where(flushed, widths * (msize // 8), 0)  # bytes per miniblock
+    block_sizes = vlens + miniblocks + mb_sizes.sum(axis=1)
+    block_starts = np.cumsum(block_sizes) - block_sizes + len(out)
+
+    total = int(block_sizes.sum())
+    body = np.zeros(total + len(out), np.uint8)
+    body[: len(out)] = np.frombuffer(bytes(out), np.uint8)
+
+    # scatter varints
+    body[_ranges(block_starts, vlens)] = vbytes_flat
+    # scatter width bytes
+    wpos = (block_starts + vlens)[:, None] + np.arange(miniblocks)
+    body[wpos.ravel()] = widths.astype(np.uint8).ravel()
+    # scatter miniblock payloads, grouped by bit width
+    mb_within = np.cumsum(mb_sizes, axis=1) - mb_sizes
+    mb_dst = (block_starts + vlens + miniblocks)[:, None] + mb_within
+    for w in np.unique(widths[flushed]):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = flushed & (widths == w)
+        vals = adj3[sel]  # (k, msize)
+        packed = np.frombuffer(pack_lsb(vals.ravel(), w), np.uint8)
+        sz = msize * w // 8
+        dst = (mb_dst[sel][:, None] + np.arange(sz)).ravel()
+        body[dst] = packed
+    return body.tobytes()
 
 
 def decode(buf, out_dtype=None) -> np.ndarray:
@@ -129,36 +169,56 @@ def decode(buf, out_dtype=None) -> np.ndarray:
     msize = _config(block, miniblocks)
 
     nd = n - 1
-    # pass 1: walk headers, collect (min, widths, data offsets)
+    raw = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
+    # pass 1: cheap header walk (python touches headers only, never payloads)
     pos = i
-    blocks_meta = []
+    mins: list[int] = []
+    mb_off: list[int] = []
+    mb_w: list[int] = []
+    mb_block: list[int] = []
+    mb_slot: list[int] = []
     remaining = nd
+    b = 0
     while remaining > 0:
-        mn, pos = rzz(buf, pos)
-        wrow = list(buf[pos : pos + miniblocks])
+        mn, pos = rzz(raw, pos)
+        mins.append(mn)
+        wrow = raw[pos : pos + miniblocks]
         pos += miniblocks
         in_block = min(block, remaining)
         mb = (in_block + msize - 1) // msize
-        offs = []
         for m in range(mb):
-            nbytes = msize * wrow[m] // 8
-            offs.append((pos, wrow[m]))
-            pos += nbytes
-        blocks_meta.append((mn, in_block, offs))
+            w = int(wrow[m])
+            if w:
+                mb_off.append(pos)
+                mb_w.append(w)
+                mb_block.append(b)
+                mb_slot.append(m)
+                pos += msize * w // 8
         remaining -= in_block
+        b += 1
 
-    deltas = np.empty(nd, sdt)
-    dpos = 0
     udt = np.uint64 if is64 else np.uint32
-    for mn, in_block, offs in blocks_meta:
-        vals = [
-            unpack_lsb(buf[o : o + msize * w // 8], msize, w, udt) for (o, w) in offs
-        ]
-        arr = vals[0] if len(vals) == 1 else np.concatenate(vals)
-        with np.errstate(over="ignore"):
-            d = (arr[:in_block].view(sdt) + sdt(mn)).astype(sdt, copy=False)
-        deltas[dpos : dpos + in_block] = d
-        dpos += in_block
+    nblocks = b
+    adj = np.zeros(nblocks * block, udt)
+    mb_off_a = np.array(mb_off, np.int64)
+    mb_w_a = np.array(mb_w, np.int64)
+    mb_dst = np.array(mb_block, np.int64) * block + np.array(mb_slot, np.int64) * msize
+    # pass 2: unpack miniblocks grouped by width (one unpack per distinct width)
+    for w in np.unique(mb_w_a):
+        w = int(w)
+        sel = mb_w_a == w
+        offs = mb_off_a[sel]
+        sz = msize * w // 8
+        src = (offs[:, None] + np.arange(sz)).ravel()
+        vals = unpack_lsb(raw[src], len(offs) * msize, w, udt)
+        dst = (mb_dst[sel][:, None] + np.arange(msize)).ravel()
+        adj[dst] = vals
+    mins_a = np.array(mins, sdt)
+    with np.errstate(over="ignore"):
+        deltas_full = (
+            adj.reshape(nblocks, block).view(sdt) + mins_a[:, None]
+        ).astype(sdt, copy=False)
+    deltas = deltas_full.ravel()[:nd]
 
     out = np.empty(n, sdt)
     out[0] = first

@@ -36,16 +36,17 @@ def _emit_bitpacked(out: bytearray, vals: np.ndarray, width: int) -> None:
     if n == 0:
         return
     groups = (n + 7) // 8
+    if n % 8:  # final partial group: zero-pad
+        vals = np.concatenate([vals, np.zeros(groups * 8 - n, vals.dtype)])
+    packed = pack_lsb(vals, width)  # one vectorized pack for the whole span
     pos = 0
-    while groups > 0:
-        g = min(groups, MAX_GROUPS)
+    gpos = 0
+    while gpos < groups:
+        g = min(groups - gpos, MAX_GROUPS)
         out.append((g << 1) | 1)
-        chunk = vals[pos : pos + g * 8]
-        if len(chunk) < g * 8:  # final partial group: zero-pad
-            chunk = np.concatenate([chunk, np.zeros(g * 8 - len(chunk), chunk.dtype)])
-        out += pack_lsb(chunk, width)
-        pos += g * 8
-        groups -= g
+        out += packed[pos : pos + g * width]
+        pos += g * width
+        gpos += g
 
 
 def _emit_rle(out: bytearray, count: int, value: int, width: int) -> None:

@@ -25,7 +25,7 @@ def read_uvarint(buf, i: int) -> tuple[int, int]:
     result = 0
     shift = 0
     while True:
-        b = buf[i]
+        b = int(buf[i])  # int() so numpy uint8 scalars don't overflow on <<
         i += 1
         result |= (b & 0x7F) << shift
         if not (b & 0x80):
