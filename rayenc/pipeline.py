@@ -1,0 +1,270 @@
+"""Ray Data encode / decode / verify pipelines with checkpoint-resume.
+
+The engine's job lifecycle (SURVEY.md §3.3 "our lifecycle"):
+
+    plan_partitions(parquet paths)        deterministic (file, row-group,
+                                          row-range) descriptors
+    -> ray.data.from_items(descriptors)
+    -> map_batches(EncodeWorker, ...)     actor pool; each call reads its
+                                          fragment, encodes one block, writes
+                                          blob + manifest atomically
+    -> summary Dataset (tiny)             per-partition metrics
+
+Parallelism comes from Ray Data's streaming executor — the reference has no
+distributed runtime of its own and leans on Hadoop/Spark tasks
+(`ParquetInputFormat.java:342-390`); our unit of work mirrors its row-group
+split. Checkpointing: a partition is complete iff its manifest file exists
+and references an existing blob; `plan_partitions` + the `resume` filter skip
+completed work, which is what a re-submitted `ray job submit` run does.
+
+Determinism: encode is a pure function of (fragment bytes, config), so Ray
+task retries and resumed runs produce byte-identical blobs (required for the
+resume-equality tests; mirrors the determinism note in SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from . import blocks
+from .selector import EncodeConfig
+
+DEFAULT_TARGET_BLOCK_BYTES = 64 << 20  # raw bytes per encode partition
+
+
+# ------------------------------------------------------------------ planning
+
+
+def plan_partitions(
+    paths: list[str] | str,
+    target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+) -> list[dict]:
+    """Deterministic partition descriptors from parquet row groups.
+
+    One partition = one or more consecutive row groups of one file (small row
+    groups coalesce up to the target), or a row-range slice of one row group
+    (giant row groups split). Partition ids are stable across runs."""
+    if isinstance(paths, str):
+        paths = [paths]
+    descs: list[dict] = []
+    for path in sorted(paths):
+        md = pq.ParquetFile(path).metadata
+        cur_rgs: list[int] = []
+        cur_bytes = 0
+        for rg in range(md.num_row_groups):
+            rg_meta = md.row_group(rg)
+            rg_bytes = rg_meta.total_byte_size
+            if rg_bytes > target_block_bytes * 2 and rg_meta.num_rows > 1:
+                if cur_rgs:
+                    descs.append({"path": path, "row_groups": cur_rgs})
+                    cur_rgs, cur_bytes = [], 0
+                # split one giant row group into row ranges
+                nsplit = int(np.ceil(rg_bytes / target_block_bytes))
+                rows = rg_meta.num_rows
+                step = (rows + nsplit - 1) // nsplit
+                for s in range(0, rows, step):
+                    descs.append(
+                        {
+                            "path": path,
+                            "row_groups": [rg],
+                            "row_start": s,
+                            "row_count": min(step, rows - s),
+                        }
+                    )
+                continue
+            if cur_bytes + rg_bytes > target_block_bytes and cur_rgs:
+                descs.append({"path": path, "row_groups": cur_rgs})
+                cur_rgs, cur_bytes = [], 0
+            cur_rgs.append(rg)
+            cur_bytes += rg_bytes
+        if cur_rgs:
+            descs.append({"path": path, "row_groups": cur_rgs})
+    for pid, d in enumerate(descs):
+        d["pid"] = pid
+    return descs
+
+
+def _read_fragment(desc: dict, columns=None) -> pa.Table:
+    f = pq.ParquetFile(desc["path"])
+    rgs = [int(r) for r in desc["row_groups"]]
+    table = f.read_row_groups(rgs, columns=columns, use_threads=False)
+    if int(desc.get("row_start", -1)) >= 0:
+        table = table.slice(int(desc["row_start"]), int(desc["row_count"]))
+    return table
+
+
+# ------------------------------------------------------------------- workers
+
+
+class EncodeWorker:
+    """Stateful actor: holds config; reads a fragment, encodes, writes
+    blob+manifest atomically, emits a summary row (SURVEY.md §7.2)."""
+
+    def __init__(self, out_dir: str, config: EncodeConfig | None = None, columns=None):
+        self.out_dir = out_dir
+        self.config = config or EncodeConfig()
+        self.columns = columns
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: dict) -> dict:
+        rows = []
+        n = len(batch["pid"])
+        for k in range(n):
+            desc = {key: _unbox(batch[key][k]) for key in batch}
+            rows.append(self.encode_one(desc))
+        return {key: np.array([r[key] for r in rows]) for key in rows[0]}
+
+    def encode_one(self, desc: dict) -> dict:
+        pid = int(desc["pid"])
+        t0 = time.perf_counter()
+        table = _read_fragment(desc, self.columns)
+        t_read = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        blob, manifest = blocks.encode_block(table, self.config)
+        t_enc = time.perf_counter() - t0
+        manifest["lineage"] = {
+            "path": desc["path"],
+            "row_groups": [int(r) for r in desc["row_groups"]],
+            "row_start": int(desc.get("row_start", -1)),
+            "row_count": int(desc.get("row_count", -1)),
+        }
+        manifest["pid"] = pid
+        manifest["timings"] = {"read_s": t_read, "encode_s": t_enc}
+        blob_name = f"part-{pid:06d}.renc"
+        _atomic_write(os.path.join(self.out_dir, blob_name), blob)
+        manifest["blob"] = blob_name
+        _atomic_write(
+            os.path.join(self.out_dir, f"part-{pid:06d}.manifest.json"),
+            json.dumps(manifest).encode(),
+        )
+        return {
+            "pid": pid,
+            "rows": table.num_rows,
+            "raw_bytes": manifest["raw_bytes"],
+            "blob_bytes": len(blob),
+            "read_s": t_read,
+            "encode_s": t_enc,
+        }
+
+
+class DecodeWorker:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: dict):
+        for name in batch["manifest"]:
+            manifest = json.loads(
+                open(os.path.join(self.out_dir, str(name)), "rb").read()
+            )
+            with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
+                blob = f.read()
+            yield blocks.decode_block(blob, manifest)
+
+
+def _unbox(v):
+    return v.item() if hasattr(v, "item") and not isinstance(v, (list, np.ndarray)) else v
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------- jobs
+
+
+def completed_pids(out_dir: str) -> set[int]:
+    """Partitions whose manifest exists and references an existing blob."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.endswith(".manifest.json"):
+            try:
+                manifest = json.loads(open(os.path.join(out_dir, name), "rb").read())
+            except (json.JSONDecodeError, OSError):
+                continue
+            if os.path.exists(os.path.join(out_dir, manifest["blob"])):
+                done.add(int(manifest["pid"]))
+    return done
+
+
+def encode_job(
+    paths: list[str] | str,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    *,
+    columns=None,
+    resume: bool = True,
+    concurrency: int | tuple | None = None,
+    target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+) -> "ray.data.Dataset":
+    """Encode parquet files into the renc container. Returns the summary
+    Dataset (one small row per partition) — consuming it drives the job."""
+    descs = plan_partitions(paths, target_block_bytes)
+    if resume:
+        done = completed_pids(out_dir)
+        descs = [d for d in descs if d["pid"] not in done]
+    if not descs:
+        return ray.data.from_items([])
+    # fill defaults for schema stability across descriptors
+    for d in descs:
+        d.setdefault("row_start", -1)
+        d.setdefault("row_count", -1)
+    ds = ray.data.from_items(descs)
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.map_batches(
+        EncodeWorker,
+        fn_constructor_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def decode_dataset(out_dir: str, concurrency=None) -> "ray.data.Dataset":
+    """Stream the encoded container back as a Dataset of Arrow blocks."""
+    manifests = sorted(
+        n for n in os.listdir(out_dir) if n.endswith(".manifest.json")
+    )
+    ds = ray.data.from_items([{"manifest": m} for m in manifests])
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.map_batches(
+        DecodeWorker,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        batch_size=1,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def verify_roundtrip(paths: list[str] | str, out_dir: str, key: str | None = None) -> dict:
+    """Order-insensitive equality between the input parquet and the decoded
+    container output. Small-data verification helper (drives both pipelines)."""
+    decoded = decode_dataset(out_dir).to_arrow_refs()
+    got = pa.concat_tables([ray.get(r) for r in decoded])
+    if isinstance(paths, str):
+        paths = [paths]
+    want = pa.concat_tables([pq.read_table(p) for p in sorted(paths)])
+    if key is not None:
+        got = got.sort_by(key)
+        want = want.sort_by(key)
+    return {
+        "rows_match": got.num_rows == want.num_rows,
+        "equal": got.equals(want),
+        "rows": got.num_rows,
+    }

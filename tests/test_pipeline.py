@@ -1,0 +1,123 @@
+"""Ray Data encode/decode pipeline: end-to-end round trip, resume
+(FIXTURES.md F4), deterministic partitioning, skew handling."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import data, pipeline
+from rayenc.selector import EncodeConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def token_parquet(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tok")
+    path = str(d / "tokens.parquet")
+    table = data.make_table(3000, mean_tokens=60.0)
+    pq.write_table(table, path, row_group_size=500)
+    return path
+
+
+def test_plan_partitions_deterministic(token_parquet):
+    p1 = pipeline.plan_partitions(token_parquet, target_block_bytes=1 << 17)
+    p2 = pipeline.plan_partitions(token_parquet, target_block_bytes=1 << 17)
+    assert p1 == p2
+    assert len(p1) >= 2  # multiple row groups -> multiple partitions
+    assert [d["pid"] for d in p1] == list(range(len(p1)))
+
+
+def test_plan_partitions_splits_giant_row_group(tmp_path):
+    table = data.make_table(2000, mean_tokens=200.0, seed=7)
+    path = str(tmp_path / "big.parquet")
+    pq.write_table(table, path, row_group_size=10**9)  # single giant row group
+    descs = pipeline.plan_partitions(path, target_block_bytes=1 << 18)
+    assert len(descs) > 1
+    assert all(d.get("row_start", -1) >= 0 for d in descs)
+    total = sum(d["row_count"] for d in descs)
+    assert total == 2000
+
+
+def test_encode_decode_roundtrip(ray_session, token_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    summary = pipeline.encode_job(token_parquet, out, concurrency=2).to_pandas()
+    assert summary["rows"].sum() == 3000
+    assert (summary["blob_bytes"] < summary["raw_bytes"]).all()
+    res = pipeline.verify_roundtrip(token_parquet, out, key="doc_id")
+    assert res["equal"] and res["rows"] == 3000
+
+
+def test_resume_skips_completed(ray_session, token_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    pipeline.encode_job(token_parquet, out, concurrency=2).materialize()
+    manifests = sorted(f for f in os.listdir(out) if f.endswith(".manifest.json"))
+    blobs = sorted(f for f in os.listdir(out) if f.endswith(".renc"))
+    # FIXTURES F4 resume: delete half the blobs (keep manifests only for survivors)
+    killed = blobs[: len(blobs) // 2]
+    for b in killed:
+        os.remove(os.path.join(out, b))
+        os.remove(os.path.join(out, b.replace(".renc", ".manifest.json")))
+    before = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".renc")
+    }
+    summary = pipeline.encode_job(token_parquet, out, concurrency=2).to_pandas()
+    # only the missing partitions were re-encoded
+    assert len(summary) == len(killed)
+    after = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".renc")
+    }
+    for f, mt in before.items():
+        assert after[f] == mt, f"{f} was re-encoded"
+    res = pipeline.verify_roundtrip(token_parquet, out, key="doc_id")
+    assert res["equal"]
+
+
+def test_resume_detects_manifest_without_blob(ray_session, token_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    pipeline.encode_job(token_parquet, out, concurrency=2).materialize()
+    blobs = sorted(f for f in os.listdir(out) if f.endswith(".renc"))
+    os.remove(os.path.join(out, blobs[0]))  # blob gone, manifest stays
+    summary = pipeline.encode_job(token_parquet, out, concurrency=2).to_pandas()
+    assert len(summary) == 1  # that one partition re-ran
+    assert pipeline.verify_roundtrip(token_parquet, out, key="doc_id")["equal"]
+
+
+def test_deterministic_blobs_across_runs(ray_session, token_parquet, tmp_path):
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    pipeline.encode_job(token_parquet, out1, concurrency=2).materialize()
+    pipeline.encode_job(token_parquet, out2, concurrency=1).materialize()
+    for f in sorted(os.listdir(out1)):
+        if f.endswith(".renc"):
+            a = open(os.path.join(out1, f), "rb").read()
+            b = open(os.path.join(out2, f), "rb").read()
+            assert a == b, f"{f} not deterministic"
+
+
+def test_testdata_table_roundtrip(ray_session, tmp_path):
+    out = str(tmp_path / "li")
+    path = f"{SF}/lineitem.parquet"
+    pipeline.encode_job(path, out, concurrency=2).materialize()
+    res = pipeline.verify_roundtrip(path, out)
+    assert res["equal"] and res["rows"] == 6000
+
+
+def test_manifest_lineage_and_stats(ray_session, token_parquet, tmp_path):
+    out = str(tmp_path / "enc")
+    pipeline.encode_job(token_parquet, out, concurrency=1).materialize()
+    m = sorted(f for f in os.listdir(out) if f.endswith(".manifest.json"))[0]
+    manifest = json.loads(open(os.path.join(out, m)).read())
+    assert manifest["lineage"]["path"].endswith("tokens.parquet")
+    assert manifest["timings"]["encode_s"] > 0
+    chunks = {c["name"]: c for c in manifest["chunks"]}
+    assert chunks["n_tok"]["stats"]["null_count"] == 0
+    assert chunks["n_tok"]["stats"]["min"] >= 1
