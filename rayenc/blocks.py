@@ -31,6 +31,7 @@ from .codecs import (
     dictionary as dict_codec,
     fsst,
     plain,
+    rle_for,
     rle_hybrid,
 )
 from .schema import PhysicalColumn, assemble, shred
@@ -92,15 +93,27 @@ def _encode_candidate(
         if fac is None:
             return None
         indices, dic = fac
+        kind = "dict"
         if ptype == "BINARY":
             aux = dict_codec.dict_page_binary(dic)
         elif ptype == "BOOLEAN":
             return None
+        elif ptype in ("INT32", "INT64"):
+            # sort the dictionary and remap ids: the sorted keys delta-encode
+            # to near nothing (our container improvement over the reference's
+            # PLAIN first-occurrence dict page, DictionaryValuesWriter:253-268)
+            dvals = dic.to_numpy(zero_copy_only=False)
+            order = np.argsort(dvals, kind="stable")
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            indices = inv[indices]
+            aux = delta_bp.encode(np.ascontiguousarray(dvals[order]))
+            kind = "dicti"
         else:
             aux = dict_codec.dict_page_fixed(dic, ptype)
         for a, b in ranges:
             pages.append(dict_codec.encode_ids(indices[a:b], len(dic)))
-        return aux, {"kind": "dict", "count": len(dic)}, pages
+        return aux, {"kind": kind, "count": len(dic)}, pages
     if encoding == "FSST":
         offsets, data = v
         table = fsst.train(offsets, data)
@@ -137,6 +150,13 @@ def _encode_candidate(
                 if ptype not in ("INT32", "INT64"):
                     return None
                 pages.append(delta_bp.encode(vs))
+            elif encoding == "RLE_FOR":
+                if ptype not in ("INT32", "INT64"):
+                    return None
+                page = rle_for.encode(vs)
+                if page is None:  # range wider than 32 bits
+                    return None
+                pages.append(page)
             elif encoding == "BYTE_STREAM_SPLIT":
                 pages.append(bytestream_split.encode(vs))
             else:
@@ -159,7 +179,11 @@ def _decode_pages(entry: dict, aux_buf, page_bufs: list) -> PhysicalColumn:
             dic = dict_codec.binary_array(d_off, d_dat)
             arr = dic.take(pa.array(ids, pa.int64()))
             return PhysicalColumn(name, ptype, dict_codec.binary_parts(arr))
-        dvals = dict_codec.read_dict_page_fixed(aux_buf, dcount, ptype)
+        if entry["aux"]["kind"] == "dicti":
+            np_dtype = np.int32 if ptype == "INT32" else np.int64
+            dvals = delta_bp.decode(aux_buf, np_dtype)
+        else:
+            dvals = dict_codec.read_dict_page_fixed(aux_buf, dcount, ptype)
         return PhysicalColumn(name, ptype, dvals[ids])
     if encoding == "FSST":
         table, _ = fsst.SymbolTable.deserialize(aux_buf)
@@ -206,6 +230,8 @@ def _decode_pages(entry: dict, aux_buf, page_bufs: list) -> PhysicalColumn:
             parts.append(plain.decode_fixed(buf, c, ptype))
         elif encoding == "DELTA_BINARY_PACKED":
             parts.append(delta_bp.decode(buf, np_dtype))
+        elif encoding == "RLE_FOR":
+            parts.append(rle_for.decode(buf, c, np_dtype))
         elif encoding == "BYTE_STREAM_SPLIT":
             parts.append(bytestream_split.decode(buf, c, np_dtype))
         else:

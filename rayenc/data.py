@@ -83,20 +83,19 @@ def make_table(rows: int, mean_tokens: float = 200.0, seed: int = SEED) -> pa.Ta
 
     # zipfian source
     src_id = np.minimum(rng.zipf(1.3, rows), SOURCES) - 1
-    src_names = np.array([f"source-{i:02d}" for i in range(SOURCES)])
-    source = src_names[src_id]
+    src_names = [f"source-{i:02d}" for i in range(SOURCES)]
+    source = np.array(src_names, object)[src_id]
     shard = rng.integers(0, 100, rows)
-    doc_id = np.char.add(
-        np.char.add(source, np.char.add("/", np.char.zfill(shard.astype(str), 5))),
-        np.char.add("/", np.char.zfill(np.arange(rows).astype(str), 12)),
-    )
+    doc_id = [
+        f"{s}/{sh:05d}/{i:012d}" for i, (s, sh) in enumerate(zip(source, shard))
+    ]
 
     tokens = pa.LargeListArray.from_arrays(
         pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
     ).cast(pa.list_(pa.int32()))
     return pa.table(
         {
-            "doc_id": pa.array(doc_id.tolist(), pa.string()),
+            "doc_id": pa.array(doc_id, pa.string()),
             "tokens": tokens,
             "n_tok": pa.array(n_tok, pa.int32()),
             "source": pa.array(source.tolist(), pa.string()),

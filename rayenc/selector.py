@@ -61,9 +61,11 @@ def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig)
         and stats.num_values > 0
     )
     if ptype in ("INT32", "INT64"):
-        if dict_ok:
-            cands.append("RLE_DICTIONARY")
-        cands += ["DELTA_BINARY_PACKED", "PLAIN"]
+        # ints always get the dictionary attempt: the sorted+delta dict page
+        # is near-free, and sampled-NDV gating misjudges large vocabularies
+        # (try_dictionary still enforces the reference's 1 MiB threshold)
+        cands.append("RLE_DICTIONARY")
+        cands += ["DELTA_BINARY_PACKED", "RLE_FOR", "PLAIN"]
     elif ptype in ("FLOAT", "DOUBLE"):
         if dict_ok:
             cands.append("RLE_DICTIONARY")

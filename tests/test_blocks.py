@@ -156,3 +156,25 @@ def test_size_beats_pyarrow_parquet_baseline():
     buf = io.BytesIO()
     pq.write_table(table, buf, compression="none", use_dictionary=True)
     assert len(blob) <= buf.tell(), (len(blob), buf.tell())
+
+
+def test_rle_for_roundtrip_and_choice():
+    from rayenc.codecs import rle_for
+
+    rng = np.random.default_rng(9)
+    # uniform vocab: FOR bit-pack should beat delta (16 vs ~17 bits)
+    vals = rng.integers(0, 50257, 100_000).astype(np.int32)
+    buf = rle_for.encode(vals)
+    np.testing.assert_array_equal(rle_for.decode(buf, len(vals), np.int32), vals)
+    assert len(buf) <= len(vals) * 2 + 300  # 1 header byte per 504-value run
+    table = pa.table({"c": pa.array(vals, pa.int32())})
+    _, manifest = blocks.encode_block(table)
+    assert manifest["chunks"][0]["encoding"] == "RLE_FOR"
+    # runs also collapse under the hybrid
+    runs = np.repeat(rng.integers(1000, 1100, 500), 50).astype(np.int64)
+    buf = rle_for.encode(runs)
+    np.testing.assert_array_equal(rle_for.decode(buf, len(runs), np.int64), runs)
+    assert len(buf) < len(runs)  # rle runs, far below 1 byte/value
+    # 64-bit range -> inapplicable
+    wide = np.array([0, 2**40], np.int64)
+    assert rle_for.encode(wide) is None
