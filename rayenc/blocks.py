@@ -78,16 +78,32 @@ def _binary_slice(values, a, b):
     return off, data[offsets[a] : offsets[b]]
 
 
-def _encode_candidate(
-    col: PhysicalColumn, encoding: str, ranges, config: sel.EncodeConfig
-):
-    """Encode the whole chunk with one encoding.
+class _Candidate:
+    """Planned chunk encoding: exact (or, for FSST, estimated) total size plus
+    a deferred ``emit`` that materializes aux + page bytes exactly once."""
 
-    Returns (aux_bytes|None, aux_meta|None, [page_bytes]) or None if the
-    encoding is inapplicable (e.g. dictionary rejected by thresholds)."""
+    __slots__ = ("encoding", "size", "estimated", "aux_meta", "_emit")
+
+    def __init__(self, encoding, size, emit, aux_meta=None, estimated=False):
+        self.encoding = encoding
+        self.size = size
+        self.estimated = estimated
+        self.aux_meta = aux_meta
+        self._emit = emit
+
+    def emit(self):
+        """-> (aux_bytes | None, [page_bytes])"""
+        return self._emit()
+
+
+def _plan_candidate(
+    col: PhysicalColumn, encoding: str, ranges, config: sel.EncodeConfig
+) -> _Candidate | None:
+    """Plan one encoding for the whole chunk without materializing payload
+    bytes (except cheap aux). Returns None when inapplicable."""
     ptype = col.ptype
     v = col.values
-    pages: list[bytes] = []
+
     if encoding == "RLE_DICTIONARY":
         fac = sel.try_dictionary(col, config)
         if fac is None:
@@ -95,73 +111,161 @@ def _encode_candidate(
         indices, dic = fac
         kind = "dict"
         if ptype == "BINARY":
-            aux = dict_codec.dict_page_binary(dic)
+            d_off, _d_dat = dict_codec.binary_parts(dic)
+            aux_size = 4 * (len(d_off) - 1) + int(d_off[-1])
+            aux_emit = lambda: dict_codec.dict_page_binary(dic)
         elif ptype == "BOOLEAN":
             return None
         elif ptype in ("INT32", "INT64"):
-            # sort the dictionary and remap ids: the sorted keys delta-encode
-            # to near nothing (our container improvement over the reference's
-            # PLAIN first-occurrence dict page, DictionaryValuesWriter:253-268)
+            # sorted keys delta-encode to near nothing; remap ids
+            # (improvement over the reference's PLAIN first-occurrence dict
+            # page, DictionaryValuesWriter.java:253-268)
             dvals = dic.to_numpy(zero_copy_only=False)
             order = np.argsort(dvals, kind="stable")
             inv = np.empty_like(order)
             inv[order] = np.arange(len(order))
             indices = inv[indices]
-            aux = delta_bp.encode(np.ascontiguousarray(dvals[order]))
+            dict_plan = delta_bp.Plan(np.ascontiguousarray(dvals[order]))
+            aux_size = dict_plan.size
+            aux_emit = dict_plan.emit
             kind = "dicti"
         else:
-            aux = dict_codec.dict_page_fixed(dic, ptype)
-        for a, b in ranges:
-            pages.append(dict_codec.encode_ids(indices[a:b], len(dic)))
-        return aux, {"kind": kind, "count": len(dic)}, pages
+            aux_size = len(dic) * (4 if ptype == "FLOAT" else 8)
+            aux_emit = lambda: dict_codec.dict_page_fixed(dic, ptype)
+        width = dict_codec.bit_width32(max(len(dic) - 1, 0))
+        id_plans = [rle_hybrid.Plan(indices[a:b], width) for a, b in ranges]
+        size = aux_size + sum(1 + p.size for p in id_plans)
+
+        def emit():
+            return aux_emit(), [bytes([width]) + p.emit() for p in id_plans]
+
+        return _Candidate(encoding, size, emit, {"kind": kind, "count": len(dic)})
+
     if encoding == "FSST":
         offsets, data = v
         table = fsst.train(offsets, data)
         aux = table.serialize()
-        for a, b in ranges:
-            off, dat = _binary_slice(v, a, b)
-            c_off, c_dat = fsst.compress(table, off, dat)
-            lengths = np.diff(c_off).astype(np.int32)
-            pages.append(delta_bp.encode(lengths) + c_dat.tobytes())
-        return aux, {"kind": "fsst", "count": len(table.symbols)}, pages
-    for a, b in ranges:
-        if ptype == "BINARY":
-            off, dat = _binary_slice(v, a, b)
-            if encoding == "PLAIN":
-                pages.append(plain.encode_binary(off, dat))
-            elif encoding == "DELTA_LENGTH_BYTE_ARRAY":
-                pages.append(delta_length.encode(off, dat))
-            elif encoding == "DELTA_BYTE_ARRAY":
-                pages.append(delta_strings.encode(off, dat))
-            else:
-                return None
-        elif ptype == "BOOLEAN":
-            if encoding == "PLAIN":
-                pages.append(plain.encode_boolean(v[a:b]))
-            elif encoding == "RLE":
-                pages.append(rle_hybrid.encode(np.asarray(v[a:b], np.uint8), 1))
-            else:
-                return None
+        n = len(offsets) - 1
+        # estimate: compress a strided sample of rows
+        if n and len(data):
+            take = max(1, min(n, 512))
+            stride = max(1, n // take)
+            idx = np.arange(0, n, stride)[:take]
+            lens = (offsets[idx + 1] - offsets[idx]).astype(np.int64)
+            s_off = np.zeros(len(idx) + 1, np.int64)
+            np.cumsum(lens, out=s_off[1:])
+            s_dat = data[plain._ranges(offsets[idx], lens)]
+            c_off, _c = fsst.compress(table, s_off, s_dat)
+            ratio = (c_off[-1] / max(1, s_off[-1])) if s_off[-1] else 1.0
         else:
-            vs = v[a:b]
-            if encoding == "PLAIN":
-                pages.append(plain.encode_fixed(vs, ptype))
-            elif encoding == "DELTA_BINARY_PACKED":
-                if ptype not in ("INT32", "INT64"):
-                    return None
-                pages.append(delta_bp.encode(vs))
-            elif encoding == "RLE_FOR":
-                if ptype not in ("INT32", "INT64"):
-                    return None
-                page = rle_for.encode(vs)
-                if page is None:  # range wider than 32 bits
-                    return None
-                pages.append(page)
-            elif encoding == "BYTE_STREAM_SPLIT":
-                pages.append(bytestream_split.encode(vs))
-            else:
-                return None
-    return None, None, pages
+            ratio = 1.0
+        est = len(aux) + int(len(data) * ratio * 1.03) + 2 * n + 64
+
+        def emit():
+            pages = []
+            for a, b in ranges:
+                off, dat = _binary_slice(v, a, b)
+                c_off, c_dat = fsst.compress(table, off, dat)
+                lengths = np.diff(c_off).astype(np.int32)
+                pages.append(delta_bp.encode(lengths) + c_dat.tobytes())
+            return aux, pages
+
+        return _Candidate(
+            encoding, est, emit, {"kind": "fsst", "count": len(table.symbols)}, estimated=True
+        )
+
+    if ptype == "BINARY":
+        offsets, data = v
+        if encoding == "PLAIN":
+            size = 4 * (len(offsets) - 1) + int(offsets[-1] - offsets[0])
+            return _Candidate(
+                encoding,
+                size,
+                lambda: (None, [plain.encode_binary(*_binary_slice(v, a, b)) for a, b in ranges]),
+            )
+        if encoding == "DELTA_LENGTH_BYTE_ARRAY":
+            plans = []
+            for a, b in ranges:
+                off, _ = _binary_slice(v, a, b)
+                plans.append(delta_bp.Plan(np.diff(off).astype(np.int32)))
+            size = sum(p.size for p in plans) + int(offsets[-1] - offsets[0])
+
+            def emit():
+                pages = []
+                for (a, b), p in zip(ranges, plans):
+                    _, dat = _binary_slice(v, a, b)
+                    pages.append(p.emit() + np.ascontiguousarray(dat, np.uint8).tobytes())
+                return None, pages
+
+            return _Candidate(encoding, size, emit)
+        if encoding == "DELTA_BYTE_ARRAY":
+            page_plans = []
+            size = 0
+            for a, b in ranges:
+                off, dat = _binary_slice(v, a, b)
+                prefix = delta_strings.common_prefix_lengths(off, dat)
+                suffix_lengths = np.diff(off) - prefix
+                p1 = delta_bp.Plan(prefix.astype(np.int32))
+                p2 = delta_bp.Plan(suffix_lengths.astype(np.int32))
+                sbytes = int(suffix_lengths.sum())
+                page_plans.append((off, dat, prefix, suffix_lengths, p1, p2))
+                size += p1.size + p2.size + sbytes
+
+            def emit():
+                pages = []
+                for off, dat, prefix, slens, p1, p2 in page_plans:
+                    sdata = dat[plain._ranges(off[:-1] + prefix, slens)]
+                    pages.append(p1.emit() + p2.emit() + sdata.tobytes())
+                return None, pages
+
+            return _Candidate(encoding, size, emit)
+        return None
+
+    if ptype == "BOOLEAN":
+        if encoding == "PLAIN":
+            size = sum((b - a + 7) // 8 for a, b in ranges)
+            return _Candidate(
+                encoding, size, lambda: (None, [plain.encode_boolean(v[a:b]) for a, b in ranges])
+            )
+        if encoding == "RLE":
+            plans = [rle_hybrid.Plan(np.asarray(v[a:b], np.uint8), 1) for a, b in ranges]
+            return _Candidate(
+                encoding,
+                sum(p.size for p in plans),
+                lambda: (None, [p.emit() for p in plans]),
+            )
+        return None
+
+    itemsize = np.asarray(v).dtype.itemsize
+    if encoding == "PLAIN":
+        size = col.num_values * itemsize
+        return _Candidate(
+            encoding, size, lambda: (None, [plain.encode_fixed(v[a:b], ptype) for a, b in ranges])
+        )
+    if encoding == "BYTE_STREAM_SPLIT":
+        size = col.num_values * itemsize
+        return _Candidate(
+            encoding, size, lambda: (None, [bytestream_split.encode(v[a:b]) for a, b in ranges])
+        )
+    if encoding == "DELTA_BINARY_PACKED":
+        if ptype not in ("INT32", "INT64"):
+            return None
+        plans = [delta_bp.Plan(v[a:b]) for a, b in ranges]
+        return _Candidate(
+            encoding, sum(p.size for p in plans), lambda: (None, [p.emit() for p in plans])
+        )
+    if encoding == "RLE_FOR":
+        if ptype not in ("INT32", "INT64"):
+            return None
+        plans = [rle_for.Plan(v[a:b]) for a, b in ranges]
+        if not all(p.applicable for p in plans):
+            return None  # some page's range exceeds 32 bits
+        return _Candidate(
+            encoding,
+            sum(p.size for p in plans),
+            lambda: (None, [p.emit() for p in plans]),
+        )
+    return None
 
 
 def _decode_pages(entry: dict, aux_buf, page_bufs: list) -> PhysicalColumn:
@@ -272,19 +376,23 @@ def encode_chunk(
 ) -> dict:
     stats = stats_mod.compute(col)
     ranges = page_ranges(col, config)
-    best = None
-    best_size = None
+    cands: list[_Candidate] = []
     for encoding in sel.candidates_for(col, stats, config):
-        enc = _encode_candidate(col, encoding, ranges, config)
-        if enc is None:
-            continue
-        aux, aux_meta, pages = enc
-        size = (len(aux) if aux else 0) + sum(len(p) for p in pages)
-        if best_size is None or size < best_size:
-            best = (encoding, aux, aux_meta, pages)
-            best_size = size
-    assert best is not None, f"no applicable encoding for {col.name} ({col.ptype})"
-    encoding, aux, aux_meta, pages = best
+        cand = _plan_candidate(col, encoding, ranges, config)
+        if cand is not None:
+            cands.append(cand)
+    assert cands, f"no applicable encoding for {col.name} ({col.ptype})"
+    cands.sort(key=lambda c: c.size)
+    best = cands[0]
+    aux, pages = best.emit()
+    best_size = (len(aux) if aux else 0) + sum(len(p) for p in pages)
+    if best.estimated and len(cands) > 1 and best_size > cands[1].size:
+        # the estimate overshot: fall back to the next exact candidate so the
+        # min-bytes guarantee holds
+        best = cands[1]
+        aux, pages = best.emit()
+        best_size = (len(aux) if aux else 0) + sum(len(p) for p in pages)
+    encoding, aux_meta = best.encoding, best.aux_meta
 
     codec = _compressor(config)
     entry: dict = {

@@ -58,96 +58,151 @@ def _config(block: int, miniblocks: int) -> int:
     return msize
 
 
+class Plan:
+    """Planned DELTA_BINARY_PACKED page: all per-block math done, exact size
+    known; ``emit`` performs only the byte scatter."""
+
+    __slots__ = (
+        "header",
+        "size",
+        "_state",
+    )
+
+    def __init__(
+        self,
+        values: np.ndarray,
+        block: int = DEFAULT_BLOCK,
+        miniblocks: int = DEFAULT_MINIBLOCKS,
+    ):
+        v = np.ascontiguousarray(values)
+        is64 = v.dtype == np.int64
+        if not is64:
+            v = v.astype(np.int32, copy=False)
+        msize = _config(block, miniblocks)
+        n = len(v)
+
+        out = bytearray()
+        write_uvarint(out, block)
+        write_uvarint(out, miniblocks)
+        write_uvarint(out, n)
+        wzz = write_zigzag_varint64 if is64 else write_zigzag_varint32
+        wzz(out, int(v[0]) if n else 0)
+        self.header = bytes(out)
+        if n <= 1:
+            self.size = len(self.header)
+            self._state = None
+            return
+
+        sdt = np.int64 if is64 else np.int32
+        udt = np.uint64 if is64 else np.uint32
+        with np.errstate(over="ignore"):
+            deltas = (v[1:] - v[:-1]).astype(sdt, copy=False)  # wrapping diff
+
+        nd = len(deltas)
+        nblocks = (nd + block - 1) // block
+        pad = nblocks * block - nd
+        if pad:
+            padded = np.empty(nblocks * block, sdt)
+            padded[:nd] = deltas
+            padded[nd:] = 0
+            deltas = padded
+        dmat = deltas.reshape(nblocks, block)
+        last_real = nd - (nblocks - 1) * block  # only the last block is partial
+
+        # per-block min; fix up the last (possibly partial) block
+        mins = dmat.min(axis=1)
+        if pad:
+            mins[-1] = dmat[-1, :last_real].min()
+        with np.errstate(over="ignore"):
+            np.subtract(dmat, mins[:, None], out=dmat)  # in place, wrapping
+        if pad:
+            dmat[-1, last_real:] = 0
+        adj3 = dmat.view(udt).reshape(nblocks, miniblocks, msize)
+
+        ors = np.bitwise_or.reduce(adj3, axis=2)
+        widths = bit_widths_of_or(ors)  # (nblocks, miniblocks)
+        mb_real_last = (last_real + msize - 1) // msize
+        flushed = np.ones((nblocks, miniblocks), bool)
+        flushed[-1, mb_real_last:] = False
+        widths[~flushed] = 0
+        mins = mins.astype(sdt, copy=False)
+
+        if is64:
+            zz = (mins.astype(np.int64) << np.int64(1)) ^ (
+                mins.astype(np.int64) >> np.int64(63)
+            )
+            zz = zz.view(np.uint64)
+        else:
+            zz32 = (mins.astype(np.int32) << np.int32(1)) ^ (
+                mins.astype(np.int32) >> np.int32(31)
+            )
+            zz = zz32.view(np.uint32).astype(np.uint64)
+        vbytes_flat, vlens = uvarint_encode_batch(zz)
+
+        mb_sizes = np.where(flushed, widths * (msize // 8), 0)
+        block_sizes = vlens + miniblocks + mb_sizes.sum(axis=1)
+        self.size = len(self.header) + int(block_sizes.sum())
+        self._state = (
+            adj3,
+            widths,
+            flushed,
+            mb_sizes,
+            block_sizes,
+            vbytes_flat,
+            vlens,
+            miniblocks,
+            msize,
+        )
+
+    def emit(self) -> bytes:
+        if self._state is None:
+            return self.header
+        (
+            adj3,
+            widths,
+            flushed,
+            mb_sizes,
+            block_sizes,
+            vbytes_flat,
+            vlens,
+            miniblocks,
+            msize,
+        ) = self._state
+        hlen = len(self.header)
+        block_starts = np.cumsum(block_sizes) - block_sizes + hlen
+        body = np.zeros(self.size, np.uint8)
+        body[:hlen] = np.frombuffer(self.header, np.uint8)
+
+        body[_ranges(block_starts, vlens)] = vbytes_flat
+        wpos = (block_starts + vlens)[:, None] + np.arange(miniblocks)
+        body[wpos.ravel()] = widths.astype(np.uint8).ravel()
+        mb_within = np.cumsum(mb_sizes, axis=1) - mb_sizes
+        mb_dst = (block_starts + vlens + miniblocks)[:, None] + mb_within
+        for w in np.unique(widths[flushed]):
+            w = int(w)
+            if w == 0:
+                continue
+            sel = flushed & (widths == w)
+            vals = adj3[sel]  # (k, msize)
+            packed = np.frombuffer(pack_lsb(vals.ravel(), w), np.uint8)
+            sz = msize * w // 8
+            dst = (mb_dst[sel][:, None] + np.arange(sz)).ravel()
+            body[dst] = packed
+        return body.tobytes()
+
+
+def encoded_size(
+    values: np.ndarray, block: int = DEFAULT_BLOCK, miniblocks: int = DEFAULT_MINIBLOCKS
+) -> int:
+    return Plan(values, block, miniblocks).size
+
+
 def encode(
     values: np.ndarray,
     block: int = DEFAULT_BLOCK,
     miniblocks: int = DEFAULT_MINIBLOCKS,
 ) -> bytes:
-    v = np.ascontiguousarray(values)
-    is64 = v.dtype == np.int64
-    if not is64:
-        v = v.astype(np.int32, copy=False)
-    msize = _config(block, miniblocks)
-    n = len(v)
-
-    out = bytearray()
-    write_uvarint(out, block)
-    write_uvarint(out, miniblocks)
-    write_uvarint(out, n)
-    wzz = write_zigzag_varint64 if is64 else write_zigzag_varint32
-    wzz(out, int(v[0]) if n else 0)
-    if n <= 1:
-        return bytes(out)
-
-    sdt = np.int64 if is64 else np.int32
-    udt = np.uint64 if is64 else np.uint32
-    with np.errstate(over="ignore"):
-        deltas = (v[1:] - v[:-1]).astype(sdt, copy=False)  # wrapping diff
-
-    nd = len(deltas)
-    nblocks = (nd + block - 1) // block
-    pad = nblocks * block - nd
-    if pad:
-        deltas = np.concatenate([deltas, np.zeros(pad, sdt)])
-    dmat = deltas.reshape(nblocks, block)
-    real = np.minimum(np.maximum(nd - np.arange(nblocks) * block, 0), block)
-
-    # per-block min over real deltas only (pad positions masked to +inf-like)
-    col = np.arange(block)
-    mask_real = col[None, :] < real[:, None]
-    big = np.iinfo(sdt).max
-    masked = np.where(mask_real, dmat, big)
-    mins = masked.min(axis=1).astype(sdt)
-
-    with np.errstate(over="ignore"):
-        adj = (dmat - mins[:, None]).astype(sdt, copy=False).view(udt)
-    adj = np.where(mask_real, adj, 0).astype(udt)
-
-    # per-miniblock OR mask over real values -> bit widths
-    adj3 = adj.reshape(nblocks, miniblocks, msize)
-    ors = np.bitwise_or.reduce(adj3, axis=2)
-    widths = bit_widths_of_or(ors)  # (nblocks, miniblocks)
-    mb_real = np.ceil(real / msize).astype(np.int64)  # flushed miniblocks per block
-    flushed = np.arange(miniblocks)[None, :] < mb_real[:, None]
-    widths = np.where(flushed, widths, 0)
-
-    # ---- fully vectorized assembly: one pack per distinct width ----
-    # varint(zigzag(min)) per block, batch-encoded
-    if is64:
-        zz = (mins.astype(np.int64) << np.int64(1)) ^ (mins.astype(np.int64) >> np.int64(63))
-        zz = zz.view(np.uint64)
-    else:
-        zz32 = (mins.astype(np.int32) << np.int32(1)) ^ (mins.astype(np.int32) >> np.int32(31))
-        zz = zz32.view(np.uint32).astype(np.uint64)
-    vbytes_flat, vlens = uvarint_encode_batch(zz)
-
-    mb_sizes = np.where(flushed, widths * (msize // 8), 0)  # bytes per miniblock
-    block_sizes = vlens + miniblocks + mb_sizes.sum(axis=1)
-    block_starts = np.cumsum(block_sizes) - block_sizes + len(out)
-
-    total = int(block_sizes.sum())
-    body = np.zeros(total + len(out), np.uint8)
-    body[: len(out)] = np.frombuffer(bytes(out), np.uint8)
-
-    # scatter varints
-    body[_ranges(block_starts, vlens)] = vbytes_flat
-    # scatter width bytes
-    wpos = (block_starts + vlens)[:, None] + np.arange(miniblocks)
-    body[wpos.ravel()] = widths.astype(np.uint8).ravel()
-    # scatter miniblock payloads, grouped by bit width
-    mb_within = np.cumsum(mb_sizes, axis=1) - mb_sizes
-    mb_dst = (block_starts + vlens + miniblocks)[:, None] + mb_within
-    for w in np.unique(widths[flushed]):
-        w = int(w)
-        if w == 0:
-            continue
-        sel = flushed & (widths == w)
-        vals = adj3[sel]  # (k, msize)
-        packed = np.frombuffer(pack_lsb(vals.ravel(), w), np.uint8)
-        sz = msize * w // 8
-        dst = (mb_dst[sel][:, None] + np.arange(sz)).ravel()
-        body[dst] = packed
-    return body.tobytes()
+    return Plan(values, block, miniblocks).emit()
 
 
 def decode(buf, out_dtype=None) -> np.ndarray:

@@ -27,25 +27,46 @@ from .varint import (
 MAX_WIDTH = 32  # hybrid grammar is 32-bit; wider ranges fall back elsewhere
 
 
+class Plan:
+    """Planned FOR+RLE page: exact size, deferred packing."""
+
+    __slots__ = ("header", "inner", "size")
+
+    def __init__(self, values: np.ndarray):
+        v = np.ascontiguousarray(values)
+        out = bytearray()
+        if len(v) == 0:
+            write_zigzag_varint64(out, 0)
+            out.append(0)
+            self.header, self.inner, self.size = bytes(out), None, len(out)
+            return
+        mn = int(v.min())
+        rng = int(v.max()) - mn
+        if rng >= 1 << MAX_WIDTH:
+            self.header, self.inner, self.size = None, None, None  # inapplicable
+            return
+        width = int(bit_widths_of_or(np.array([rng], np.uint64))[0])
+        write_zigzag_varint64(out, mn)
+        out.append(width)
+        shifted = (v.astype(np.int64) - mn).astype(np.uint32)
+        self.inner = rle_hybrid.Plan(shifted, width)
+        self.header = bytes(out)
+        self.size = len(out) + self.inner.size
+
+    @property
+    def applicable(self) -> bool:
+        return self.size is not None
+
+    def emit(self) -> bytes:
+        if self.inner is None:
+            return self.header
+        return self.header + self.inner.emit()
+
+
 def encode(values: np.ndarray) -> bytes | None:
     """Returns None when the value range exceeds 32 bits (inapplicable)."""
-    v = np.ascontiguousarray(values)
-    out = bytearray()
-    if len(v) == 0:
-        write_zigzag_varint64(out, 0)
-        out.append(0)
-        return bytes(out)
-    mn = int(v.min())
-    mx = int(v.max())
-    rng = mx - mn
-    if rng >= 1 << MAX_WIDTH:
-        return None
-    width = int(bit_widths_of_or(np.array([rng], np.uint64))[0])
-    write_zigzag_varint64(out, mn)
-    out.append(width)
-    shifted = (v.astype(np.int64) - mn).astype(np.uint32)
-    out += rle_hybrid.encode(shifted, width)
-    return bytes(out)
+    plan = Plan(values)
+    return plan.emit() if plan.applicable else None
 
 
 def decode(buf, n: int, out_dtype=np.int32) -> np.ndarray:

@@ -55,60 +55,96 @@ def _emit_rle(out: bytearray, count: int, value: int, width: int) -> None:
     out += int(value).to_bytes(vbytes, "little")
 
 
+class Plan:
+    """Planned hybrid encoding: segment list + exact byte size, no payload
+    materialization. ``emit`` does the (single) packing pass."""
+
+    __slots__ = ("values", "width", "segments", "size")
+
+    def __init__(self, values: np.ndarray, width: int):
+        v = np.ascontiguousarray(values)
+        self.values = v
+        self.width = width
+        n = len(v)
+        # segments: ("bp", [(a,b), ...]) span | ("rle", count, value)
+        segments: list = []
+        size = 0
+        vbytes = (width + 7) // 8
+        if n:
+            change = np.flatnonzero(v[1:] != v[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            lengths = np.diff(np.concatenate((starts, [n])))
+            candidates = np.flatnonzero(lengths >= 8)
+            span_ranges: list[tuple[int, int]] = []
+            span_len = 0
+            prev_end = 0
+            starts_l = starts[candidates].tolist()
+            lens_l = lengths[candidates].tolist()
+            vals_l = v[starts[candidates]].tolist() if len(candidates) else []
+            for s, run_len, rv in zip(starts_l, lens_l, vals_l):
+                if s > prev_end:
+                    span_ranges.append((prev_end, s))
+                    span_len += s - prev_end
+                donate = (8 - span_len % 8) % 8
+                rem = run_len - donate
+                if rem >= 8:
+                    if donate:
+                        span_ranges.append((s, s + donate))
+                        span_len += donate
+                    if span_ranges:
+                        segments.append(("bp", span_ranges))
+                        size += _bp_size(span_len, width)
+                    span_ranges = []
+                    span_len = 0
+                    segments.append(("rle", rem, int(rv)))
+                    size += _uvarint_len(rem << 1) + vbytes
+                else:
+                    span_ranges.append((s, s + run_len))
+                    span_len += run_len
+                prev_end = s + run_len
+            if prev_end < n:
+                span_ranges.append((prev_end, n))
+                span_len += n - prev_end
+            if span_ranges:
+                segments.append(("bp", span_ranges))
+                size += _bp_size(span_len, width)
+        self.segments = segments
+        self.size = size
+
+    def emit(self) -> bytes:
+        out = bytearray()
+        v = self.values
+        for seg in self.segments:
+            if seg[0] == "bp":
+                ranges = seg[1]
+                vals = (
+                    v[ranges[0][0] : ranges[0][1]]
+                    if len(ranges) == 1
+                    else np.concatenate([v[a:b] for a, b in ranges])
+                )
+                _emit_bitpacked(out, vals, self.width)
+            else:
+                _emit_rle(out, seg[1], seg[2], self.width)
+        return bytes(out)
+
+
+def _bp_size(n_values: int, width: int) -> int:
+    groups = (n_values + 7) // 8
+    headers = (groups + MAX_GROUPS - 1) // MAX_GROUPS
+    return headers + groups * width
+
+
+def _uvarint_len(value: int) -> int:
+    return max(1, (value.bit_length() + 6) // 7)
+
+
+def encoded_size(values: np.ndarray, width: int) -> int:
+    return Plan(values, width).size
+
+
 def encode(values: np.ndarray, width: int) -> bytes:
     """Vectorized hybrid encode; byte-identical to the reference state machine."""
-    v = np.ascontiguousarray(values)
-    n = len(v)
-    out = bytearray()
-    if n == 0:
-        return bytes(out)
-    # run-length decomposition
-    change = np.flatnonzero(v[1:] != v[:-1]) + 1
-    starts = np.concatenate(([0], change))
-    lengths = np.diff(np.concatenate((starts, [n])))
-    rvals = v[starts]
-
-    candidates = np.flatnonzero(lengths >= 8)
-    span_ranges: list[tuple[int, int]] = []  # pending bit-packed value ranges
-    span_mod = 0  # pending span length % 8 (buffer fill in the reference)
-    prev_end = 0
-
-    def flush_span() -> None:
-        nonlocal span_ranges
-        if span_ranges:
-            vals = (
-                v[span_ranges[0][0] : span_ranges[0][1]]
-                if len(span_ranges) == 1
-                else np.concatenate([v[a:b] for a, b in span_ranges])
-            )
-            _emit_bitpacked(out, vals, width)
-            span_ranges = []
-
-    for ci in candidates:
-        s = int(starts[ci])
-        run_len = int(lengths[ci])
-        if s > prev_end:
-            span_ranges.append((prev_end, s))
-            span_mod = (span_mod + (s - prev_end)) % 8
-        # the run first donates values to fill the current 8-value group
-        # (mirrors repeatCount reset in writeOrAppendBitPackedRun)
-        donate = (8 - span_mod) % 8
-        rem = run_len - donate
-        if rem >= 8:
-            if donate:
-                span_ranges.append((s, s + donate))
-            flush_span()
-            span_mod = 0
-            _emit_rle(out, rem, int(rvals[ci]), width)
-        else:
-            span_ranges.append((s, s + run_len))
-            span_mod = (span_mod + run_len) % 8
-        prev_end = s + run_len
-
-    if prev_end < n:
-        span_ranges.append((prev_end, n))
-    flush_span()
-    return bytes(out)
+    return Plan(values, width).emit()
 
 
 def encode_scalar(values, width: int) -> bytes:

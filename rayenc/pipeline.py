@@ -111,6 +111,9 @@ class EncodeWorker:
     blob+manifest atomically, emits a summary row (SURVEY.md §7.2)."""
 
     def __init__(self, out_dir: str, config: EncodeConfig | None = None, columns=None):
+        from .memtune import tune_process_memory
+
+        tune_process_memory()
         self.out_dir = out_dir
         self.config = config or EncodeConfig()
         self.columns = columns
@@ -159,6 +162,9 @@ class EncodeWorker:
 
 class DecodeWorker:
     def __init__(self, out_dir: str):
+        from .memtune import tune_process_memory
+
+        tune_process_memory()
         self.out_dir = out_dir
 
     def __call__(self, batch: dict):
@@ -225,7 +231,16 @@ def encode_job(
         d.setdefault("row_count", -1)
     ds = ray.data.from_items(descs)
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        # measured on this host: >12 concurrently-faulting encode workers
+        # saturate the hypervisor page-fault path (sys-time explosion) while
+        # memory bandwidth flattens; on a real multi-node cluster each node
+        # brings its own memory, so the cap is per-node (BASELINE.md).
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    concurrency = (
+        min(concurrency, len(descs))
+        if isinstance(concurrency, int)
+        else concurrency
+    )
     return ds.map_batches(
         EncodeWorker,
         fn_constructor_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
@@ -242,7 +257,9 @@ def decode_dataset(out_dir: str, concurrency=None) -> "ray.data.Dataset":
     )
     ds = ray.data.from_items([{"manifest": m} for m in manifests])
     if concurrency is None:
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    if isinstance(concurrency, int):
+        concurrency = min(concurrency, max(1, len(manifests)))
     return ds.map_batches(
         DecodeWorker,
         fn_constructor_kwargs={"out_dir": out_dir},

@@ -100,9 +100,18 @@ def compute(col: PhysicalColumn) -> ChunkStats:
     stride = max(1, n // NDV_SAMPLE)
     sample = v[::stride][:NDV_SAMPLE]
     ndv = len(np.unique(sample))
-    diffs = np.diff(v) if n > 1 else np.empty(0, v.dtype)
-    runs = 1 + int((diffs != 0).sum())
-    is_sorted = bool((diffs >= 0).all()) if n > 1 else True
+    # run/sortedness signals from a contiguous window (gating only — the
+    # selector measures exact candidate sizes anyway); avoids a full-column
+    # diff allocation on the hot path
+    win = v[: 1 << 16]
+    diffs = np.diff(win) if len(win) > 1 else np.empty(0, v.dtype)
+    frac = n / max(1, len(win))
+    runs = 1 + int(round((diffs != 0).sum() * frac))
+    is_sorted = bool((diffs >= 0).all()) if len(diffs) else True
+    if is_sorted and len(win) < n:
+        is_sorted = bool(v[len(win) - 1] <= v[len(win)]) and bool(
+            (np.diff(v[len(win) :: max(1, n // 1024)]) >= 0).all()
+        )
     mn, mx = v.min(), v.max()
     if v.dtype.kind == "f":
         mn, mx = float(mn), float(mx)

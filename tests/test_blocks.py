@@ -88,11 +88,14 @@ def test_chosen_is_min_over_candidates():
     ranges = blocks.page_ranges(col, cfg)
     sizes = {}
     for enc in selector.candidates_for(col, st, cfg):
-        r = blocks._encode_candidate(col, enc, ranges, cfg)
-        if r is None:
+        cand = blocks._plan_candidate(col, enc, ranges, cfg)
+        if cand is None:
             continue
-        aux, _, pages = r
-        sizes[enc] = (len(aux) if aux else 0) + sum(len(p) for p in pages)
+        aux, pages = cand.emit()
+        actual = (len(aux) if aux else 0) + sum(len(p) for p in pages)
+        if not cand.estimated:
+            assert actual == cand.size, (enc, actual, cand.size)  # plans are exact
+        sizes[enc] = actual
     assert entry["encoded_bytes"] == min(sizes.values())
 
 
