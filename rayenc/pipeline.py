@@ -177,6 +177,31 @@ class DecodeWorker:
             yield blocks.decode_block(blob, manifest)
 
 
+_WORKER_CACHE: dict = {}
+
+
+def _encode_batch_task(batch: dict, *, out_dir: str, config=None, columns=None) -> dict:
+    """Task-mode UDF: reuses a per-process EncodeWorker so Ray's long-lived
+    worker processes keep warm heaps across tasks and across jobs (this host
+    re-cools freed pages; see rayenc/memtune.py). Stateless semantics are
+    unchanged — encode is a pure function of (fragment, config)."""
+    key = ("enc", out_dir, repr(config), tuple(columns) if columns else None)
+    w = _WORKER_CACHE.get(key)
+    if w is None:
+        w = EncodeWorker(out_dir, config, columns)
+        _WORKER_CACHE[key] = w
+    return w(batch)
+
+
+def _decode_batch_task(batch: dict, *, out_dir: str):
+    key = ("dec", out_dir)
+    w = _WORKER_CACHE.get(key)
+    if w is None:
+        w = DecodeWorker(out_dir)
+        _WORKER_CACHE[key] = w
+    yield from w(batch)
+
+
 def _unbox(v):
     return v.item() if hasattr(v, "item") and not isinstance(v, (list, np.ndarray)) else v
 
@@ -242,8 +267,8 @@ def encode_job(
         else concurrency
     )
     return ds.map_batches(
-        EncodeWorker,
-        fn_constructor_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
+        _encode_batch_task,
+        fn_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,
@@ -261,8 +286,8 @@ def decode_dataset(out_dir: str, concurrency=None) -> "ray.data.Dataset":
     if isinstance(concurrency, int):
         concurrency = min(concurrency, max(1, len(manifests)))
     return ds.map_batches(
-        DecodeWorker,
-        fn_constructor_kwargs={"out_dir": out_dir},
+        _decode_batch_task,
+        fn_kwargs={"out_dir": out_dir},
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,
