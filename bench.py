@@ -123,7 +123,7 @@ def run_bench(num_cpus: int) -> dict:
         t0 = time.perf_counter()
         pipeline.encode_job(
             tpath, tout, resume=False, target_block_bytes=8 << 20,
-            concurrency=(1, num_cpus),
+            concurrency=conc,
         ).materialize()
         queries[f"encode_{tname}"] = time.perf_counter() - t0
         shutil.rmtree(tout, ignore_errors=True)

@@ -1,0 +1,214 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: the exactness baseline — the (small) query matrix is
+  ``ray.put`` once and read zero-copy in every ``map_batches`` task (broadcast,
+  not re-shipped per batch); each task computes a numpy matmul against its
+  batch and keeps a per-block top-k; the tiny per-block top-k tables merge on
+  the driver. Never shuffles the embedding corpus.
+- ``ivf_topk``: the scale path — k-means-ish centroids trained on a sample
+  (driver, one pass), every vector assigned to its nearest centroid in
+  ``map_batches``; queries probe only ``nprobe`` centroid partitions, so the
+  scanned fraction is ``nprobe / nlist``.
+- ``cosine_near_dup_pairs``: embedding near-duplicate detection by bucketing
+  on the nearest centroid and comparing within buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    if n == 0:
+        return values.reshape(0, 0)
+    dim = len(values) // n
+    return values.reshape(n, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact cosine top-k of each query against the whole dataset."""
+    qn = _normalize(np.asarray(queries, np.float32))
+    q_ref = ray.put(qn)  # broadcast once, zero-copy reads in every task
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        scores = q @ m.T  # (nq, nb)
+        kk = min(k, scores.shape[1])
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        nq = len(q)
+        return pa.table(
+            {
+                "qi": pa.array(np.repeat(np.arange(nq), kk)),
+                id_col: pa.array(ids[top.reshape(-1)]),
+                "score": pa.array(np.take_along_axis(scores, top, 1).reshape(-1).astype(np.float64)),
+            }
+        )
+
+    parts = [ray.get(r) for r in ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()]
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    qi = allp.column("qi").to_numpy(zero_copy_only=False)
+    ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+    sc = allp.column("score").to_numpy(zero_copy_only=False)
+    out_q, out_id, out_s, out_rank = [], [], [], []
+    for i in range(len(qn)):
+        sel = qi == i
+        order = np.lexsort((ids[sel], -sc[sel]))[:k]  # score desc, id asc tiebreak
+        out_q += [int(query_ids[i])] * len(order)
+        out_id += ids[sel][order].tolist()
+        out_s += sc[sel][order].tolist()
+        out_rank += list(range(1, len(order) + 1))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "neighbor_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def train_centroids(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 0) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample (spherical: cosine space)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, np.float32))
+    cent = sample[rng.choice(len(sample), min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Add a ``centroid`` partition column (the IVF bucketing shuffle key)."""
+    c_ref = ray.put(_normalize(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(c_ref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        a = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid", pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """IVF search: scan only the nprobe nearest centroid partitions per query."""
+    qn = _normalize(np.asarray(queries, np.float32))
+    cent = _normalize(centroids)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = set(np.unique(probes).tolist())
+    assigned = ivf_assign(ds, centroids, vec_col)
+    filtered = assigned.filter(
+        lambda row: row["centroid"] in wanted
+    )
+    q_ref = ray.put((qn, probes))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q, pr = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cents = batch.column("centroid").to_numpy(zero_copy_only=False)
+        scores = q @ m.T
+        # a query only sees vectors in its probed partitions
+        mask = np.zeros_like(scores, bool)
+        for qi in range(len(q)):
+            mask[qi] = np.isin(cents, pr[qi])
+        scores = np.where(mask, scores, -2.0)
+        kk = min(k, scores.shape[1])
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        nq = len(q)
+        return pa.table(
+            {
+                "qi": pa.array(np.repeat(np.arange(nq), kk)),
+                id_col: pa.array(ids[top.reshape(-1)]),
+                "score": pa.array(
+                    np.take_along_axis(scores, top, 1).reshape(-1).astype(np.float64)
+                ),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in filtered.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+    ]
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    qi = allp.column("qi").to_numpy(zero_copy_only=False)
+    ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+    sc = allp.column("score").to_numpy(zero_copy_only=False)
+    out = {"query_id": [], "rank": [], "neighbor_id": []}
+    for i in range(len(qn)):
+        sel = (qi == i) & (sc > -1.5)
+        order = np.lexsort((ids[sel], -sc[sel]))[:k]
+        out["query_id"] += [int(query_ids[i])] * len(order)
+        out["neighbor_id"] += ids[sel][order].tolist()
+        out["rank"] += list(range(1, len(order) + 1))
+    return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
+
+
+def cosine_near_dup_pairs(
+    ds,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Embedding near-duplicate pairs: bucket by nearest centroid, compare
+    within buckets (misses cross-bucket pairs by design — the standard
+    recall/cost trade; raise nlist or add multi-assignment for higher recall)."""
+    assigned = ivf_assign(ds, centroids, vec_col)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(group.column(vec_col)))
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if n < 2 or n > 4096:
+            return empty
+        s = m @ m.T
+        ia, ib = np.triu_indices(n, 1)
+        keep = s[ia, ib] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ids[ia], ids[ib])[keep]),
+                "id_b": pa.array(np.maximum(ids[ia], ids[ib])[keep]),
+                "cosine": pa.array(s[ia, ib][keep].astype(np.float64)),
+            }
+        )
+
+    return assigned.groupby("centroid").map_groups(bucket_pairs, batch_format="pyarrow")

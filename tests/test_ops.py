@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from rayenc.ops import dedup, similarity, text, multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    table = pq.read_table(f"{SF}/documents.parquet")
+    # append exact and near duplicates with new ids
+    base = table.to_pydict()
+    n = len(base["doc_id"])
+    dup = {k: list(v[:20]) for k, v in base.items()}
+    dup["doc_id"] = [10_000 + i for i in range(20)]  # exact dups of docs 0..19
+    near = {k: list(v[20:30]) for k, v in base.items()}
+    near["doc_id"] = [20_000 + i for i in range(10)]
+    near["text"] = [t + " extra token" for t in near["text"]]  # near dups
+    merged = {
+        k: list(base[k]) + list(dup[k]) + list(near[k]) for k in base
+    }
+    return ray.data.from_arrow(pa.table(merged))
+
+
+def test_hash_strings_collision_free_here():
+    arr = pa.array([f"doc-{i}" for i in range(5000)] + ["", "a", "a"])
+    h = dedup.hash_strings(arr)
+    assert len(np.unique(h)) == 5002  # "a" == "a"
+    assert h[-1] == h[-2]
+
+
+def test_exact_dedup(docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups).to_pandas()
+    # 500 distinct texts + 10 near-dups (distinct texts) = 510 rows
+    assert len(out) == 510
+    # the 20 exact duplicates kept the original (smaller) doc_id
+    assert not set(range(10_000, 10_020)) & set(out.doc_id)
+
+
+def test_minhash_signatures_similarity_estimates():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "with a small suffix change"
+    c = "completely different content about columnar encoding engines"
+    sig = dedup.minhash_signatures(pa.array([a, b, c]), num_hashes=128)
+    sim_ab = (sig[0] == sig[1]).mean()
+    sim_ac = (sig[0] == sig[2]).mean()
+    assert sim_ab > 0.45 and sim_ac < 0.2  # true jaccard(a,b) ~= 0.62
+
+
+def test_minhash_lsh_pairs(docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.5).to_pandas()
+    pairset = set(zip(pairs.id_a, pairs.id_b))
+    # every exact duplicate pair must be found
+    for i in range(20):
+        assert (i, 10_000 + i) in pairset, f"missing exact dup pair {i}"
+    # near-duplicates (one appended token) should mostly be found
+    near_found = sum((20 + i, 20_000 + i) in pairset for i in range(10))
+    assert near_found >= 8
+
+
+def test_simhash_near_dups(docs_with_dups):
+    pairs = dedup.simhash_near_dups(docs_with_dups, max_hamming=3).to_pandas()
+    pairset = set(zip(pairs.id_a, pairs.id_b))
+    found = sum((i, 10_000 + i) in pairset for i in range(20))
+    assert found == 20  # exact dups have hamming 0
+
+
+def test_ngram_jaccard():
+    j = dedup.ngram_jaccard(["abcdefgh"], ["abcdefgh"])
+    assert j[0] == 1.0
+    j2 = dedup.ngram_jaccard(["abcdefghij"], ["zzzzzzzzzz"])
+    assert j2[0] == 0.0
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, ray_session):
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = similarity._to_matrix(emb.column("embedding"))
+        ids = emb.column("vec_id").to_numpy()
+        out = similarity.brute_force_topk(ds, mat[:3], ids[:3], k=5)
+        df = out.to_pandas()
+        assert len(df) == 15
+        # each query's best neighbor is itself
+        top1 = df[df["rank"] == 1].sort_values("query_id")
+        assert top1.neighbor_id.tolist() == ids[:3].tolist()
+
+    def test_ivf_recall(self, ray_session):
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = similarity._to_matrix(emb.column("embedding"))
+        ids = emb.column("vec_id").to_numpy()
+        cent = similarity.train_centroids(mat, nlist=8)
+        ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+        exact = similarity.brute_force_topk(ds, mat[:5], ids[:5], k=5).to_pandas()
+        approx = similarity.ivf_topk(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+            mat[:5], ids[:5], cent, k=5, nprobe=4,
+        ).to_pandas()
+        # recall@5 with half the lists probed should be decent
+        recall = len(
+            set(zip(approx.query_id, approx.neighbor_id))
+            & set(zip(exact.query_id, exact.neighbor_id))
+        ) / len(exact)
+        assert recall >= 0.5, recall
+
+    def test_cosine_near_dup_pairs(self, ray_session):
+        emb = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = similarity._to_matrix(emb.column("embedding"))
+        dup = pa.table(
+            {
+                "vec_id": pa.array([9000, 9001], pa.int64()),
+                "embedding": pa.array(
+                    [mat[0].tolist(), (mat[0] * 1.001).tolist()],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0], pa.int32()),
+            }
+        )
+        schema_matched = emb.select(["vec_id", "embedding", "label"]).cast(dup.schema)
+        ds = ray.data.from_arrow(pa.concat_tables([schema_matched, dup]))
+        cent = similarity.train_centroids(mat, nlist=4)
+        pairs = similarity.cosine_near_dup_pairs(ds, cent, threshold=0.999).to_pandas()
+        assert (9000, 9001) in set(zip(pairs.id_a, pairs.id_b))
+
+
+class TestText:
+    def test_token_counts_match_duckdb(self):
+        import duckdb
+
+        table = pq.read_table(f"{SF}/documents.parquet")
+        ours = text.token_counts(table.column("text").combine_chunks()).to_pylist()
+        want = (
+            duckdb.connect()
+            .execute(
+                "SELECT len(string_split(text, ' ')) AS n FROM "
+                f"read_parquet('{SF}/documents.parquet')"
+            )
+            .df()["n"]
+            .tolist()
+        )
+        assert ours == want
+
+    def test_quality_and_langid_shapes(self):
+        table = pq.read_table(f"{SF}/documents.parquet")
+        q = text.quality_scores(table)
+        assert q.num_rows == table.num_rows
+        assert set(q.column_names) >= {"n_words", "punct_ratio", "stopword_ratio"}
+        l = text.language_id(table)
+        assert set(l.column("lang_pred").to_pylist()) <= {"en", "de", "fr", "es", "unknown"}
+
+    def test_fingerprints_normalize_whitespace(self):
+        t = pa.table({"doc_id": [1, 2], "text": ["a  b c", "a b  c"]})
+        fp = text.fingerprints(t)
+        assert fp.column("fingerprint")[0] == fp.column("fingerprint")[1]
+
+    def test_bpe_ish_counts(self):
+        t = pa.array(["hello, world 42!"])
+        assert text.bpe_ish_token_counts(t).to_pylist() == [5]  # hello , world 42 !
+
+
+class TestMultimodal:
+    def test_pipeline_shapes(self, ray_session):
+        table = multimodal.synthesize_media_table(100, payload_bytes=512)
+        ds = ray.data.from_arrow(table)
+        out = multimodal.media_pipeline(ds, target=8, concurrency=2, batch_size=16)
+        df = out.to_pandas()
+        assert len(df) == 100
+        assert all(len(f) == 8 * 8 * 3 for f in df.features)
+
+    def test_deterministic_fake_decode(self):
+        stage = multimodal.ImageDecodeStage(target=4)
+        t = multimodal.synthesize_media_table(5)
+        a = stage(t)
+        b = stage(t)
+        assert a.equals(b)
+
+    def test_strict_mode_raises(self):
+        stage = multimodal.ImageDecodeStage(strict=True)
+        with pytest.raises(NotImplementedError):
+            stage(multimodal.synthesize_media_table(1))
+
+    def test_audio_stage(self):
+        stage = multimodal.AudioFrameSampleStage(frames=8)
+        out = stage(multimodal.synthesize_media_table(3))
+        assert out.num_rows == 3 and len(out.column("frames")[0]) == 8
