@@ -483,11 +483,20 @@ def encode_block(table: pa.Table, config: sel.EncodeConfig | None = None) -> tup
     return blob, manifest
 
 
-def decode_block(blob, manifest: dict) -> pa.Table:
+def decode_block(blob, manifest: dict, columns: list[str] | None = None) -> pa.Table:
+    """Decode a block; ``columns`` restricts decode to those top-level fields
+    (their list sub-chunks included) — chunk-level projection pushdown."""
     assert bytes(blob[: len(MAGIC)]) == MAGIC, "bad block magic"
     schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(manifest["schema"])))
+    if columns is not None:
+        schema = pa.schema([f for f in schema if f.name in set(columns)])
+        wanted = set(columns)
+    else:
+        wanted = None
     decoded: dict[str, tuple] = {}
     for entry in manifest["chunks"]:
+        if wanted is not None and entry["name"].split("#")[0] not in wanted:
+            continue
         col = decode_chunk(blob, entry)
         decoded[entry["name"]] = (col.values, col.null_mask)
     arrays = [assemble(field, decoded) for field in schema]

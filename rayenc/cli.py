@@ -1,0 +1,236 @@
+"""rayenc command line — the parquet-cli analog for renc containers.
+
+Mirrors `parquet-cli/src/main/java/org/apache/parquet/cli/Main.java:67` and
+its command set (cat, schema, meta, pages, dictionary, column-size, prune,
+masking, trans-compression, rewrite) over our container + the encode/decode/
+verify jobs.
+
+    python -m rayenc.cli encode  IN.parquet... -o OUT_DIR
+    python -m rayenc.cli decode  DIR -o OUT.parquet
+    python -m rayenc.cli cat     DIR [-n 10]
+    python -m rayenc.cli schema  DIR
+    python -m rayenc.cli meta    DIR
+    python -m rayenc.cli pages   DIR [--column c]
+    python -m rayenc.cli column-sizes DIR
+    python -m rayenc.cli rewrite DIR -o OUT [--drop col ...] [--mask col ...]
+                                 [--compress zstd|none]
+    python -m rayenc.cli verify  IN.parquet... --dir DIR
+
+CLI entry points own their Ray session (guarded init), per the driver
+contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, log_to_driver=False)
+    return ray
+
+
+def _manifests(d):
+    return sorted(n for n in os.listdir(d) if n.endswith(".manifest.json"))
+
+
+def _load(d, name):
+    return json.loads(open(os.path.join(d, name)).read())
+
+
+def cmd_encode(args):
+    ray = _ray()
+    from rayenc import pipeline
+    from rayenc.selector import EncodeConfig
+
+    cfg = EncodeConfig(compression=args.compress)
+    df = pipeline.encode_job(
+        args.inputs, args.out, config=cfg, resume=not args.no_resume
+    ).to_pandas()
+    total_raw = int(df.raw_bytes.sum()) if len(df) else 0
+    total_blob = int(df.blob_bytes.sum()) if len(df) else 0
+    print(
+        f"encoded {len(df)} partitions, {int(df.rows.sum()) if len(df) else 0} rows: "
+        f"{total_raw} raw -> {total_blob} bytes"
+    )
+    ray.shutdown()
+
+
+def cmd_decode(args):
+    ray = _ray()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+
+    refs = pipeline.decode_dataset(args.dir, columns=args.column or None).to_arrow_refs()
+    table = pa.concat_tables([ray.get(r) for r in refs])
+    pq.write_table(table, args.out)
+    print(f"decoded {table.num_rows} rows -> {args.out}")
+    ray.shutdown()
+
+
+def cmd_cat(args):
+    ray = _ray()
+    from rayenc import pipeline
+
+    ds = pipeline.decode_dataset(args.dir)
+    for row in ds.take(args.n):
+        print(json.dumps({k: str(v)[:80] for k, v in row.items()}))
+    ray.shutdown()
+
+
+def cmd_schema(args):
+    import pyarrow as pa
+
+    m = _load(args.dir, _manifests(args.dir)[0])
+    schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema"])))
+    print(schema)
+
+
+def cmd_meta(args):
+    rows = 0
+    blob = 0
+    raw = 0
+    names = _manifests(args.dir)
+    for n in names:
+        m = _load(args.dir, n)
+        rows += m["num_rows"]
+        blob += m["blob_bytes"]
+        raw += m["raw_bytes"]
+    print(
+        json.dumps(
+            {
+                "partitions": len(names),
+                "rows": rows,
+                "raw_bytes": raw,
+                "blob_bytes": blob,
+                "ratio": round(raw / blob, 3) if blob else None,
+            },
+            indent=2,
+        )
+    )
+
+
+def cmd_pages(args):
+    for n in _manifests(args.dir):
+        m = _load(args.dir, n)
+        for c in m["chunks"]:
+            if args.column and c["name"] != args.column:
+                continue
+            pages = ", ".join(
+                f"{p['num_values']}v/{p['length']}B" for p in c["pages"][:8]
+            )
+            aux = f" aux={c['aux']['kind']}({c['aux']['count']})" if c["aux"] else ""
+            print(f"{m['pid']:4d} {c['name']:>20s} {c['encoding']:<22s}{aux} [{pages}]")
+
+
+def cmd_column_sizes(args):
+    sizes: dict[str, int] = {}
+    raws: dict[str, int] = {}
+    for n in _manifests(args.dir):
+        m = _load(args.dir, n)
+        for c in m["chunks"]:
+            sizes[c["name"]] = sizes.get(c["name"], 0) + c["encoded_bytes"]
+            raws[c["name"]] = raws.get(c["name"], 0) + c["stats"]["raw_bytes"]
+    for name in sorted(sizes):
+        r, s = raws[name], sizes[name]
+        print(f"{name:>24s} {s:>12d} B ({r / s:.2f}x vs raw)" if s else name)
+
+
+def cmd_rewrite(args):
+    ray = _ray()
+    from rayenc import rewrite
+
+    compression = "__keep__"
+    if args.compress is not None:
+        compression = None if args.compress == "none" else args.compress
+    df = rewrite.rewrite_job(
+        args.dir,
+        args.out,
+        drop_columns=args.drop,
+        mask_columns=args.mask,
+        compression=compression,
+    ).to_pandas()
+    print(
+        f"rewrote {len(df)} partitions: {int(df.in_bytes.sum())} -> "
+        f"{int(df.out_bytes.sum())} bytes"
+    )
+    ray.shutdown()
+
+
+def cmd_verify(args):
+    ray = _ray()
+    from rayenc import pipeline
+
+    res = pipeline.verify_roundtrip(args.inputs, args.dir, key=args.key)
+    print(json.dumps(res))
+    ray.shutdown()
+    sys.exit(0 if res["equal"] else 1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rayenc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("inputs", nargs="+")
+    e.add_argument("-o", "--out", required=True)
+    e.add_argument("--compress", default=None)
+    e.add_argument("--no-resume", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("dir")
+    d.add_argument("-o", "--out", required=True)
+    d.add_argument("--column", action="append")
+    d.set_defaults(fn=cmd_decode)
+
+    c = sub.add_parser("cat")
+    c.add_argument("dir")
+    c.add_argument("-n", type=int, default=10)
+    c.set_defaults(fn=cmd_cat)
+
+    s = sub.add_parser("schema")
+    s.add_argument("dir")
+    s.set_defaults(fn=cmd_schema)
+
+    m = sub.add_parser("meta")
+    m.add_argument("dir")
+    m.set_defaults(fn=cmd_meta)
+
+    pg = sub.add_parser("pages")
+    pg.add_argument("dir")
+    pg.add_argument("--column")
+    pg.set_defaults(fn=cmd_pages)
+
+    cs = sub.add_parser("column-sizes")
+    cs.add_argument("dir")
+    cs.set_defaults(fn=cmd_column_sizes)
+
+    r = sub.add_parser("rewrite")
+    r.add_argument("dir")
+    r.add_argument("-o", "--out", required=True)
+    r.add_argument("--drop", action="append", default=[])
+    r.add_argument("--mask", action="append", default=[])
+    r.add_argument("--compress", default=None)
+    r.set_defaults(fn=cmd_rewrite)
+
+    v = sub.add_parser("verify")
+    v.add_argument("inputs", nargs="+")
+    v.add_argument("--dir", required=True)
+    v.add_argument("--key", default=None)
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

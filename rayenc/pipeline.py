@@ -161,20 +161,67 @@ class EncodeWorker:
 
 
 class DecodeWorker:
-    def __init__(self, out_dir: str):
+    """Streams container partitions back as Arrow tables, with read-side
+    pruning: ``columns`` decodes only the needed chunks, ``predicate`` both
+    skips whole partitions via manifest min/max statistics (the column-index /
+    row-group skipping of `filter2/compat` + `internal/filter2/columnindex`)
+    and applies the exact row filter after decode."""
+
+    def __init__(self, out_dir: str, columns=None, predicate=None):
         from .memtune import tune_process_memory
 
         tune_process_memory()
         self.out_dir = out_dir
+        self.columns = list(columns) if columns else None
+        self.predicate = predicate  # list of (col, op, value) conjunctions
+
+    def _skip_by_stats(self, manifest: dict) -> bool:
+        if not self.predicate:
+            return False
+        stats = {c["name"]: c["stats"] for c in manifest["chunks"]}
+        for col, op, value in self.predicate:
+            st = stats.get(col)
+            if not st or st["min"] is None or not isinstance(st["min"], (int, float)):
+                continue
+            lo, hi = st["min"], st["max"]
+            if (
+                (op == "==" and (value < lo or value > hi))
+                or (op == "<" and lo >= value)
+                or (op == "<=" and lo > value)
+                or (op == ">" and hi <= value)
+                or (op == ">=" and hi < value)
+            ):
+                return True
+        return False
 
     def __call__(self, batch: dict):
+        import pyarrow.compute as pc
+
         for name in batch["manifest"]:
             manifest = json.loads(
                 open(os.path.join(self.out_dir, str(name)), "rb").read()
             )
+            if self._skip_by_stats(manifest):
+                continue
             with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
                 blob = f.read()
-            yield blocks.decode_block(blob, manifest)
+            table = blocks.decode_block(blob, manifest, columns=self.columns)
+            if self.predicate:
+                mask = None
+                for col, op, value in self.predicate:
+                    c = table.column(col)
+                    m = {
+                        "==": pc.equal,
+                        "<": pc.less,
+                        "<=": pc.less_equal,
+                        ">": pc.greater,
+                        ">=": pc.greater_equal,
+                        "!=": pc.not_equal,
+                    }[op](c, pa.scalar(value))
+                    mask = m if mask is None else pc.and_(mask, m)
+                table = table.filter(mask)
+            if table.num_rows:
+                yield table
 
 
 _WORKER_CACHE: dict = {}
@@ -193,11 +240,11 @@ def _encode_batch_task(batch: dict, *, out_dir: str, config=None, columns=None) 
     return w(batch)
 
 
-def _decode_batch_task(batch: dict, *, out_dir: str):
-    key = ("dec", out_dir)
+def _decode_batch_task(batch: dict, *, out_dir: str, columns=None, predicate=None):
+    key = ("dec", out_dir, tuple(columns) if columns else None, repr(predicate))
     w = _WORKER_CACHE.get(key)
     if w is None:
-        w = DecodeWorker(out_dir)
+        w = DecodeWorker(out_dir, columns, predicate)
         _WORKER_CACHE[key] = w
     yield from w(batch)
 
@@ -275,8 +322,15 @@ def encode_job(
     )
 
 
-def decode_dataset(out_dir: str, concurrency=None) -> "ray.data.Dataset":
-    """Stream the encoded container back as a Dataset of Arrow blocks."""
+def decode_dataset(
+    out_dir: str, concurrency=None, columns=None, predicate=None
+) -> "ray.data.Dataset":
+    """Stream the encoded container back as a Dataset of Arrow blocks.
+
+    columns: decode only these top-level columns (chunk-level pruning).
+    predicate: [(col, op, value), ...] conjunctions; partitions whose manifest
+    min/max statistics exclude the predicate are skipped without reading the
+    blob, then the exact filter is applied to decoded rows."""
     manifests = sorted(
         n for n in os.listdir(out_dir) if n.endswith(".manifest.json")
     )
@@ -287,7 +341,7 @@ def decode_dataset(out_dir: str, concurrency=None) -> "ray.data.Dataset":
         concurrency = min(concurrency, max(1, len(manifests)))
     return ds.map_batches(
         _decode_batch_task,
-        fn_kwargs={"out_dir": out_dir},
+        fn_kwargs={"out_dir": out_dir, "columns": columns, "predicate": predicate},
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,

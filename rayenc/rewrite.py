@@ -1,0 +1,198 @@
+"""Container rewriter: prune / mask / re-compress / re-encode without a full
+decode-encode round trip.
+
+Mirrors `parquet-hadoop/.../rewrite/ParquetRewriter.java:99-127` (the
+reference's own read->transform->write pipeline): untouched column chunks are
+stitched into the new blob as raw bytes (no value re-encode, like the
+rewriter's row-group stitching), pages are re-compressed when the codec
+changes (`ParquetRewriter.java:845`), and masked columns are decoded,
+transformed and re-encoded through the normal selector.
+
+Runs as a Ray Data job over partitions (one task per blob), same
+resume/atomic-write discipline as the encode job.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from . import blocks
+from .codecs import dictionary as dict_codec
+from .schema import PhysicalColumn, shred
+from .selector import EncodeConfig
+
+
+def _copy_chunk(entry: dict, blob: bytes, out: io.BytesIO) -> dict:
+    """Stitch a chunk into the new blob byte-for-byte (offsets rebased)."""
+    new = json.loads(json.dumps(entry))
+
+    def rel(meta, new_meta):
+        raw = blob[meta["offset"] : meta["offset"] + meta["length"]]
+        new_meta["offset"] = out.tell()
+        out.write(raw)
+
+    if entry["validity"]:
+        rel(entry["validity"], new["validity"])
+    if entry["aux"]:
+        rel(entry["aux"], new["aux"])
+    for old_p, new_p in zip(entry["pages"], new["pages"]):
+        rel(old_p, new_p)
+    return new
+
+
+def _recompress_chunk(
+    entry: dict, blob: bytes, out: io.BytesIO, old_codec, new_codec, new_name
+) -> dict:
+    new = json.loads(json.dumps(entry))
+
+    def move(meta, new_meta):
+        raw = blob[meta["offset"] : meta["offset"] + meta["length"]]
+        if old_codec:
+            raw = old_codec.decompress(raw, meta["raw_length"]).to_pybytes()
+        new_meta["raw_length"] = len(raw)
+        if new_codec:
+            raw = new_codec.compress(raw).to_pybytes()
+        new_meta["offset"] = out.tell()
+        new_meta["length"] = len(raw)
+        out.write(raw)
+
+    if entry["validity"]:
+        # validity streams are never compressed
+        _ = _copy_meta(entry["validity"], new["validity"], blob, out)
+    if entry["aux"]:
+        move(entry["aux"], new["aux"])
+    for old_p, new_p in zip(entry["pages"], new["pages"]):
+        move(old_p, new_p)
+    if new_name:
+        new["compression"] = new_name
+    else:
+        new.pop("compression", None)
+    return new
+
+
+def _copy_meta(meta, new_meta, blob, out):
+    raw = blob[meta["offset"] : meta["offset"] + meta["length"]]
+    new_meta["offset"] = out.tell()
+    out.write(raw)
+
+
+def mask_hash(col: PhysicalColumn) -> PhysicalColumn:
+    """Mask a BINARY column by replacing values with their hex content hash
+    (the reference's column masking mode)."""
+    from .ops.dedup import hash_strings
+
+    assert col.ptype == "BINARY", "hash masking is defined for string columns"
+    arr = dict_codec.binary_array(*col.values)
+    h = hash_strings(arr)
+    hexes = np.char.mod("%016x", h)
+    masked = pa.array(hexes.tolist(), pa.large_string())
+    return PhysicalColumn(col.name, "BINARY", dict_codec.binary_parts(masked), col.null_mask)
+
+
+def rewrite_partition(
+    blob: bytes,
+    manifest: dict,
+    drop_columns: set[str] | None = None,
+    mask_columns: set[str] | None = None,
+    compression: str | None = "__keep__",
+    config: EncodeConfig | None = None,
+) -> tuple[bytes, dict]:
+    drop_columns = drop_columns or set()
+    mask_columns = mask_columns or set()
+    config = config or EncodeConfig()
+
+    schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(manifest["schema"])))
+    keep_fields = [f for f in schema if f.name not in drop_columns]
+    new_schema = pa.schema(keep_fields)
+
+    out = io.BytesIO()
+    out.write(blocks.MAGIC)
+    new_chunks = []
+    dropped_phys = {
+        c["name"]
+        for c in manifest["chunks"]
+        if c["name"].split("#")[0] in drop_columns
+    }
+    for entry in manifest["chunks"]:
+        name = entry["name"]
+        base = name.split("#")[0]
+        if name in dropped_phys:
+            continue
+        old_name = entry.get("compression")
+        old_codec = pa.Codec(old_name) if old_name else None
+        if base in mask_columns:
+            col = blocks.decode_chunk(blob, entry)
+            col = mask_hash(col)
+            mask_compression = old_name if compression == "__keep__" else compression
+            mask_cfg = EncodeConfig(compression=mask_compression)
+            new_entry = blocks.encode_chunk(col, out, mask_cfg)
+            if mask_cfg.compression:
+                new_entry["compression"] = mask_cfg.compression
+            new_chunks.append(new_entry)
+            continue
+        if compression == "__keep__" or (compression or None) == old_name:
+            new_chunks.append(_copy_chunk(entry, blob, out))
+        else:
+            new_codec = pa.Codec(compression) if compression else None
+            new_chunks.append(
+                _recompress_chunk(entry, blob, out, old_codec, new_codec, compression)
+            )
+    new_manifest = dict(manifest)
+    new_manifest["schema"] = new_schema.serialize().to_pybytes().hex()
+    new_manifest["chunks"] = new_chunks
+    blob_out = out.getvalue()
+    new_manifest["blob_bytes"] = len(blob_out)
+    return blob_out, new_manifest
+
+
+def rewrite_job(
+    in_dir: str,
+    out_dir: str,
+    drop_columns: list[str] | None = None,
+    mask_columns: list[str] | None = None,
+    compression: str | None = "__keep__",
+    concurrency=None,
+):
+    """Ray job: rewrite every partition of a container."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifests = sorted(n for n in os.listdir(in_dir) if n.endswith(".manifest.json"))
+
+    def do(batch: dict) -> dict:
+        from .pipeline import _atomic_write
+
+        outs = []
+        for name in batch["manifest"]:
+            name = str(name)
+            manifest = json.loads(open(os.path.join(in_dir, name)).read())
+            with open(os.path.join(in_dir, manifest["blob"]), "rb") as f:
+                blob = f.read()
+            new_blob, new_manifest = rewrite_partition(
+                blob,
+                manifest,
+                set(drop_columns or []),
+                set(mask_columns or []),
+                compression,
+            )
+            _atomic_write(os.path.join(out_dir, manifest["blob"]), new_blob)
+            _atomic_write(
+                os.path.join(out_dir, name), json.dumps(new_manifest).encode()
+            )
+            outs.append((manifest["pid"], len(blob), len(new_blob)))
+        return {
+            "pid": np.array([o[0] for o in outs]),
+            "in_bytes": np.array([o[1] for o in outs]),
+            "out_bytes": np.array([o[2] for o in outs]),
+        }
+
+    ds = ray.data.from_items([{"manifest": m} for m in manifests])
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.map_batches(do, batch_size=1, concurrency=min(concurrency, len(manifests)), num_cpus=1)

@@ -1,0 +1,108 @@
+"""Rewriter (prune/mask/trans-compression) + decode-side pushdown + CLI."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from rayenc import pipeline, rewrite
+from rayenc.selector import EncodeConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def encoded_lineitem(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("li"))
+    pipeline.encode_job(f"{SF}/lineitem.parquet", out, target_block_bytes=1 << 19).materialize()
+    return out
+
+
+def _read_all(out_dir, **kw):
+    refs = pipeline.decode_dataset(out_dir, **kw).to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    return pa.concat_tables([t for t in tables if t.num_rows])
+
+
+class TestPushdown:
+    def test_column_pruning(self, encoded_lineitem):
+        t = _read_all(encoded_lineitem, columns=["l_orderkey", "l_quantity"])
+        assert t.column_names == ["l_orderkey", "l_quantity"]
+        want = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        assert t.equals(want)
+
+    def test_predicate_partition_skip_and_filter(self, encoded_lineitem):
+        pred = [("l_orderkey", "<=", 100)]
+        t = _read_all(encoded_lineitem, predicate=pred)
+        want = pq.read_table(f"{SF}/lineitem.parquet")
+        want = want.filter(pa.compute.less_equal(want.column("l_orderkey"), 100))
+        assert t.sort_by("l_orderkey").equals(want.sort_by("l_orderkey"))
+        # stats skipping: a worker must report skips for an impossible predicate
+        w = pipeline.DecodeWorker(encoded_lineitem, predicate=[("l_orderkey", ">", 10**12)])
+        names = [n for n in os.listdir(encoded_lineitem) if n.endswith(".manifest.json")]
+        skipped = sum(
+            w._skip_by_stats(json.loads(open(os.path.join(encoded_lineitem, n)).read()))
+            for n in names
+        )
+        assert skipped == len(names)
+
+
+class TestRewrite:
+    def test_prune(self, encoded_lineitem, tmp_path):
+        out = str(tmp_path / "pruned")
+        rewrite.rewrite_job(encoded_lineitem, out, drop_columns=["l_comment", "l_shipdate"]).materialize()
+        t = _read_all(out)
+        assert "l_shipdate" not in t.column_names
+        want = pq.read_table(f"{SF}/lineitem.parquet").drop_columns(["l_shipdate"])
+        assert t.equals(want)
+
+    def test_mask(self, encoded_lineitem, tmp_path):
+        out = str(tmp_path / "masked")
+        rewrite.rewrite_job(encoded_lineitem, out, mask_columns=["l_returnflag"]).materialize()
+        t = _read_all(out)
+        vals = set(t.column("l_returnflag").to_pylist())
+        orig = set(pq.read_table(f"{SF}/lineitem.parquet").column("l_returnflag").to_pylist())
+        assert vals.isdisjoint(orig)  # masked to 16-hex-char hashes
+        assert all(len(v) == 16 for v in vals)
+        # same-value rows still mask to the same token (join-preserving mask)
+        assert len(vals) == len(orig)
+
+    def test_trans_compression(self, encoded_lineitem, tmp_path):
+        out = str(tmp_path / "zstd")
+        rewrite.rewrite_job(encoded_lineitem, out, compression="zstd").materialize()
+        t = _read_all(out)
+        assert t.equals(pq.read_table(f"{SF}/lineitem.parquet"))
+        in_bytes = sum(
+            os.path.getsize(os.path.join(encoded_lineitem, f))
+            for f in os.listdir(encoded_lineitem)
+            if f.endswith(".renc")
+        )
+        out_bytes = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".renc")
+        )
+        assert out_bytes < in_bytes  # zstd on top of encodings still helps
+        # and back to uncompressed
+        out2 = str(tmp_path / "uncomp")
+        rewrite.rewrite_job(out, out2, compression=None).materialize()
+        assert _read_all(out2).equals(t)
+
+
+class TestCli:
+    def test_schema_meta_pages_column_sizes(self, encoded_lineitem, capsys):
+        from rayenc import cli
+
+        cli.main(["schema", encoded_lineitem])
+        assert "l_orderkey" in capsys.readouterr().out
+        cli.main(["meta", encoded_lineitem])
+        meta = json.loads(capsys.readouterr().out)
+        assert meta["rows"] == 6000 and meta["ratio"] > 1
+        cli.main(["pages", encoded_lineitem, "--column", "l_orderkey"])
+        assert "l_orderkey" in capsys.readouterr().out
+        cli.main(["column-sizes", encoded_lineitem])
+        assert "l_quantity" in capsys.readouterr().out
