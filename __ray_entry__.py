@@ -194,6 +194,136 @@ def _selector_report(sf_dir: str):
     )
 
 
+def _docs_ds(sf_dir: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _exact_dedup(sf_dir: str):
+    from rayenc.ops import dedup
+
+    out = dedup.exact_dedup(_docs_ds(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id"])
+
+
+def _token_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from rayenc.ops import text as text_ops
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": text_ops.token_counts(batch.column("text")),
+            }
+        )
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _fingerprint_distinct(sf_dir: str):
+    from rayenc.ops import text as text_ops
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text_ops.fingerprints, batch_format="pyarrow"
+    )
+    import pyarrow as pa
+
+    fps = ds.select_columns(["fingerprint"]).unique("fingerprint")
+    return pa.table({"distinct_texts": [len(fps)]})
+
+
+def _prune_rewrite(sf_dir: str):
+    from rayenc import pipeline, rewrite
+
+    enc = tempfile.mkdtemp(prefix="rayenc-rw-in-", dir="/tmp")
+    out = tempfile.mkdtemp(prefix="rayenc-rw-out-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(sf_dir, "lineitem.parquet"), enc, target_block_bytes=8 << 20
+    ).materialize()
+    rewrite.rewrite_job(enc, out, drop_columns=["l_shipdate", "l_tax"]).materialize()
+    return pipeline.decode_dataset(out)
+
+
+def _masked_ndv(sf_dir: str):
+    import pyarrow as pa
+
+    from rayenc import pipeline, rewrite
+
+    enc = tempfile.mkdtemp(prefix="rayenc-mask-in-", dir="/tmp")
+    out = tempfile.mkdtemp(prefix="rayenc-mask-out-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        enc,
+        columns=["l_returnflag"],
+        target_block_bytes=8 << 20,
+    ).materialize()
+    rewrite.rewrite_job(enc, out, mask_columns=["l_returnflag"]).materialize()
+    masked = pipeline.decode_dataset(out).unique("l_returnflag")
+    return pa.table({"ndv": [len(masked)]})
+
+
+def _pushdown_filter(sf_dir: str):
+    from rayenc import pipeline
+
+    enc = tempfile.mkdtemp(prefix="rayenc-push-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(sf_dir, "lineitem.parquet"), enc, target_block_bytes=2 << 20
+    ).materialize()
+    return pipeline.decode_dataset(enc, predicate=[("l_orderkey", "<=", 1000)])
+
+
+def _ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rayenc.ops import similarity
+    import ray
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+    sel = ids < 5
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.brute_force_topk(ds, mat[sel], ids[sel], k=5)
+
+
+def _minhash_pairs(sf_dir: str):
+    from rayenc.ops import dedup
+
+    return dedup.minhash_lsh_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+def _quality(sf_dir: str):
+    from rayenc.ops import text as text_ops
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text_ops.quality_scores, batch_format="pyarrow"
+    )
+
+
+def _langid(sf_dir: str):
+    from rayenc.ops import text as text_ops
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text_ops.language_id, batch_format="pyarrow"
+    )
+
+
+def _multimodal(sf_dir: str):
+    import ray
+
+    from rayenc.ops import multimodal
+
+    table = multimodal.synthesize_media_table(200, payload_bytes=1024)
+    return multimodal.media_pipeline(
+        ray.data.from_arrow(table), target=8, concurrency=2, batch_size=32
+    ).select_columns(["media_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -209,9 +339,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stats_lineitem"] = lambda sf: _stats_query(sf, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
     q["stats_documents"] = lambda sf: _stats_query(sf, "documents", ["n_chars"])
     q["dict_source_counts"] = _dict_group_counts
+    # training-data pipeline operators (SQL-oracled where expressible)
+    q["exact_dedup_documents"] = _exact_dedup
+    q["token_counts_documents"] = _token_counts
+    q["fingerprint_distinct"] = _fingerprint_distinct
+    q["rewrite_prune_lineitem"] = _prune_rewrite
+    q["rewrite_mask_ndv"] = _masked_ndv
+    q["pushdown_filter_lineitem"] = _pushdown_filter
+    q["ann_topk_bruteforce"] = _ann_topk
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
     q["selector_report"] = _selector_report
+    q["minhash_lsh_pairs"] = _minhash_pairs
+    q["quality_scores_documents"] = _quality
+    q["language_id_documents"] = _langid
+    q["multimodal_pipeline"] = _multimodal
     return q
 
 
@@ -237,5 +379,33 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dict_source_counts"] = (
         "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source"
+    )
+    o["exact_dedup_documents"] = (
+        "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    )
+    o["token_counts_documents"] = (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"
+    )
+    o["fingerprint_distinct"] = (
+        "SELECT COUNT(DISTINCT text) AS distinct_texts FROM documents"
+    )
+    lineitem_cols = (
+        "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_returnflag, l_linestatus"
+    )
+    o["rewrite_prune_lineitem"] = f"SELECT {lineitem_cols} FROM lineitem"
+    o["rewrite_mask_ndv"] = (
+        "SELECT COUNT(DISTINCT l_returnflag) AS ndv FROM lineitem"
+    )
+    o["pushdown_filter_lineitem"] = "SELECT * FROM lineitem WHERE l_orderkey <= 1000"
+    o["ann_topk_bruteforce"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
+        " WHERE vec_id < 5)"
+        " SELECT query_id, rank, neighbor_id FROM ("
+        "  SELECT q.query_id,"
+        "   row_number() OVER (PARTITION BY q.query_id ORDER BY"
+        "     list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rank,"
+        "   e.vec_id AS neighbor_id"
+        "  FROM q CROSS JOIN embeddings e) t WHERE rank <= 5"
     )
     return o

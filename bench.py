@@ -152,15 +152,25 @@ def run_scaling() -> dict:
     results = {}
     for cpus in SCALING_CPUS:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        for attempt in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=900,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if lines:
+                results[cpus] = json.loads(lines[-1])
+                break
+            sys.stderr.write(
+                f"scaling child (cpus={cpus}, attempt {attempt}) produced no "
+                f"result; stderr tail:\n{out.stderr[-2000:]}\n"
+            )
+        else:
+            raise RuntimeError(f"scaling child failed twice at cpus={cpus}")
     tp = {c: results[c]["encode_tokens_per_sec"] for c in SCALING_CPUS}
     eff_1_4 = tp[4] / (4 * tp[1])
     eff_8_32 = tp[32] / (4 * tp[8])
