@@ -405,6 +405,12 @@ def encode_chunk(
         "aux": None,
         "validity": None,
     }
+    if col.name.split("#")[0] in config.bloom_columns:
+        from . import bloom
+
+        filt = bloom.build_for_column(col, fpp=config.bloom_fpp)
+        if filt is not None:
+            entry["bloom"] = filt.serialize()
     if col.null_mask is not None:
         vbuf = rle_hybrid.encode(
             (~col.null_mask).astype(np.uint8), 1

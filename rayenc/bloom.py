@@ -1,0 +1,138 @@
+"""Split-block bloom filters for point-lookup partition skipping.
+
+Mirrors `parquet-column/.../values/bloomfilter/BlockSplitBloomFilter.java`
+(split-block construction: each key sets one bit in each of 8 32-bit words of
+one 256-bit block, chosen by the SALT constants) with the same defaults
+(fpp 1%, max 1 MiB — `ParquetProperties.java:63-67`). Hashing uses the
+public xxhash-style 64-bit avalanche; insertion and probing are vectorized
+over the whole key batch (one scatter per word lane instead of per-key
+loops).
+
+Filters serialize into the partition manifest (like the reference stores
+them per column chunk) and `might_contain` powers equality-predicate
+partition skipping in the decode path.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+# BlockSplitBloomFilter.SALT (public parquet format constants)
+SALT = np.array(
+    [
+        0x47B6137B,
+        0x44974D91,
+        0x8824AD5B,
+        0xA2B7289D,
+        0x705495C7,
+        0x2DF1424B,
+        0x9EFC4947,
+        0x5C6BFB31,
+    ],
+    np.uint64,
+)
+
+BITS_PER_BLOCK = 256
+DEFAULT_FPP = 0.01
+MAX_BYTES = 1 << 20  # ParquetProperties.DEFAULT_MAX_BLOOM_FILTER_BYTES
+
+
+def optimal_bytes(ndv: int, fpp: float = DEFAULT_FPP) -> int:
+    """Bytes for the target fpp (BlockSplitBloomFilter.optimalNumOfBits)."""
+    if ndv <= 0:
+        return 32
+    bits = -8.0 * ndv / np.log(1 - fpp ** (1.0 / 8))
+    nbytes = 1 << int(np.ceil(np.log2(max(bits / 8, 32))))
+    return int(min(nbytes, MAX_BYTES))
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """64-bit avalanche of uint64 inputs (xxhash-style finalizer)."""
+    x = np.ascontiguousarray(values, np.uint64).copy()
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
+
+
+class BloomFilter:
+    def __init__(self, num_bytes: int):
+        assert num_bytes >= 32 and (num_bytes & (num_bytes - 1)) == 0
+        self.words = np.zeros(num_bytes // 4, np.uint32)  # 8 words per block
+        self.num_blocks = num_bytes // 32
+
+    def _positions(self, hashes: np.ndarray):
+        h = np.ascontiguousarray(hashes, np.uint64)
+        block = (h >> np.uint64(32)) % np.uint64(self.num_blocks)
+        with np.errstate(over="ignore"):
+            lanes = (h[:, None] & np.uint64(0xFFFFFFFF)) * SALT[None, :]
+        bit = (lanes >> np.uint64(27)).astype(np.uint32) & np.uint32(31)
+        word_idx = (block[:, None] * np.uint64(8) + np.arange(8, dtype=np.uint64)).astype(
+            np.int64
+        )
+        return word_idx, np.uint32(1) << bit
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        word_idx, masks = self._positions(hashes)
+        np.bitwise_or.at(self.words, word_idx.ravel(), masks.ravel())
+
+    def might_contain_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        word_idx, masks = self._positions(hashes)
+        present = (self.words[word_idx] & masks) == masks
+        return present.all(axis=1)
+
+    def serialize(self) -> str:
+        return base64.b64encode(self.words.tobytes()).decode()
+
+    @classmethod
+    def deserialize(cls, s: str) -> "BloomFilter":
+        words = np.frombuffer(base64.b64decode(s), np.uint32)
+        f = cls.__new__(cls)
+        f.words = words.copy()
+        f.num_blocks = len(words) // 8
+        return f
+
+
+def hashes_for_column(col) -> np.ndarray | None:
+    """64-bit hashes of a PhysicalColumn's values (None if unsupported)."""
+    from .ops.dedup import hash_strings
+    from .codecs.dictionary import binary_array
+
+    if col.ptype == "BINARY":
+        return _hash64(hash_strings(binary_array(*col.values)))
+    if col.ptype in ("INT32", "INT64"):
+        return _hash64(np.asarray(col.values).astype(np.int64).view(np.uint64))
+    if col.ptype in ("FLOAT", "DOUBLE"):
+        return _hash64(
+            np.asarray(col.values).astype(np.float64).view(np.uint64)
+        )
+    return None
+
+
+def build_for_column(col, ndv_hint: int | None = None, fpp: float = DEFAULT_FPP):
+    h = hashes_for_column(col)
+    if h is None or len(h) == 0:
+        return None
+    ndv = ndv_hint or len(np.unique(h))
+    f = BloomFilter(optimal_bytes(ndv, fpp))
+    f.add_hashes(h)
+    return f
+
+
+def value_hash(value) -> np.ndarray:
+    """Hash one lookup value the same way the filters were built."""
+    from .ops.dedup import hash_strings
+    import pyarrow as pa
+
+    if isinstance(value, str):
+        return _hash64(hash_strings(pa.array([value], pa.large_string())))
+    if isinstance(value, (int, np.integer)):
+        return _hash64(np.array([value], np.int64).view(np.uint64))
+    if isinstance(value, float):
+        return _hash64(np.array([value], np.float64).view(np.uint64))
+    raise TypeError(type(value))

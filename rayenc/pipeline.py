@@ -179,7 +179,17 @@ class DecodeWorker:
         if not self.predicate:
             return False
         stats = {c["name"]: c["stats"] for c in manifest["chunks"]}
+        chunks = {c["name"]: c for c in manifest["chunks"]}
         for col, op, value in self.predicate:
+            entry = chunks.get(col)
+            if entry is None:
+                continue
+            if op == "==" and entry.get("bloom"):
+                from . import bloom
+
+                filt = bloom.BloomFilter.deserialize(entry["bloom"])
+                if not bool(filt.might_contain_hashes(bloom.value_hash(value))[0]):
+                    return True
             st = stats.get(col)
             if not st or st["min"] is None or not isinstance(st["min"], (int, float)):
                 continue

@@ -46,6 +46,10 @@ class EncodeConfig:
     column_encodings: dict = field(default_factory=dict)
     disable_dictionary: set = field(default_factory=set)
     fsst: bool = True
+    # columns to build split-block bloom filters for (ParquetProperties
+    # bloom-filter column properties analog; rayenc/bloom.py)
+    bloom_columns: set = field(default_factory=set)
+    bloom_fpp: float = 0.01
 
 
 def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig) -> list[str]:
