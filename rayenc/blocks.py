@@ -48,6 +48,10 @@ def page_ranges(col: PhysicalColumn, config: sel.EncodeConfig) -> list[tuple[int
     n = col.num_values
     if n == 0:
         return []
+    if col.ptype == "FIXED_LEN_BYTE_ARRAY":
+        width = np.asarray(col.values).shape[1]
+        rows_per_page = min(config.page_rows, max(1, config.page_size // max(1, width)))
+        return [(a, min(a + rows_per_page, n)) for a in range(0, n, rows_per_page)]
     if col.ptype == "BINARY":
         offsets, _ = col.values
         ranges = []
@@ -221,6 +225,44 @@ def _plan_candidate(
             return _Candidate(encoding, size, emit)
         return None
 
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        varr = np.asarray(v, np.uint8)
+        width = varr.shape[1]
+        if encoding == "PLAIN":
+            return _Candidate(
+                encoding,
+                col.num_values * width,
+                lambda: (None, [plain.encode_fixed_len(varr[a:b]) for a, b in ranges]),
+            )
+        if encoding == "BYTE_STREAM_SPLIT":
+            return _Candidate(
+                encoding,
+                col.num_values * width,
+                lambda: (None, [varr[a:b].T.tobytes() for a, b in ranges]),
+            )
+        if encoding == "DELTA_BYTE_ARRAY":
+            page_plans = []
+            size = 0
+            for a, b in ranges:
+                off = np.arange(b - a + 1, dtype=np.int64) * width
+                dat = varr[a:b].reshape(-1)
+                prefix = delta_strings.common_prefix_lengths(off, dat)
+                slens = np.diff(off) - prefix
+                p1 = delta_bp.Plan(prefix.astype(np.int32))
+                p2 = delta_bp.Plan(slens.astype(np.int32))
+                page_plans.append((off, dat, prefix, slens, p1, p2))
+                size += p1.size + p2.size + int(slens.sum())
+
+            def emit():
+                pages = []
+                for off, dat, prefix, slens, p1, p2 in page_plans:
+                    sdata = dat[plain._ranges(off[:-1] + prefix, slens)]
+                    pages.append(p1.emit() + p2.emit() + sdata.tobytes())
+                return None, pages
+
+            return _Candidate(encoding, size, emit)
+        return None
+
     if ptype == "BOOLEAN":
         if encoding == "PLAIN":
             size = sum((b - a + 7) // 8 for a, b in ranges)
@@ -316,6 +358,27 @@ def _decode_pages(entry: dict, aux_buf, page_bufs: list) -> PhysicalColumn:
             offs_list.append(o)
             data_list.append(d)
         return PhysicalColumn(name, ptype, _concat_binary(offs_list, data_list))
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        width = entry["flba_width"]
+        parts = []
+        for buf, c in zip(page_bufs, counts):
+            if encoding == "PLAIN":
+                parts.append(plain.decode_fixed_len(buf, c, width))
+            elif encoding == "BYTE_STREAM_SPLIT":
+                parts.append(
+                    np.ascontiguousarray(
+                        np.frombuffer(buf, np.uint8, count=c * width).reshape(width, c).T
+                    )
+                )
+            elif encoding == "DELTA_BYTE_ARRAY":
+                _, d = delta_strings.decode(buf, c)
+                parts.append(d.reshape(c, width))
+            else:
+                raise ValueError(encoding)
+        out = (
+            np.concatenate(parts) if parts else np.empty((0, width), np.uint8)
+        )
+        return PhysicalColumn(name, ptype, np.ascontiguousarray(out, np.uint8))
     if ptype == "BOOLEAN":
         if encoding == "PLAIN":
             parts = [plain.decode_boolean(b, c) for b, c in zip(page_bufs, counts)]
@@ -405,6 +468,8 @@ def encode_chunk(
         "aux": None,
         "validity": None,
     }
+    if col.ptype == "FIXED_LEN_BYTE_ARRAY":
+        entry["flba_width"] = int(np.asarray(col.values).shape[1])
     if col.name.split("#")[0] in config.bloom_columns:
         from . import bloom
 

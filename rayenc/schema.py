@@ -25,7 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-PTYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE", "BINARY")
+PTYPES = ("BOOLEAN", "INT32", "INT64", "FLOAT", "DOUBLE", "BINARY", "FIXED_LEN_BYTE_ARRAY")
 
 
 @dataclass
@@ -67,6 +67,10 @@ def physical_type(t: pa.DataType) -> str:
         or pa.types.is_large_binary(t)
     ):
         return "BINARY"
+    if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
+        # DECIMAL over FLBA, like the reference's logical-type layering
+        # (LogicalTypeAnnotation.java:296-377 on PrimitiveType FLBA)
+        return "FIXED_LEN_BYTE_ARRAY"
     raise NotImplementedError(f"unsupported arrow type {t}")
 
 
@@ -111,6 +115,17 @@ def shred(field_name: str, arr) -> list[PhysicalColumn]:
         ] + sub
 
     ptype = physical_type(t)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        dense = arr.drop_null() if arr.null_count else arr
+        # decimal storage IS fixed-width bytes — read the buffer directly
+        # (pyarrow has no decimal<->fixed_size_binary cast)
+        width = t.bit_width // 8
+        buf = np.frombuffer(dense.buffers()[1], np.uint8)
+        start = dense.offset * width
+        flat = buf[start : start + len(dense) * width]
+        return [
+            PhysicalColumn(field_name, "FIXED_LEN_BYTE_ARRAY", flat.reshape(-1, width), null_mask)
+        ]
     if ptype == "BINARY":
         if arr.null_count:
             arr_dense = arr.drop_null()
@@ -143,6 +158,15 @@ def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:
 
     values, null_mask = chunks[field.name]
     ptype = physical_type(t)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        vals = np.ascontiguousarray(values, np.uint8)
+        width = vals.shape[1]
+        storage = t if pa.types.is_decimal(t) else pa.binary(width)
+        arr = pa.Array.from_buffers(
+            storage, len(vals), [None, pa.py_buffer(vals)]
+        )
+        arr = _restore_nulls(arr, null_mask, storage)
+        return arr.cast(t)
     if ptype == "BINARY":
         arr = binary_array(*values)
         arr = _restore_nulls(arr, null_mask, pa.large_string())

@@ -80,6 +80,9 @@ def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig)
         if config.fsst:
             cands.append("FSST")
         cands += ["DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY", "PLAIN"]
+    elif ptype == "FIXED_LEN_BYTE_ARRAY":
+        # V2 FLBA: dict else DELTA_BYTE_ARRAY (DefaultV2ValuesWriterFactory:86-105)
+        cands += ["DELTA_BYTE_ARRAY", "BYTE_STREAM_SPLIT", "PLAIN"]
     elif ptype == "BOOLEAN":
         cands += ["RLE", "PLAIN"]
     return cands

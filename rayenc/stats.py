@@ -79,6 +79,17 @@ def compute(col: PhysicalColumn) -> ChunkStats:
             run_count=n,  # run detection for binary left to the dictionary path
             is_sorted=False,
         )
+    if col.ptype == "FIXED_LEN_BYTE_ARRAY":
+        v = np.asarray(col.values)
+        n, width = v.shape if v.ndim == 2 else (len(v), 1)
+        if n == 0:
+            return ChunkStats(0, nulls, 0)
+        stride = max(1, n // NDV_SAMPLE)
+        sample = v[::stride][:NDV_SAMPLE]
+        ndv = len(np.unique(sample.reshape(len(sample), -1), axis=0))
+        return ChunkStats(
+            n, nulls, n * width, None, None, ndv_sample_ratio=ndv / len(sample), run_count=n
+        )
     if col.ptype == "BOOLEAN":
         v = np.asarray(col.values, bool)
         n = len(v)

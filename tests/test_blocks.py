@@ -181,3 +181,28 @@ def test_rle_for_roundtrip_and_choice():
     # 64-bit range -> inapplicable
     wide = np.array([0, 2**40], np.int64)
     assert rle_for.encode(wide) is None
+
+
+def test_flba_and_decimal_and_boolean_roundtrip():
+    import decimal
+
+    rng = np.random.default_rng(11)
+    fsb = [bytes(rng.integers(0, 4, 16).tolist()) for _ in range(3000)]  # low-NDV-ish bytes
+    table = pa.table(
+        {
+            "uuidish": pa.array(fsb, pa.binary(16)),
+            "price": pa.array(
+                [decimal.Decimal(f"{i % 997}.{i % 100:02d}") for i in range(3000)],
+                pa.decimal128(12, 2),
+            ),
+            "flag": pa.array((np.arange(3000) % 3 == 0).tolist(), pa.bool_()),
+        }
+    )
+    blob, manifest = roundtrip_table(table)
+    encs = {c["name"]: c["encoding"] for c in manifest["chunks"]}
+    assert encs["flag"] in ("RLE", "PLAIN")
+    assert all(
+        c["encoding"] in ("PLAIN", "BYTE_STREAM_SPLIT", "DELTA_BYTE_ARRAY")
+        for c in manifest["chunks"]
+        if c["ptype"] == "FIXED_LEN_BYTE_ARRAY"
+    )
