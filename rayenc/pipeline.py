@@ -332,6 +332,90 @@ def encode_job(
     )
 
 
+def encode_grouped_job(
+    paths: list[str] | str,
+    out_dir: str,
+    key: str = "source",
+    config: EncodeConfig | None = None,
+    num_buckets: int = 32,
+    max_block_rows: int = 100_000,
+    max_block_value_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Encode with key co-location: rows are hash-bucketed by ``key`` so each
+    partition holds one key-bucket (dictionary/FSST tables stay coherent per
+    source — SURVEY.md §7.3), with skew capping: a bucket larger than the
+    block budget splits into multiple row-group-sized blocks, so one giant
+    source cannot create a straggler (FIXTURES.md F4 skew).
+
+    This is the one encode path with a shuffle; the key is low-cardinality so
+    only the groupby exchange moves rows, once."""
+    if isinstance(paths, str):
+        paths = [paths]
+    os.makedirs(out_dir, exist_ok=True)
+    config = config or EncodeConfig()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from .ops.dedup import hash_strings
+
+        h = hash_strings(batch.column(key).combine_chunks() if isinstance(batch.column(key), pa.ChunkedArray) else batch.column(key))
+        return batch.append_column(
+            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def encode_bucket(group: pa.Table) -> pa.Table:
+        from . import blocks as blocks_mod
+
+        group = group.sort_by([(key, "ascending")])
+        bucket = int(group.column("__bucket")[0].as_py())
+        group = group.drop_columns(["__bucket"])
+        # split the bucket into blocks bounded by rows and value bytes
+        sizes = []
+        if "tokens" in group.column_names:
+            lens = pa.compute.list_value_length(group.column("tokens")).to_numpy(
+                zero_copy_only=False
+            )
+            cum = np.cumsum(lens.astype(np.int64) * 4)
+        else:
+            cum = np.arange(1, group.num_rows + 1, dtype=np.int64) * 64
+        out_rows = []
+        start = 0
+        seq = 0
+        while start < group.num_rows:
+            base = cum[start - 1] if start else 0
+            hi = int(np.searchsorted(cum, base + max_block_value_bytes, "right"))
+            end = max(start + 1, min(hi, start + max_block_rows, group.num_rows))
+            block = group.slice(start, end - start)
+            blob, manifest = blocks_mod.encode_block(block, config)
+            manifest["pid"] = bucket * 10_000 + seq
+            manifest["lineage"] = {"bucket": bucket, "seq": seq, "key": key}
+            blob_name = f"bucket-{bucket:04d}-{seq:04d}.renc"
+            _atomic_write(os.path.join(out_dir, blob_name), blob)
+            manifest["blob"] = blob_name
+            _atomic_write(
+                os.path.join(out_dir, f"bucket-{bucket:04d}-{seq:04d}.manifest.json"),
+                json.dumps(manifest).encode(),
+            )
+            out_rows.append((bucket, seq, block.num_rows, len(blob)))
+            start = end
+            seq += 1
+        return pa.table(
+            {
+                "bucket": pa.array([r[0] for r in out_rows], pa.int64()),
+                "seq": pa.array([r[1] for r in out_rows], pa.int64()),
+                "rows": pa.array([r[2] for r in out_rows], pa.int64()),
+                "blob_bytes": pa.array([r[3] for r in out_rows], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(paths)
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(encode_bucket, batch_format="pyarrow")
+    )
+
+
 def decode_dataset(
     out_dir: str, concurrency=None, columns=None, predicate=None
 ) -> "ray.data.Dataset":

@@ -121,3 +121,44 @@ def test_manifest_lineage_and_stats(ray_session, token_parquet, tmp_path):
     chunks = {c["name"]: c for c in manifest["chunks"]}
     assert chunks["n_tok"]["stats"]["null_count"] == 0
     assert chunks["n_tok"]["stats"]["min"] >= 1
+
+
+def test_grouped_encode_skew_capped(ray_session, tmp_path):
+    """FIXTURES.md F4 skew: 95% of rows in one source; the grouped encode must
+    bound the largest block and still round-trip."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    rare = np.char.add("rare-", rng.integers(0, 5, n).astype("U1"))
+    src = np.where(rng.random(n) < 0.95, "dominant", rare)
+    n_tok = rng.integers(5, 50, n).astype(np.int32)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    values = rng.integers(0, 50257, int(n_tok.sum()), dtype=np.int32)
+    tokens = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(values, pa.int32())
+    ).cast(pa.list_(pa.int32()))
+    table = pa.table(
+        {
+            "doc_id": [f"{s}/{i:09d}" for i, s in enumerate(src)],
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(src.tolist(), pa.string()),
+        }
+    )
+    path = str(tmp_path / "skew.parquet")
+    pq.write_table(table, path)
+    out = str(tmp_path / "enc")
+    summary = pipeline.encode_grouped_job(
+        path, out, key="source", max_block_value_bytes=60_000, num_buckets=8
+    ).to_pandas()
+    # the dominant source was split into multiple blocks
+    per_bucket = summary.groupby("bucket").seq.max()
+    assert per_bucket.max() >= 2, summary
+    # block sizes are capped: max block tokens <= 2x median (FIXTURES F4)
+    big = summary[summary.rows > 1]
+    assert big.rows.max() <= 2 * max(1, int(summary.rows.median())) + 50_000 // 20
+    # lossless, order-insensitive
+    res = pipeline.verify_roundtrip(path, out, key="doc_id")
+    assert res["equal"] and res["rows"] == n
