@@ -206,3 +206,49 @@ def test_flba_and_decimal_and_boolean_roundtrip():
         for c in manifest["chunks"]
         if c["ptype"] == "FIXED_LEN_BYTE_ARRAY"
     )
+
+
+def test_dictionary_rejected_above_1mib_threshold():
+    """TestDictionary.testBinaryDictionaryFallBack analog: cumulative dict
+    bytes (4 + len per entry) above maxDictionaryByteSize must reject the
+    dictionary attempt entirely (DictionaryValuesWriter.java:117-120)."""
+    # 40k distinct 30-byte strings -> dict cost ~= 40k * 34 = 1.36 MiB > 1 MiB
+    vals = [f"unique-padding-padding-{i:08d}" for i in range(40_000)]
+    col = shred("c", pa.table({"c": vals})["c"])[0]
+    assert selector.try_dictionary(col, selector.EncodeConfig()) is None
+    # under the threshold it is accepted
+    small = shred("c", pa.table({"c": vals[:1000] * 3})["c"])[0]
+    assert selector.try_dictionary(small, selector.EncodeConfig()) is not None
+    # and the pipeline still picks something lossless
+    _, manifest = blocks.encode_block(pa.table({"c": vals}))
+    assert manifest["chunks"][0]["encoding"] != "RLE_DICTIONARY"
+
+
+def test_dictionary_cost_rule_binary():
+    """Entry cost is exactly 4 + len (DictionaryValuesWriter.java:241-250)."""
+    from rayenc.codecs.dictionary import dictionary_cost_bytes
+
+    cap = selector.MAX_DICT_BYTES
+    entry_len = 60
+    n_over = cap // (4 + entry_len) + 1
+    vals = [f"{'x' * (entry_len - 8)}{i:08d}" for i in range(n_over)]
+    dic = pa.array(vals)
+    assert dictionary_cost_bytes(dic) == n_over * (4 + entry_len)
+    assert dictionary_cost_bytes(dic) > cap
+    assert dictionary_cost_bytes(dic.slice(0, n_over - 2)) <= cap
+
+
+def test_unicode_roundtrip():
+    vals = ["héllo wörld", "日本語のテキスト", "emoji 🎉🚀", "mixé", ""] * 100
+    roundtrip_table(pa.table({"s": pa.array(vals, pa.string())}))
+    # force each string codec over multibyte content
+    for enc in ("FSST", "DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY", "PLAIN"):
+        cfg = selector.EncodeConfig(column_encodings={"s": enc})
+        blob, manifest = blocks.encode_block(pa.table({"s": vals}), cfg)
+        assert manifest["chunks"][0]["encoding"] == enc
+        assert blocks.decode_block(blob, manifest).column("s").to_pylist() == vals
+
+
+def test_empty_table_roundtrip():
+    table = pa.table({"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    roundtrip_table(table)
