@@ -229,7 +229,15 @@ def main(argv=None):
     v.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        sys.stderr.write(f"rayenc: not found: {e.filename or e}\n")
+        sys.exit(2)
+    except IndexError:
+        target = getattr(args, "dir", None)
+        sys.stderr.write(f"rayenc: no manifests in {target!r} (not a renc container?)\n")
+        sys.exit(2)
 
 
 if __name__ == "__main__":
