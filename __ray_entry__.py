@@ -324,6 +324,18 @@ def _multimodal(sf_dir: str):
     ).select_columns(["media_id"])
 
 
+def _parquet_page_conformance(sf_dir: str):
+    """Decode real parquet pages (thrift headers + levels + values) with
+    rayenc decoders only — format parity with independent writers."""
+    import pyarrow as pa
+
+    from rayenc import parquet_compat
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    vals = parquet_compat.read_column_chunk(path, "l_orderkey")
+    return pa.table({"l_orderkey": pa.array(vals, pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -346,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rewrite_prune_lineitem"] = _prune_rewrite
     q["rewrite_mask_ndv"] = _masked_ndv
     q["pushdown_filter_lineitem"] = _pushdown_filter
+    q["parquet_page_conformance"] = _parquet_page_conformance
     q["ann_topk_bruteforce"] = _ann_topk
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
@@ -398,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT COUNT(DISTINCT l_returnflag) AS ndv FROM lineitem"
     )
     o["pushdown_filter_lineitem"] = "SELECT * FROM lineitem WHERE l_orderkey <= 1000"
+    o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
     o["ann_topk_bruteforce"] = (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         " WHERE vec_id < 5)"

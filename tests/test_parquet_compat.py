@@ -1,0 +1,121 @@
+"""Format conformance: rayenc decoders read pyarrow-written parquet pages
+(SURVEY.md §5(c) cross-validation against independent ground truth)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import parquet_compat
+from rayenc.codecs.dictionary import binary_array
+
+
+def write(tmp_path, table, **kw):
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(table, path, compression="none", **kw)
+    return path
+
+
+def test_plain_int32_int64_float_double(tmp_path):
+    rng = np.random.default_rng(0)
+    table = pa.table(
+        {
+            "i32": pa.array(rng.integers(-(2**31), 2**31, 5000, dtype=np.int64).astype(np.int32)),
+            "i64": pa.array(rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)),
+            "f32": pa.array(rng.random(5000).astype(np.float32)),
+            "f64": pa.array(rng.random(5000)),
+        }
+    )
+    path = write(tmp_path, table, use_dictionary=False)
+    for col in table.column_names:
+        got = parquet_compat.read_column_chunk(path, col)
+        np.testing.assert_array_equal(got, table.column(col).to_numpy())
+
+
+def test_delta_binary_packed(tmp_path):
+    rng = np.random.default_rng(1)
+    table = pa.table(
+        {
+            "sorted32": pa.array(np.sort(rng.integers(0, 10**6, 20000)).astype(np.int32)),
+            "rand64": pa.array(rng.integers(-(2**40), 2**40, 20000, dtype=np.int64)),
+        }
+    )
+    path = write(
+        tmp_path,
+        table,
+        use_dictionary=False,
+        column_encoding={"sorted32": "DELTA_BINARY_PACKED", "rand64": "DELTA_BINARY_PACKED"},
+    )
+    for col in table.column_names:
+        got = parquet_compat.read_column_chunk(path, col)
+        np.testing.assert_array_equal(got, table.column(col).to_numpy())
+
+
+def test_dictionary_pages(tmp_path):
+    rng = np.random.default_rng(2)
+    strings = [f"source-{i}" for i in rng.integers(0, 30, 20000)]
+    table = pa.table(
+        {
+            "s": pa.array(strings),
+            "i": pa.array(rng.integers(0, 50, 20000).astype(np.int32)),
+        }
+    )
+    path = write(tmp_path, table, use_dictionary=True)
+    o, d = parquet_compat.read_column_chunk(path, "s")
+    assert binary_array(o, d).cast(pa.string()).to_pylist() == strings
+    np.testing.assert_array_equal(
+        parquet_compat.read_column_chunk(path, "i"), table.column("i").to_numpy()
+    )
+
+
+def test_delta_strings_and_lengths(tmp_path):
+    strings = sorted(f"prefix/shared/doc-{i:08d}" for i in range(5000))
+    table = pa.table({"dba": pa.array(strings), "dlba": pa.array(strings)})
+    path = write(
+        tmp_path,
+        table,
+        use_dictionary=False,
+        column_encoding={"dba": "DELTA_BYTE_ARRAY", "dlba": "DELTA_LENGTH_BYTE_ARRAY"},
+    )
+    for col in table.column_names:
+        o, d = parquet_compat.read_column_chunk(path, col)
+        assert binary_array(o, d).cast(pa.string()).to_pylist() == strings
+
+
+def test_byte_stream_split(tmp_path):
+    rng = np.random.default_rng(3)
+    table = pa.table({"f": pa.array(rng.random(8000).astype(np.float32))})
+    path = write(
+        tmp_path, table, use_dictionary=False, column_encoding={"f": "BYTE_STREAM_SPLIT"}
+    )
+    np.testing.assert_array_equal(
+        parquet_compat.read_column_chunk(path, "f"), table.column("f").to_numpy()
+    )
+
+
+def test_multiple_pages_and_row_groups(tmp_path):
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 1000, 300_000).astype(np.int32)
+    table = pa.table({"v": pa.array(vals)})
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        table, path, compression="none", use_dictionary=False,
+        data_page_size=4096, row_group_size=120_000,
+        column_encoding={"v": "DELTA_BINARY_PACKED"},
+    )
+    f = pq.ParquetFile(path)
+    got = np.concatenate(
+        [parquet_compat.read_column_chunk(path, "v", rg) for rg in range(f.metadata.num_row_groups)]
+    )
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_real_testdata_snappy_pages():
+    """The conformance reader handles the driver's actual (snappy) testdata."""
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = parquet_compat.read_column_chunk(path, "l_orderkey")
+    want = pq.read_table(path, columns=["l_orderkey"])["l_orderkey"].to_numpy()
+    np.testing.assert_array_equal(got, want)
+    o, d = parquet_compat.read_column_chunk(path, "l_linestatus")
+    want2 = pq.read_table(path, columns=["l_linestatus"])["l_linestatus"].to_pylist()
+    assert binary_array(o, d).cast(pa.string()).to_pylist() == want2
