@@ -95,7 +95,7 @@ def plan_partitions(
 
 
 def _read_fragment(desc: dict, columns=None) -> pa.Table:
-    f = pq.ParquetFile(desc["path"])
+    f = pq.ParquetFile(desc["path"], memory_map=True)
     rgs = [int(r) for r in desc["row_groups"]]
     table = f.read_row_groups(rgs, columns=columns, use_threads=False)
     if int(desc.get("row_start", -1)) >= 0:
