@@ -178,6 +178,8 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
             break
     assert col_idx is not None, column
     cmeta = meta.column(col_idx)
+    schema_col = f.schema.column(col_idx)
+    max_def = schema_col.max_definition_level
     codec = None
     if cmeta.compression != "UNCOMPRESSED":
         import pyarrow as pa
@@ -209,9 +211,10 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
             dictionary = _decode_plain(body, h.num_values, ptype)
             continue
         if h.type == DATA_PAGE:
-            # V1 layout: [def levels: RLE with 4-byte length frame][values]
+            # V1 layout: [def levels: RLE with 4-byte length frame][values];
+            # REQUIRED columns (max_def == 0) omit levels entirely
             body_v = body
-            if h.def_level_encoding == RLE:
+            if max_def > 0 and h.def_level_encoding == RLE:
                 levels, consumed = rle_hybrid.decode_framed(body, h.num_values, 1)
                 assert levels.all(), "conformance fixtures are non-null"
                 body_v = body[consumed:]

@@ -1,0 +1,426 @@
+"""Write real parquet files using rayenc encoders only.
+
+The inverse of rayenc.parquet_compat: values are encoded by our kernels
+(selector-chosen among the parquet-legal encodings), pages are laid out in
+the V1 format (`ColumnWriterV1.java:61-81`: framed RLE rep/def levels +
+values), headers and the footer are serialized with a minimal thrift
+*compact protocol* writer (PageHeader / FileMetaData from parquet.thrift),
+and the file carries the `PAR1` magic framing
+(`ParquetFileWriter.java:110-113,596,1874`). Output is readable by pyarrow
+and DuckDB — independent-reader proof that our encoded bytes are
+format-true.
+
+Supported: flat required INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/BOOLEAN columns
+and non-null list<primitive> (the tokenized-table shape); one row group per
+call site decision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import selector as sel
+from . import stats as stats_mod
+from .blocks import _plan_candidate, page_ranges
+from .codecs import rle_hybrid
+from .codecs.dictionary import binary_parts, dict_page_binary, dict_page_fixed, encode_ids, factorize
+from .schema import PhysicalColumn, physical_type, shred
+
+MAGIC = b"PAR1"
+
+
+def _converted_type(t: "pa.DataType"):
+    """ConvertedType enum for logical annotations we emit
+    (LogicalTypeAnnotation.java equivalents): UTF8=0, DATE=6,
+    TIMESTAMP_MILLIS=9, TIMESTAMP_MICROS=10."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return 0
+    if pa.types.is_date32(t):
+        return 6
+    return None
+
+
+def _logical_type(t: "pa.DataType"):
+    """SchemaElement.logicalType (field 10) writer closure, or None.
+    Timestamps need the LogicalType union (TimestampType{isAdjustedToUTC,
+    unit}) — ConvertedType alone implies UTC-adjusted semantics."""
+    if pa.types.is_timestamp(t):
+        unit_field = {"ms": 1, "us": 2, "ns": 3}[t.unit]
+        utc = t.tz is not None
+
+        def emit(w: "_W"):
+            w.begin_struct(10)  # logicalType
+            w.begin_struct(8)  # TIMESTAMP
+            w.boolean(1, utc)
+            w.begin_struct(2)  # unit union
+            w.begin_struct(unit_field)  # MILLIS/MICROS/NANOS empty struct
+            w.end_struct()
+            w.end_struct()
+            w.end_struct()
+            w.end_struct()
+
+        return emit
+    return None
+
+# thrift parquet enums
+T_BOOLEAN, T_INT32, T_INT64, T_INT96, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY, T_FLBA = range(8)
+ENC_PLAIN, _, ENC_PLAIN_DICT, ENC_RLE, _, ENC_DELTA_BP, ENC_DELTA_LEN, ENC_DELTA_BA, ENC_RLE_DICT, ENC_BSS = range(10)
+
+_PARQUET_TYPE = {
+    "BOOLEAN": T_BOOLEAN,
+    "INT32": T_INT32,
+    "INT64": T_INT64,
+    "FLOAT": T_FLOAT,
+    "DOUBLE": T_DOUBLE,
+    "BINARY": T_BYTE_ARRAY,
+}
+_ENC_CODE = {
+    "PLAIN": ENC_PLAIN,
+    "RLE": ENC_RLE,
+    "DELTA_BINARY_PACKED": ENC_DELTA_BP,
+    "DELTA_LENGTH_BYTE_ARRAY": ENC_DELTA_LEN,
+    "DELTA_BYTE_ARRAY": ENC_DELTA_BA,
+    "RLE_DICTIONARY": ENC_RLE_DICT,
+    "BYTE_STREAM_SPLIT": ENC_BSS,
+}
+# encodings that exist in the parquet format (no FSST / RLE_FOR in files)
+PARQUET_LEGAL = set(_ENC_CODE) | {"PLAIN"}
+
+
+# ----------------------------------------------------- thrift compact writer
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _wvarint(out: bytearray, v: int) -> None:
+    while v > 0x7F:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+class _W:
+    """Compact-protocol struct writer."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._stack = []
+        self._last = 0
+
+    def _field(self, fid: int, ftype: int) -> None:
+        delta = fid - self._last
+        if 0 < delta <= 15:
+            self.out.append((delta << 4) | ftype)
+        else:
+            self.out.append(ftype)
+            _wvarint(self.out, _zigzag(fid))
+        self._last = fid
+
+    def i(self, fid: int, v: int) -> None:  # i32 (zigzag varint, type 5)
+        self._field(fid, 5)
+        _wvarint(self.out, _zigzag(int(v)))
+
+    def i64(self, fid: int, v: int) -> None:  # i64 (zigzag varint, type 6)
+        self._field(fid, 6)
+        _wvarint(self.out, _zigzag(int(v)))
+
+    def boolean(self, fid: int, v: bool) -> None:
+        self._field(fid, 1 if v else 2)
+
+    def binary(self, fid: int, b: bytes) -> None:
+        self._field(fid, 8)
+        _wvarint(self.out, len(b))
+        self.out += b
+
+    def string(self, fid: int, s: str) -> None:
+        self.binary(fid, s.encode())
+
+    def begin_struct(self, fid: int) -> None:
+        self._field(fid, 12)
+        self._stack.append(self._last)
+        self._last = 0
+
+    def end_struct(self) -> None:
+        self.out.append(0)
+        self._last = self._stack.pop()
+
+    def begin_list(self, fid: int, etype: int, size: int) -> None:
+        self._field(fid, 9)
+        if size < 15:
+            self.out.append((size << 4) | etype)
+        else:
+            self.out.append(0xF0 | etype)
+            _wvarint(self.out, size)
+
+    def stop(self) -> bytes:
+        self.out.append(0)
+        return bytes(self.out)
+
+
+def _page_header(ptype_page: int, unc: int, comp: int, body_fields) -> bytes:
+    w = _W()
+    w.i(1, ptype_page)
+    w.i(2, unc)
+    w.i(3, comp)
+    body_fields(w)
+    return w.stop()
+
+
+def data_page_header(num_values: int, encoding: int, unc: int) -> bytes:
+    def body(w: _W):
+        w.begin_struct(5)
+        w.i(1, num_values)
+        w.i(2, encoding)
+        w.i(3, ENC_RLE)  # definition level encoding
+        w.i(4, ENC_RLE)  # repetition level encoding
+        w.end_struct()
+
+    return _page_header(0, unc, unc, body)
+
+
+def dict_page_header(num_values: int, unc: int) -> bytes:
+    def body(w: _W):
+        w.begin_struct(7)
+        w.i(1, num_values)
+        w.i(2, ENC_PLAIN)
+        w.end_struct()
+
+    return _page_header(2, unc, unc, body)
+
+
+# ------------------------------------------------------------- file assembly
+
+
+class _Column:
+    def __init__(self, path_in_schema, ptype, max_rep, max_def):
+        self.path = path_in_schema
+        self.ptype = ptype
+        self.max_rep = max_rep
+        self.max_def = max_def
+        self.encodings: set[int] = set()
+        self.num_values = 0
+        self.start_offset = 0
+        self.dict_offset = None
+        self.data_offset = None
+        self.total_bytes = 0
+
+
+def _levels_payload(levels: np.ndarray | None, width: int) -> bytes:
+    if levels is None:
+        return b""
+    return rle_hybrid.encode_framed(levels, width)
+
+
+def _encode_column_pages(
+    col: PhysicalColumn,
+    out: bytearray,
+    meta: _Column,
+    config: sel.EncodeConfig,
+    rep_levels: np.ndarray | None = None,
+    def_levels: np.ndarray | None = None,
+    value_slots: np.ndarray | None = None,
+) -> None:
+    """Emit dictionary page (maybe) + data pages for one column chunk.
+
+    For list columns, rep/def level arrays cover *slots* (one per element
+    plus one per empty list); ``value_slots`` maps each page's row range to a
+    slot range. For flat required columns levels are omitted entirely
+    (max_rep == max_def == 0, like the reference's DevNull level writers)."""
+    cfg = sel.EncodeConfig(
+        page_size=config.page_size,
+        page_rows=config.page_rows,
+        max_dict_bytes=config.max_dict_bytes,
+        fsst=False,  # parquet-legal candidates only
+    )
+    st = stats_mod.compute(col)
+    ranges = page_ranges(col, cfg)
+    cands = []
+    for enc_name in sel.candidates_for(col, st, cfg):
+        if enc_name not in PARQUET_LEGAL:
+            continue
+        cand = _plan_candidate(col, enc_name, ranges, cfg)
+        if cand is not None:
+            cands.append(cand)
+    cands.sort(key=lambda c: c.size)
+    best = cands[0]
+    aux, pages = best.emit()
+
+    meta.start_offset = len(out)
+    if best.encoding == "RLE_DICTIONARY":
+        # re-emit dictionary page in parquet shape (PLAIN keys); our planner
+        # already built ids pages in the [width][rle] layout parquet expects
+        if col.ptype == "BINARY":
+            fac = sel.try_dictionary(col, cfg)
+            ids, dic = fac
+            dict_payload = dict_page_binary(dic)
+        else:
+            fac = sel.try_dictionary(col, cfg)
+            ids, dic = fac
+            dict_payload = dict_page_fixed(dic, col.ptype)
+        # ids in first-occurrence order (parquet-java semantics), not sorted
+        width = max(1, (len(dic) - 1).bit_length()) if len(dic) > 1 else 1
+        meta.dict_offset = len(out)
+        hdr = dict_page_header(len(dic), len(dict_payload))
+        out += hdr
+        out += dict_payload
+        meta.encodings |= {ENC_PLAIN, ENC_RLE_DICT}
+        pages = [encode_ids(ids[a:b], len(dic)) for a, b in ranges]
+    else:
+        meta.encodings.add(_ENC_CODE[best.encoding])
+
+    for (a, b), payload in zip(ranges, pages):
+        if rep_levels is not None:
+            # empty lists are rejected upstream, so slots == elements and the
+            # element page range slices levels directly
+            lv = _levels_payload(rep_levels[a:b], 1) + _levels_payload(
+                def_levels[a:b], 1
+            )
+            nv = b - a
+        else:
+            lv = b""
+            nv = b - a
+        body = lv + payload
+        hdr = data_page_header(
+            nv,
+            ENC_RLE_DICT if best.encoding == "RLE_DICTIONARY" else _ENC_CODE[best.encoding],
+            len(body),
+        )
+        if meta.data_offset is None:
+            meta.data_offset = len(out)
+        out += hdr
+        out += body
+        meta.num_values += nv
+    meta.total_bytes = len(out) - meta.start_offset
+
+
+def write_table(table: pa.Table, path: str, config: sel.EncodeConfig | None = None) -> None:
+    config = config or sel.EncodeConfig()
+    out = bytearray(MAGIC)
+    columns: list[_Column] = []
+
+    for field in table.schema:
+        t = field.type
+        arr = table.column(field.name)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
+            lengths = np.diff(offsets)
+            if (lengths == 0).any():
+                raise NotImplementedError(
+                    "empty lists in the parquet writer need value-slot masking"
+                )
+            total = int(lengths.sum())
+            rep = np.ones(total, np.uint32)
+            rep[offsets[:-1] - offsets[0]] = 0  # first element of each record
+            deflev = np.ones(total, np.uint32)
+            values = arr.flatten()
+            sub = shred(f"{field.name}#values", values)[0]
+            ptype = sub.ptype
+            meta = _Column(
+                [field.name, "list", "element"], ptype, max_rep=1, max_def=1
+            )
+            _encode_column_pages(
+                sub, out, meta, config, rep_levels=rep, def_levels=deflev
+            )
+            meta._list_field = field  # type: ignore[attr-defined]
+            columns.append(meta)
+        else:
+            col = shred(field.name, arr)[0]
+            if col.null_mask is not None:
+                raise NotImplementedError("nullable columns in the parquet writer")
+            meta = _Column([field.name], col.ptype, 0, 0)
+            _encode_column_pages(col, out, meta, config)
+            meta._list_field = None  # type: ignore[attr-defined]
+            meta._converted = _converted_type(t)  # type: ignore[attr-defined]
+            meta._logical = _logical_type(t)  # type: ignore[attr-defined]
+            columns.append(meta)
+
+    footer = _file_metadata(table, columns)
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += MAGIC
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def _file_metadata(table: pa.Table, columns: list[_Column]) -> bytes:
+    w = _W()
+    w.i(1, 2)  # version
+    # schema elements (depth-first)
+    elems = []
+
+    def leaf_elem(name, ptype, repetition):
+        e = {"name": name, "type": _PARQUET_TYPE[ptype], "rep": repetition}
+        return e
+
+    root_children = 0
+    body: list[dict] = []
+    for meta in columns:
+        root_children += 1
+        if meta._list_field is not None:
+            body.append({"name": meta.path[0], "rep": 0, "children": 1, "converted": 3})  # LIST
+            body.append({"name": "list", "rep": 2, "children": 1})
+            body.append(leaf_elem("element", meta.ptype, 0))
+        else:
+            e = leaf_elem(meta.path[0], meta.ptype, 0)
+            if getattr(meta, "_converted", None) is not None:
+                e["converted"] = meta._converted
+            if getattr(meta, "_logical", None) is not None:
+                e["logical"] = meta._logical
+            body.append(e)
+    elems = [{"name": "schema", "children": root_children}] + body
+
+    w.begin_list(2, 12, len(elems))
+    for e in elems:
+        ew = _W()
+        if "type" in e:
+            ew.i(1, e["type"])
+        if "rep" in e:
+            ew.i(3, e["rep"])
+        ew.string(4, e["name"])
+        if "children" in e:
+            ew.i(5, e["children"])
+        if e.get("converted") is not None:
+            ew.i(6, e["converted"])
+        elif "type" in e and e["type"] == T_BYTE_ARRAY:
+            ew.i(6, 0)  # UTF8
+        if e.get("logical") is not None:
+            e["logical"](ew)
+        w.out += ew.stop()
+    w.i64(3, table.num_rows)
+
+    # one row group
+    w.begin_list(4, 12, 1)
+    rg = _W()
+    rg.begin_list(1, 12, len(columns))
+    for meta in columns:
+        cc = _W()
+        cc.i64(2, meta.start_offset)  # file_offset
+        cc.begin_struct(3)
+        cc.i(1, _PARQUET_TYPE[meta.ptype])
+        cc.begin_list(2, 5, len(meta.encodings) + 1)
+        for enc in sorted(meta.encodings):
+            _wvarint(cc.out, _zigzag(enc))
+        _wvarint(cc.out, _zigzag(ENC_RLE))  # levels
+        cc.begin_list(3, 8, len(meta.path))
+        for part in meta.path:
+            _wvarint(cc.out, len(part.encode()))
+            cc.out += part.encode()
+        cc.i(4, 0)  # UNCOMPRESSED
+        cc.i64(5, meta.num_values)
+        cc.i64(6, meta.total_bytes)
+        cc.i64(7, meta.total_bytes)
+        cc.i64(9, meta.data_offset)
+        if meta.dict_offset is not None:
+            cc.i64(11, meta.dict_offset)
+        cc.end_struct()
+        rg.out += cc.stop()
+    rg.i64(2, sum(m.total_bytes for m in columns))
+    rg.i64(3, table.num_rows)
+    w.out += rg.stop()
+    w.string(6, "rayenc 0.1")
+    return w.stop()
