@@ -336,6 +336,19 @@ def _parquet_page_conformance(sf_dir: str):
     return pa.table({"l_orderkey": pa.array(vals, pa.int64())})
 
 
+def _parquet_write_roundtrip(sf_dir: str):
+    """Write a real parquet file with rayenc encoders; read it back with
+    pyarrow (independent reader) — write-side format parity."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+
+    table = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(table, out)
+    return pq.read_table(out)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -359,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rewrite_mask_ndv"] = _masked_ndv
     q["pushdown_filter_lineitem"] = _pushdown_filter
     q["parquet_page_conformance"] = _parquet_page_conformance
+    q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["ann_topk_bruteforce"] = _ann_topk
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
@@ -412,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["pushdown_filter_lineitem"] = "SELECT * FROM lineitem WHERE l_orderkey <= 1000"
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
+    o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["ann_topk_bruteforce"] = (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         " WHERE vec_id < 5)"
