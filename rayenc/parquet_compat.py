@@ -29,7 +29,6 @@ from .codecs import (
     plain,
     rle_hybrid,
 )
-from .codecs.bitpack import bit_width32
 from .codecs.varint import read_uvarint
 
 # parquet-format Encoding enum

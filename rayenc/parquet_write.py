@@ -24,8 +24,8 @@ from . import selector as sel
 from . import stats as stats_mod
 from .blocks import _plan_candidate, page_ranges
 from .codecs import rle_hybrid
-from .codecs.dictionary import binary_parts, dict_page_binary, dict_page_fixed, encode_ids, factorize
-from .schema import PhysicalColumn, physical_type, shred
+from .codecs.dictionary import dict_page_binary, dict_page_fixed, encode_ids
+from .schema import PhysicalColumn, shred
 
 MAGIC = b"PAR1"
 

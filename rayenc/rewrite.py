@@ -26,7 +26,7 @@ import ray.data
 
 from . import blocks
 from .codecs import dictionary as dict_codec
-from .schema import PhysicalColumn, shred
+from .schema import PhysicalColumn
 from .selector import EncodeConfig
 
 

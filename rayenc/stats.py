@@ -11,7 +11,7 @@ fallback machinery (`FallbackValuesWriter.java:160-190`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -68,7 +68,6 @@ def compute(col: PhysicalColumn) -> ChunkStats:
         # string chunks is not worth a full sort; manifest marks sampled)
         mn = min(sample)
         mx = max(sample)
-        eq_next = (lengths[1:] == lengths[:-1]) if n > 1 else np.empty(0, bool)
         return ChunkStats(
             n,
             nulls,
