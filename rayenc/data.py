@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 VOCAB = 50257
 SOURCES = 20
 SEED = 42
+GENERATOR_VERSION = 1  # bump when make_table's output changes (cache key)
 
 # (share, kind) — FIXTURES.md F1 mixture
 MIXTURE = [
@@ -117,7 +118,9 @@ def _ranges(starts, lengths):
 def cached_parquet(rows: int, mean_tokens: float = 200.0, seed: int = SEED, dir: str = "/tmp/rayenc-data") -> str:
     """Materialize (once) the synthetic table as a multi-row-group parquet file."""
     os.makedirs(dir, exist_ok=True)
-    path = os.path.join(dir, f"tokens-r{rows}-m{int(mean_tokens)}-s{seed}.parquet")
+    path = os.path.join(
+        dir, f"tokens-v{GENERATOR_VERSION}-r{rows}-m{int(mean_tokens)}-s{seed}.parquet"
+    )
     if not os.path.exists(path):
         table = make_table(rows, mean_tokens, seed)
         tmp = path + ".tmp"

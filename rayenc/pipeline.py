@@ -298,9 +298,18 @@ def encode_job(
     resume: bool = True,
     concurrency: int | tuple | None = None,
     target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+    use_actors: bool = False,
 ) -> "ray.data.Dataset":
     """Encode parquet files into the renc container. Returns the summary
-    Dataset (one small row per partition) — consuming it drives the job."""
+    Dataset (one small row per partition) — consuming it drives the job.
+
+    use_actors=False (default) runs the stage as Ray tasks: encode state is
+    per-chunk (dictionary / FSST symbol tables live for one partition, the
+    ``toDictPageAndClose`` scope), and Ray's long-lived worker processes keep
+    heaps warm across tasks AND jobs — measurably faster on this host
+    (BASELINE.md). use_actors=True runs the same worker as an actor pool
+    (``map_batches(EncodeWorker, concurrency=...)``), the shape to use when a
+    stage holds cross-partition state (e.g. a corpus-trained FSST table).
     descs = plan_partitions(paths, target_block_bytes)
     if resume:
         done = completed_pids(out_dir)
@@ -323,6 +332,16 @@ def encode_job(
         if isinstance(concurrency, int)
         else concurrency
     )
+    if use_actors:
+        return ds.map_batches(
+            EncodeWorker,
+            fn_constructor_kwargs={
+                "out_dir": out_dir, "config": config, "columns": columns
+            },
+            batch_size=1,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return ds.map_batches(
         _encode_batch_task,
         fn_kwargs={"out_dir": out_dir, "config": config, "columns": columns},
