@@ -309,7 +309,7 @@ def encode_job(
     heaps warm across tasks AND jobs — measurably faster on this host
     (BASELINE.md). use_actors=True runs the same worker as an actor pool
     (``map_batches(EncodeWorker, concurrency=...)``), the shape to use when a
-    stage holds cross-partition state (e.g. a corpus-trained FSST table).
+    stage holds cross-partition state (e.g. a corpus-trained FSST table)."""
     descs = plan_partitions(paths, target_block_bytes)
     if resume:
         done = completed_pids(out_dir)

@@ -162,3 +162,12 @@ def test_grouped_encode_skew_capped(ray_session, tmp_path):
     # lossless, order-insensitive
     res = pipeline.verify_roundtrip(path, out, key="doc_id")
     assert res["equal"] and res["rows"] == n
+
+
+def test_encode_job_actor_mode(ray_session, token_parquet, tmp_path):
+    out = str(tmp_path / "actors")
+    summary = pipeline.encode_job(
+        token_parquet, out, concurrency=2, use_actors=True
+    ).to_pandas()
+    assert summary["rows"].sum() == 3000
+    assert pipeline.verify_roundtrip(token_parquet, out, key="doc_id")["equal"]
