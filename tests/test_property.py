@@ -1,0 +1,88 @@
+"""Property-based round-trip tests (hypothesis) over the codec kernels.
+
+The reference suite is seeded-random; hypothesis searches the input space
+adversarially (degenerate runs, boundary values, tiny/huge alphabets)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from rayenc.codecs import delta_bp, delta_strings, fsst, rle_for, rle_hybrid
+from rayenc.codecs.dictionary import binary_array, binary_parts
+from rayenc import blocks
+
+SETTINGS = dict(max_examples=40, deadline=None)
+
+
+@given(
+    vals=st.lists(st.integers(0, 2**20 - 1), max_size=600),
+    width=st.just(20),
+)
+@settings(**SETTINGS)
+def test_rle_hybrid_roundtrip_and_scalar_parity(vals, width):
+    arr = np.array(vals, np.uint32)
+    fast = rle_hybrid.encode(arr, width)
+    assert fast == rle_hybrid.encode_scalar(vals, width)
+    if len(arr):
+        np.testing.assert_array_equal(rle_hybrid.decode(fast, len(arr), width), arr)
+
+
+@given(vals=st.lists(st.integers(-(2**31), 2**31 - 1), max_size=700))
+@settings(**SETTINGS)
+def test_delta_bp_int32_roundtrip(vals):
+    arr = np.array(vals, np.int32)
+    np.testing.assert_array_equal(delta_bp.decode(delta_bp.encode(arr), np.int32), arr)
+
+
+@given(vals=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=300))
+@settings(**SETTINGS)
+def test_delta_bp_int64_roundtrip(vals):
+    arr = np.array(vals, np.int64)
+    np.testing.assert_array_equal(delta_bp.decode(delta_bp.encode(arr), np.int64), arr)
+
+
+@given(vals=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=400))
+@settings(**SETTINGS)
+def test_rle_for_roundtrip_or_inapplicable(vals):
+    arr = np.array(vals, np.int64)
+    buf = rle_for.encode(arr)
+    if buf is None:
+        assert int(arr.max()) - int(arr.min()) >= 1 << 32
+    else:
+        np.testing.assert_array_equal(rle_for.decode(buf, len(arr), np.int64), arr)
+
+
+@given(strings=st.lists(st.text(max_size=40), max_size=200))
+@settings(**SETTINGS)
+def test_delta_strings_roundtrip(strings):
+    offsets, data = binary_parts(pa.array(strings, pa.string()))
+    o, d = delta_strings.decode(delta_strings.encode(offsets, data), len(strings))
+    assert binary_array(o, d).cast(pa.string()).to_pylist() == strings
+
+
+@given(strings=st.lists(st.binary(max_size=60), max_size=150))
+@settings(max_examples=25, deadline=None)
+def test_fsst_roundtrip_arbitrary_bytes(strings):
+    arr = pa.array(strings, pa.binary())
+    offsets, data = binary_parts(arr)
+    buf = fsst.encode_column(offsets, data)
+    o, d = fsst.decode_column(buf, len(strings))
+    got = binary_array(o, d).cast(pa.binary()).to_pylist()
+    assert got == strings
+
+
+@given(
+    ints=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=300),
+    strs=st.lists(st.text(max_size=20), min_size=1, max_size=300),
+)
+@settings(max_examples=20, deadline=None)
+def test_block_roundtrip_mixed(ints, strs):
+    n = min(len(ints), len(strs))
+    table = pa.table(
+        {
+            "i": pa.array(ints[:n], pa.int32()),
+            "s": pa.array(strs[:n], pa.string()),
+        }
+    )
+    blob, manifest = blocks.encode_block(table)
+    assert blocks.decode_block(blob, manifest).equals(table)
