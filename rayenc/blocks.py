@@ -495,21 +495,59 @@ def encode_chunk(
             "raw_length": len(aux),
         }
         out.write(blob)
-    for (a, b), page in zip(ranges, pages):
+    # per-page min/max for fixed types: the column-index page-skipping
+    # statistics (internal/column/columnindex/ColumnIndexBuilder.java analog)
+    page_minmax = None
+    if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE") and ranges:
+        v = np.asarray(col.values)
+        page_minmax = [
+            (v[a:b].min().item(), v[a:b].max().item()) for a, b in ranges
+        ]
+    for k, ((a, b), page) in enumerate(zip(ranges, pages)):
         blob = codec.compress(page).to_pybytes() if codec else page
-        entry["pages"].append(
-            {
-                "offset": out.tell(),
-                "length": len(blob),
-                "raw_length": len(page),
-                "num_values": b - a,
-            }
-        )
+        pentry = {
+            "offset": out.tell(),
+            "length": len(blob),
+            "raw_length": len(page),
+            "num_values": b - a,
+        }
+        if page_minmax is not None:
+            pentry["min"], pentry["max"] = page_minmax[k]
+        entry["pages"].append(pentry)
         out.write(blob)
     return entry
 
 
-def decode_chunk(blob, entry: dict, config: sel.EncodeConfig | None = None) -> PhysicalColumn:
+def page_mask_for_predicate(entry: dict, predicate) -> list[bool] | None:
+    """Which pages can contain rows matching the (col, op, value) conjunctions
+    (page-level min/max skipping; None when stats are unavailable)."""
+    pages = entry["pages"]
+    if not pages or "min" not in pages[0]:
+        return None
+    mask = []
+    for p in pages:
+        lo, hi = p["min"], p["max"]
+        keep = True
+        for _, op, value in predicate:
+            if (
+                (op == "==" and (value < lo or value > hi))
+                or (op == "<" and lo >= value)
+                or (op == "<=" and lo > value)
+                or (op == ">" and hi <= value)
+                or (op == ">=" and hi < value)
+            ):
+                keep = False
+                break
+        mask.append(keep)
+    return mask
+
+
+def decode_chunk(
+    blob,
+    entry: dict,
+    config: sel.EncodeConfig | None = None,
+    page_mask: list[bool] | None = None,
+) -> PhysicalColumn:
     compression = (config.compression if config else None) or entry.get("compression")
     codec = pa.Codec(compression) if compression else None
 
@@ -520,6 +558,10 @@ def decode_chunk(blob, entry: dict, config: sel.EncodeConfig | None = None) -> P
         return raw
 
     aux_buf = read(entry["aux"]) if entry["aux"] else None
+    if page_mask is not None:
+        entry = dict(entry)
+        entry["pages"] = [p for p, keep in zip(entry["pages"], page_mask) if keep]
+        assert entry["validity"] is None, "page skip only for non-null chunks"
     page_bufs = [read(p) for p in entry["pages"]]
     col = _decode_pages(entry, aux_buf, page_bufs)
     if entry["validity"]:
@@ -554,9 +596,19 @@ def encode_block(table: pa.Table, config: sel.EncodeConfig | None = None) -> tup
     return blob, manifest
 
 
-def decode_block(blob, manifest: dict, columns: list[str] | None = None) -> pa.Table:
+def decode_block(
+    blob,
+    manifest: dict,
+    columns: list[str] | None = None,
+    page_predicate=None,
+) -> pa.Table:
     """Decode a block; ``columns`` restricts decode to those top-level fields
-    (their list sub-chunks included) — chunk-level projection pushdown."""
+    (their list sub-chunks included) — chunk-level projection pushdown.
+
+    ``page_predicate`` enables page-level min/max skipping, valid only for a
+    single-column flat projection (row positions across columns would
+    desynchronize otherwise — parquet readers use the offset index for the
+    same reason)."""
     assert bytes(blob[: len(MAGIC)]) == MAGIC, "bad block magic"
     schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(manifest["schema"])))
     if columns is not None:
@@ -564,11 +616,20 @@ def decode_block(blob, manifest: dict, columns: list[str] | None = None) -> pa.T
         wanted = set(columns)
     else:
         wanted = None
+    allow_page_skip = (
+        page_predicate is not None
+        and wanted is not None
+        and len(wanted) == 1
+        and all(c == next(iter(wanted)) for c, _, _ in page_predicate)
+    )
     decoded: dict[str, tuple] = {}
     for entry in manifest["chunks"]:
         if wanted is not None and entry["name"].split("#")[0] not in wanted:
             continue
-        col = decode_chunk(blob, entry)
+        mask = None
+        if allow_page_skip and "#" not in entry["name"] and entry["validity"] is None:
+            mask = page_mask_for_predicate(entry, page_predicate)
+        col = decode_chunk(blob, entry, page_mask=mask)
         decoded[entry["name"]] = (col.values, col.null_mask)
     arrays = [assemble(field, decoded) for field in schema]
     return pa.Table.from_arrays(arrays, schema=schema)

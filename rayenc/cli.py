@@ -49,9 +49,22 @@ def cmd_encode(args):
     from rayenc import pipeline
     from rayenc.selector import EncodeConfig
 
+    inputs = []
+    for p in args.inputs:
+        if p.endswith(".csv"):  # convert-csv analog (cli/convert commands)
+            import pyarrow.csv as pacsv
+            import pyarrow.parquet as pq
+            import tempfile
+
+            table = pacsv.read_csv(p)
+            tmp = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+            pq.write_table(table, tmp, row_group_size=max(1000, table.num_rows // 32))
+            inputs.append(tmp)
+        else:
+            inputs.append(p)
     cfg = EncodeConfig(compression=args.compress)
     df = pipeline.encode_job(
-        args.inputs, args.out, config=cfg, resume=not args.no_resume
+        inputs, args.out, config=cfg, resume=not args.no_resume
     ).to_pandas()
     total_raw = int(df.raw_bytes.sum()) if len(df) else 0
     total_blob = int(df.blob_bytes.sum()) if len(df) else 0

@@ -215,7 +215,17 @@ class DecodeWorker:
                 continue
             with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
                 blob = f.read()
-            table = blocks.decode_block(blob, manifest, columns=self.columns)
+            page_pred = None
+            if (
+                self.predicate
+                and self.columns
+                and len(self.columns) == 1
+                and all(c == self.columns[0] for c, _, _ in self.predicate)
+            ):
+                page_pred = self.predicate
+            table = blocks.decode_block(
+                blob, manifest, columns=self.columns, page_predicate=page_pred
+            )
             if self.predicate:
                 mask = None
                 for col, op, value in self.predicate:

@@ -106,3 +106,30 @@ class TestCli:
         assert "l_orderkey" in capsys.readouterr().out
         cli.main(["column-sizes", encoded_lineitem])
         assert "l_quantity" in capsys.readouterr().out
+
+
+def test_page_level_skipping_single_column(ray_session, tmp_path):
+    """Column-index analog: single-column scans skip pages by per-page
+    min/max; results match the exact filter."""
+    import numpy as np
+    from rayenc import blocks
+    from rayenc.selector import EncodeConfig
+
+    path = str(tmp_path / "t.parquet")
+    vals = np.arange(1_000_000, dtype=np.int64)
+    pq.write_table(pa.table({"k": vals, "v": vals * 3}), path)
+    out = str(tmp_path / "enc")
+    pipeline.encode_job(path, out, target_block_bytes=64 << 20).materialize()
+    # manifest carries per-page min/max
+    m = json.loads(open(os.path.join(out, sorted(
+        f for f in os.listdir(out) if f.endswith(".manifest.json"))[0])).read())
+    kchunk = next(c for c in m["chunks"] if c["name"] == "k")
+    assert "min" in kchunk["pages"][0] and len(kchunk["pages"]) > 1
+    # page mask: only the page containing the target survives
+    mask = blocks.page_mask_for_predicate(kchunk, [("k", "==", 777_777)])
+    assert sum(mask) == 1
+    # end-to-end single-column scan with predicate
+    t = _read_all(out, columns=["k"], predicate=[("k", "==", 777_777)])
+    assert t.num_rows == 1 and t.column("k")[0].as_py() == 777_777
+    rng = _read_all(out, columns=["k"], predicate=[("k", ">=", 999_000)])
+    assert rng.num_rows == 1000
