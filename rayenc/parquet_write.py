@@ -221,22 +221,33 @@ def _encode_column_pages(
     config: sel.EncodeConfig,
     rep_levels: np.ndarray | None = None,
     def_levels: np.ndarray | None = None,
-    value_slots: np.ndarray | None = None,
+    max_rep: int = 0,
+    max_def: int = 0,
 ) -> None:
     """Emit dictionary page (maybe) + data pages for one column chunk.
 
-    For list columns, rep/def level arrays cover *slots* (one per element
-    plus one per empty list); ``value_slots`` maps each page's row range to a
-    slot range. For flat required columns levels are omitted entirely
-    (max_rep == max_def == 0, like the reference's DevNull level writers)."""
+    Levels cover *slots* (one per value, plus one per empty list / null row).
+    Flat required columns omit levels entirely (the reference's DevNull level
+    writers); page splitting happens over slots so num_values counts slots,
+    and value ranges derive from the definition levels."""
     cfg = sel.EncodeConfig(
         page_size=config.page_size,
         page_rows=config.page_rows,
         max_dict_bytes=config.max_dict_bytes,
         fsst=False,  # parquet-legal candidates only
     )
+    if def_levels is None:
+        slot_ranges = None
+        ranges = page_ranges(col, cfg)
+    else:
+        S = len(def_levels)
+        step = cfg.page_rows
+        slot_ranges = [(a, min(a + step, S)) for a in range(0, S, step)] or [(0, 0)]
+        vprefix = np.zeros(S + 1, np.int64)
+        np.cumsum((def_levels == max_def).astype(np.int64), out=vprefix[1:])
+        ranges = [(int(vprefix[a]), int(vprefix[b])) for a, b in slot_ranges]
+
     st = stats_mod.compute(col)
-    ranges = page_ranges(col, cfg)
     cands = []
     for enc_name in sel.candidates_for(col, st, cfg):
         if enc_name not in PARQUET_LEGAL:
@@ -250,36 +261,33 @@ def _encode_column_pages(
 
     meta.start_offset = len(out)
     if best.encoding == "RLE_DICTIONARY":
-        # re-emit dictionary page in parquet shape (PLAIN keys); our planner
-        # already built ids pages in the [width][rle] layout parquet expects
+        # emit the dictionary page in parquet shape (PLAIN keys in
+        # first-occurrence order — parquet-java semantics, not our sorted
+        # container variant)
+        fac = sel.try_dictionary(col, cfg)
+        ids, dic = fac
         if col.ptype == "BINARY":
-            fac = sel.try_dictionary(col, cfg)
-            ids, dic = fac
             dict_payload = dict_page_binary(dic)
         else:
-            fac = sel.try_dictionary(col, cfg)
-            ids, dic = fac
             dict_payload = dict_page_fixed(dic, col.ptype)
-        # ids in first-occurrence order (parquet-java semantics), not sorted
-        width = max(1, (len(dic) - 1).bit_length()) if len(dic) > 1 else 1
         meta.dict_offset = len(out)
-        hdr = dict_page_header(len(dic), len(dict_payload))
-        out += hdr
+        out += dict_page_header(len(dic), len(dict_payload))
         out += dict_payload
         meta.encodings |= {ENC_PLAIN, ENC_RLE_DICT}
         pages = [encode_ids(ids[a:b], len(dic)) for a, b in ranges]
     else:
         meta.encodings.add(_ENC_CODE[best.encoding])
 
-    for (a, b), payload in zip(ranges, pages):
-        if rep_levels is not None:
-            # empty lists are rejected upstream, so slots == elements and the
-            # element page range slices levels directly
-            lv = _levels_payload(rep_levels[a:b], 1) + _levels_payload(
-                def_levels[a:b], 1
-            )
-            nv = b - a
+    for k, payload in enumerate(pages):
+        if def_levels is not None:
+            sa, sb = slot_ranges[k]
+            lv = b""
+            if max_rep > 0:
+                lv += _levels_payload(rep_levels[sa:sb], 1)
+            lv += _levels_payload(def_levels[sa:sb], 1)
+            nv = sb - sa
         else:
+            a, b = ranges[k]
             lv = b""
             nv = b - a
         body = lv + payload
@@ -296,50 +304,84 @@ def _encode_column_pages(
     meta.total_bytes = len(out) - meta.start_offset
 
 
-def write_table(table: pa.Table, path: str, config: sel.EncodeConfig | None = None) -> None:
-    config = config or sel.EncodeConfig()
-    out = bytearray(MAGIC)
+def _write_row_group(
+    table: pa.Table, out: bytearray, config: sel.EncodeConfig
+) -> list[_Column]:
     columns: list[_Column] = []
-
     for field in table.schema:
         t = field.type
         arr = table.column(field.name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
         if pa.types.is_list(t) or pa.types.is_large_list(t):
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
+            if arr.null_count:
+                raise NotImplementedError("nullable list columns in the parquet writer")
             offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
+            offsets = offsets - offsets[0]
             lengths = np.diff(offsets)
-            if (lengths == 0).any():
-                raise NotImplementedError(
-                    "empty lists in the parquet writer need value-slot masking"
-                )
-            total = int(lengths.sum())
-            rep = np.ones(total, np.uint32)
-            rep[offsets[:-1] - offsets[0]] = 0  # first element of each record
-            deflev = np.ones(total, np.uint32)
+            n = len(lengths)
+            # slots: one per element + one per empty list
+            slot_counts = np.maximum(lengths, 1)
+            S = int(slot_counts.sum())
+            slot_starts = np.zeros(n + 1, np.int64)
+            np.cumsum(slot_counts, out=slot_starts[1:])
+            rep = np.ones(S, np.uint32)
+            rep[slot_starts[:-1]] = 0
+            deflev = np.ones(S, np.uint32)
+            deflev[slot_starts[:-1][lengths == 0]] = 0
             values = arr.flatten()
             sub = shred(f"{field.name}#values", values)[0]
-            ptype = sub.ptype
-            meta = _Column(
-                [field.name, "list", "element"], ptype, max_rep=1, max_def=1
-            )
+            meta = _Column([field.name, "list", "element"], sub.ptype, 1, 1)
             _encode_column_pages(
-                sub, out, meta, config, rep_levels=rep, def_levels=deflev
+                sub, out, meta, config,
+                rep_levels=rep, def_levels=deflev, max_rep=1, max_def=1,
             )
             meta._list_field = field  # type: ignore[attr-defined]
+            meta._converted = None  # type: ignore[attr-defined]
+            meta._logical = None  # type: ignore[attr-defined]
+            meta._optional = False  # type: ignore[attr-defined]
             columns.append(meta)
         else:
             col = shred(field.name, arr)[0]
-            if col.null_mask is not None:
-                raise NotImplementedError("nullable columns in the parquet writer")
-            meta = _Column([field.name], col.ptype, 0, 0)
-            _encode_column_pages(col, out, meta, config)
+            optional = col.null_mask is not None
+            if optional:
+                deflev = (~col.null_mask).astype(np.uint32)
+                meta = _Column([field.name], col.ptype, 0, 1)
+                _encode_column_pages(
+                    col, out, meta, config, def_levels=deflev, max_def=1
+                )
+            else:
+                meta = _Column([field.name], col.ptype, 0, 0)
+                _encode_column_pages(col, out, meta, config)
             meta._list_field = None  # type: ignore[attr-defined]
             meta._converted = _converted_type(t)  # type: ignore[attr-defined]
             meta._logical = _logical_type(t)  # type: ignore[attr-defined]
+            meta._optional = optional  # type: ignore[attr-defined]
             columns.append(meta)
+    return columns
 
-    footer = _file_metadata(table, columns)
+
+def write_table(
+    table: pa.Table,
+    path: str,
+    config: sel.EncodeConfig | None = None,
+    row_group_size: int | None = None,
+) -> None:
+    config = config or sel.EncodeConfig()
+    out = bytearray(MAGIC)
+    row_groups: list[tuple[list[_Column], int]] = []
+    if row_group_size is None or row_group_size >= table.num_rows:
+        slices = [table]
+    else:
+        slices = [
+            table.slice(a, row_group_size)
+            for a in range(0, table.num_rows, row_group_size)
+        ]
+    for sl in slices:
+        cols = _write_row_group(sl, out, config)
+        row_groups.append((cols, sl.num_rows))
+
+    footer = _file_metadata(table, row_groups)
     out += footer
     out += len(footer).to_bytes(4, "little")
     out += MAGIC
@@ -347,32 +389,28 @@ def write_table(table: pa.Table, path: str, config: sel.EncodeConfig | None = No
         f.write(out)
 
 
-def _file_metadata(table: pa.Table, columns: list[_Column]) -> bytes:
+def _file_metadata(table: pa.Table, row_groups) -> bytes:
     w = _W()
     w.i(1, 2)  # version
-    # schema elements (depth-first)
-    elems = []
+    columns0 = row_groups[0][0]
 
     def leaf_elem(name, ptype, repetition):
-        e = {"name": name, "type": _PARQUET_TYPE[ptype], "rep": repetition}
-        return e
+        return {"name": name, "type": _PARQUET_TYPE[ptype], "rep": repetition}
 
-    root_children = 0
     body: list[dict] = []
-    for meta in columns:
-        root_children += 1
+    for meta in columns0:
         if meta._list_field is not None:
             body.append({"name": meta.path[0], "rep": 0, "children": 1, "converted": 3})  # LIST
             body.append({"name": "list", "rep": 2, "children": 1})
             body.append(leaf_elem("element", meta.ptype, 0))
         else:
-            e = leaf_elem(meta.path[0], meta.ptype, 0)
+            e = leaf_elem(meta.path[0], meta.ptype, 1 if meta._optional else 0)
             if getattr(meta, "_converted", None) is not None:
                 e["converted"] = meta._converted
             if getattr(meta, "_logical", None) is not None:
                 e["logical"] = meta._logical
             body.append(e)
-    elems = [{"name": "schema", "children": root_children}] + body
+    elems = [{"name": "schema", "children": len(columns0)}] + body
 
     w.begin_list(2, 12, len(elems))
     for e in elems:
@@ -393,34 +431,34 @@ def _file_metadata(table: pa.Table, columns: list[_Column]) -> bytes:
         w.out += ew.stop()
     w.i64(3, table.num_rows)
 
-    # one row group
-    w.begin_list(4, 12, 1)
-    rg = _W()
-    rg.begin_list(1, 12, len(columns))
-    for meta in columns:
-        cc = _W()
-        cc.i64(2, meta.start_offset)  # file_offset
-        cc.begin_struct(3)
-        cc.i(1, _PARQUET_TYPE[meta.ptype])
-        cc.begin_list(2, 5, len(meta.encodings) + 1)
-        for enc in sorted(meta.encodings):
-            _wvarint(cc.out, _zigzag(enc))
-        _wvarint(cc.out, _zigzag(ENC_RLE))  # levels
-        cc.begin_list(3, 8, len(meta.path))
-        for part in meta.path:
-            _wvarint(cc.out, len(part.encode()))
-            cc.out += part.encode()
-        cc.i(4, 0)  # UNCOMPRESSED
-        cc.i64(5, meta.num_values)
-        cc.i64(6, meta.total_bytes)
-        cc.i64(7, meta.total_bytes)
-        cc.i64(9, meta.data_offset)
-        if meta.dict_offset is not None:
-            cc.i64(11, meta.dict_offset)
-        cc.end_struct()
-        rg.out += cc.stop()
-    rg.i64(2, sum(m.total_bytes for m in columns))
-    rg.i64(3, table.num_rows)
-    w.out += rg.stop()
+    w.begin_list(4, 12, len(row_groups))
+    for columns, rg_rows in row_groups:
+        rg = _W()
+        rg.begin_list(1, 12, len(columns))
+        for meta in columns:
+            cc = _W()
+            cc.i64(2, meta.start_offset)  # file_offset
+            cc.begin_struct(3)
+            cc.i(1, _PARQUET_TYPE[meta.ptype])
+            cc.begin_list(2, 5, len(meta.encodings) + 1)
+            for enc in sorted(meta.encodings):
+                _wvarint(cc.out, _zigzag(enc))
+            _wvarint(cc.out, _zigzag(ENC_RLE))  # levels
+            cc.begin_list(3, 8, len(meta.path))
+            for part in meta.path:
+                _wvarint(cc.out, len(part.encode()))
+                cc.out += part.encode()
+            cc.i(4, 0)  # UNCOMPRESSED
+            cc.i64(5, meta.num_values)
+            cc.i64(6, meta.total_bytes)
+            cc.i64(7, meta.total_bytes)
+            cc.i64(9, meta.data_offset)
+            if meta.dict_offset is not None:
+                cc.i64(11, meta.dict_offset)
+            cc.end_struct()
+            rg.out += cc.stop()
+        rg.i64(2, sum(m.total_bytes for m in columns))
+        rg.i64(3, rg_rows)
+        w.out += rg.stop()
     w.string(6, "rayenc 0.1")
     return w.stop()

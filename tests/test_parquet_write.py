@@ -95,7 +95,40 @@ def test_roundtrip_through_our_reader(tmp_path):
     np.testing.assert_array_equal(got, table.column("v").to_numpy())
 
 
-def test_empty_list_rejected(tmp_path):
-    table = pa.table({"l": pa.array([[1], [], [2]], pa.list_(pa.int32()))})
-    with pytest.raises(NotImplementedError):
-        parquet_write.write_table(table, str(tmp_path / "x.parquet"))
+def test_empty_lists(tmp_path):
+    table = pa.table({"l": pa.array([[1], [], [2, 3], [], []], pa.list_(pa.int32()))})
+    path = str(tmp_path / "x.parquet")
+    parquet_write.write_table(table, path)
+    assert pq.read_table(path).column("l").to_pylist() == [[1], [], [2, 3], [], []]
+
+
+def test_nullable_columns(tmp_path):
+    table = pa.table(
+        {
+            "i": pa.array([1, None, 3, None, 5], pa.int64()),
+            "s": pa.array(["a", None, "c", "d", None], pa.string()),
+            "f": pa.array([1.5, 2.5, None, 4.5, None], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "nulls.parquet")
+    parquet_write.write_table(table, path)
+    got = pq.read_table(path)
+    for c in table.column_names:
+        assert got.column(c).to_pylist() == table.column(c).to_pylist(), c
+
+
+def test_multiple_row_groups(tmp_path):
+    rng = np.random.default_rng(9)
+    table = pa.table({"v": pa.array(rng.integers(0, 10**6, 50_000).astype(np.int32))})
+    path = str(tmp_path / "rg.parquet")
+    parquet_write.write_table(table, path, row_group_size=8_000)
+    f = pq.ParquetFile(path)
+    assert f.metadata.num_row_groups == 7
+    np.testing.assert_array_equal(
+        pq.read_table(path).column("v").to_numpy(), table.column("v").to_numpy()
+    )
+    import duckdb
+
+    assert duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{path}')"
+    ).fetchone()[0] == 50_000
