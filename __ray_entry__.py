@@ -336,6 +336,22 @@ def _parquet_page_conformance(sf_dir: str):
     return pa.table({"l_orderkey": pa.array(vals, pa.int64())})
 
 
+def _transcode_parquet(sf_dir: str):
+    """Distributed parquet->parquet re-encode through rayenc encoders; the
+    output files are read back by pyarrow (independent reader)."""
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+
+    out = tempfile.mkdtemp(prefix="rayenc-transcode-", dir="/tmp")
+    pipeline.transcode_parquet_job(
+        os.path.join(sf_dir, "orders.parquet"), out, target_block_bytes=8 << 20
+    ).materialize()
+    return pa.concat_tables(
+        [pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))]
+    )
+
+
 def _parquet_write_roundtrip(sf_dir: str):
     """Write a real parquet file with rayenc encoders; read it back with
     pyarrow (independent reader) — write-side format parity."""
@@ -373,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pushdown_filter_lineitem"] = _pushdown_filter
     q["parquet_page_conformance"] = _parquet_page_conformance
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
+    q["transcode_parquet"] = _transcode_parquet
     q["ann_topk_bruteforce"] = _ann_topk
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
@@ -427,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
     o["pushdown_filter_lineitem"] = "SELECT * FROM lineitem WHERE l_orderkey <= 1000"
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
+    o["transcode_parquet"] = "SELECT * FROM orders"
     o["ann_topk_bruteforce"] = (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         " WHERE vec_id < 5)"

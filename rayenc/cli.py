@@ -178,6 +178,16 @@ def cmd_rewrite(args):
     ray.shutdown()
 
 
+def cmd_transcode(args):
+    ray = _ray()
+    from rayenc import pipeline
+
+    df = pipeline.transcode_parquet_job(args.inputs, args.out).to_pandas()
+    total = int(df.out_bytes.sum()) if len(df) else 0
+    print(f"transcoded {len(df)} partitions -> {total} bytes of parquet")
+    ray.shutdown()
+
+
 def cmd_verify(args):
     ray = _ray()
     from rayenc import pipeline
@@ -234,6 +244,11 @@ def main(argv=None):
     r.add_argument("--mask", action="append", default=[])
     r.add_argument("--compress", default=None)
     r.set_defaults(fn=cmd_rewrite)
+
+    tc = sub.add_parser("transcode")
+    tc.add_argument("inputs", nargs="+")
+    tc.add_argument("-o", "--out", required=True)
+    tc.set_defaults(fn=cmd_transcode)
 
     v = sub.add_parser("verify")
     v.add_argument("inputs", nargs="+")

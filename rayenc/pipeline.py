@@ -361,6 +361,72 @@ def encode_job(
     )
 
 
+def transcode_parquet_job(
+    paths: list[str] | str,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    *,
+    resume: bool = True,
+    concurrency=None,
+    target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+) -> "ray.data.Dataset":
+    """Distributed parquet -> parquet re-encode using rayenc encoders: each
+    partition becomes one parquet file written by rayenc.parquet_write (the
+    reference's whole job — ParquetWriter at cluster scale). Output files are
+    readable by any parquet reader; completed partitions are skipped on
+    re-submit (presence of the final file marks completion — writes are
+    atomic via rename)."""
+    descs = plan_partitions(paths, target_block_bytes)
+    os.makedirs(out_dir, exist_ok=True)
+    if resume:
+        descs = [
+            d
+            for d in descs
+            if not os.path.exists(os.path.join(out_dir, f"part-{d['pid']:06d}.parquet"))
+        ]
+    if not descs:
+        return ray.data.from_items([])
+    for d in descs:
+        d.setdefault("row_start", -1)
+        d.setdefault("row_count", -1)
+
+    def transcode(batch: dict) -> dict:
+        from .memtune import tune_process_memory
+        from . import parquet_write
+
+        tune_process_memory()
+        rows = []
+        n = len(batch["pid"])
+        for k in range(n):
+            desc = {key: _unbox(batch[key][k]) for key in batch}
+            pid = int(desc["pid"])
+            t0 = time.perf_counter()
+            table = _read_fragment(desc)
+            final = os.path.join(out_dir, f"part-{pid:06d}.parquet")
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            parquet_write.write_table(table, tmp, config)
+            os.replace(tmp, final)
+            rows.append(
+                {
+                    "pid": pid,
+                    "rows": table.num_rows,
+                    "out_bytes": os.path.getsize(final),
+                    "seconds": time.perf_counter() - t0,
+                }
+            )
+        return {key: np.array([r[key] for r in rows]) for key in rows[0]}
+
+    ds = ray.data.from_items(descs)
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.map_batches(
+        transcode,
+        batch_size=1,
+        concurrency=min(concurrency, len(descs)) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )
+
+
 def encode_grouped_job(
     paths: list[str] | str,
     out_dir: str,

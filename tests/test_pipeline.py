@@ -171,3 +171,18 @@ def test_encode_job_actor_mode(ray_session, token_parquet, tmp_path):
     ).to_pandas()
     assert summary["rows"].sum() == 3000
     assert pipeline.verify_roundtrip(token_parquet, out, key="doc_id")["equal"]
+
+
+def test_transcode_parquet_job(ray_session, tmp_path):
+    """Distributed parquet->parquet re-encode; output readable by pyarrow."""
+    src = f"{SF}/lineitem.parquet"
+    out = str(tmp_path / "pq")
+    df = pipeline.transcode_parquet_job(src, out, target_block_bytes=1 << 19).to_pandas()
+    assert len(df) >= 1
+    files = sorted(os.listdir(out))
+    got = pa.concat_tables([pq.read_table(os.path.join(out, f)) for f in files])
+    want = pq.read_table(src)
+    assert got.sort_by("l_orderkey").to_pydict() == want.sort_by("l_orderkey").to_pydict()
+    # resume: nothing left to do on re-submit
+    again = pipeline.transcode_parquet_job(src, out, target_block_bytes=1 << 19).to_pandas()
+    assert len(again) == 0
