@@ -36,8 +36,8 @@ from .plain import _ranges
 ESCAPE = 255
 MAX_SYMBOLS = 255  # codes 0..254
 MAX_SYMBOL_LEN = 8
-TRAIN_ITERATIONS = 5
-SAMPLE_TARGET = 1 << 14  # 16 KiB of sample text
+TRAIN_ITERATIONS = 4
+SAMPLE_TARGET = 1 << 13  # 8 KiB of sample text
 
 
 class SymbolTable:

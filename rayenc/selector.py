@@ -77,7 +77,9 @@ def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig)
     elif ptype == "BINARY":
         if dict_ok:
             cands.append("RLE_DICTIONARY")
-        if config.fsst:
+        if config.fsst and not dict_ok:
+            # low-NDV strings are dictionary territory; training an FSST
+            # table there is wasted work (it loses to dict ids by orders)
             cands.append("FSST")
         cands += ["DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY", "PLAIN"]
     elif ptype == "FIXED_LEN_BYTE_ARRAY":
