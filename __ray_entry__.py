@@ -336,6 +336,42 @@ def _parquet_page_conformance(sf_dir: str):
     return pa.table({"l_orderkey": pa.array(vals, pa.int64())})
 
 
+def _events_window(sf_dir: str):
+    """Tumbling-hour windowed aggregate over the events stream: per-batch
+    partial aggregation inside map_batches (the combiner), then one small
+    groupby on (window, event_type) — the pre-aggregate-before-shuffle
+    pattern."""
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table(
+            {
+                "window": w,
+                "event_type": batch.column("event_type"),
+                "cnt": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_value": batch.column("value"),
+            }
+        )
+        return t.group_by(["window", "event_type"]).aggregate(
+            [("cnt", "sum"), ("sum_value", "sum")]
+        ).rename_columns(["window", "event_type", "cnt", "sum_value"])
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window", "event_type"])
+        .aggregate(ray.data.aggregate.Sum("cnt"), ray.data.aggregate.Sum("sum_value"))
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["window", "event_type", "cnt", "sum_value"]),
+        batch_format="pyarrow",
+    )
+
+
 def _transcode_parquet(sf_dir: str):
     """Distributed parquet->parquet re-encode through rayenc encoders; the
     output files are read back by pyarrow (independent reader)."""
@@ -390,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_page_conformance"] = _parquet_page_conformance
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["transcode_parquet"] = _transcode_parquet
+    q["events_window_agg"] = _events_window
     q["ann_topk_bruteforce"] = _ann_topk
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
@@ -445,6 +482,11 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["transcode_parquet"] = "SELECT * FROM orders"
+    o["events_window_agg"] = (
+        "SELECT date_trunc('hour', ts) AS window, event_type,"
+        " COUNT(*) AS cnt, SUM(value) AS sum_value"
+        " FROM events GROUP BY 1, 2"
+    )
     o["ann_topk_bruteforce"] = (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         " WHERE vec_id < 5)"
