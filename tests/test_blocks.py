@@ -252,3 +252,8 @@ def test_unicode_roundtrip():
 def test_empty_table_roundtrip():
     table = pa.table({"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
     roundtrip_table(table)
+
+
+def test_float16_roundtrip():
+    vals = np.array([0.5, -1.25, 65504.0, 0.0, 6.1e-5], np.float16)
+    roundtrip_table(pa.table({"h": pa.array(vals, pa.float16())}))

@@ -186,3 +186,43 @@ def test_transcode_parquet_job(ray_session, tmp_path):
     # resume: nothing left to do on re-submit
     again = pipeline.transcode_parquet_job(src, out, target_block_bytes=1 << 19).to_pandas()
     assert len(again) == 0
+
+
+def test_kill_mid_run_then_resume(ray_session, tmp_path):
+    """SURVEY §5(f): SIGKILL an encode job mid-run; the re-submitted job
+    completes only the missing partitions and the result is lossless."""
+    import signal
+    import subprocess
+    import sys
+    import time as _t
+
+    path = data.cached_parquet(20_000, mean_tokens=60.0)
+    out = str(tmp_path / "enc")
+    script = f"""
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False, log_to_driver=False)
+import sys; sys.path.insert(0, "/root/repo")
+from rayenc import pipeline
+pipeline.encode_job({path!r}, {out!r}, target_block_bytes=1 << 19, concurrency=2).materialize()
+"""
+    proc = subprocess.Popen([sys.executable, "-c", script])
+    # wait until some partitions completed, then kill hard
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        done = len([f for f in os.listdir(out)]) if os.path.isdir(out) else 0
+        if done >= 4:
+            break
+        if proc.poll() is not None:
+            break  # finished before we could kill — still a valid resume test
+        _t.sleep(0.2)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    killed_done = len(pipeline.completed_pids(out))
+    total = len(pipeline.plan_partitions(path, target_block_bytes=1 << 19))
+    # resume in-process
+    summary = pipeline.encode_job(
+        path, out, target_block_bytes=1 << 19, concurrency=2
+    ).to_pandas()
+    assert len(summary) == total - killed_done
+    assert pipeline.verify_roundtrip(path, out, key="doc_id")["equal"]
