@@ -8,6 +8,10 @@ public xxhash-style 64-bit avalanche; insertion and probing are vectorized
 over the whole key batch (one scatter per word lane instead of per-key
 loops).
 
+The reference's AdaptiveBlockSplitBloomFilter sizes the filter by testing
+NDV *candidates* because it streams values; we see the whole chunk, compute
+the exact NDV, and size once — strictly subsuming the adaptive variant.
+
 Filters serialize into the partition manifest (like the reference stores
 them per column chunk) and `might_contain` powers equality-predicate
 partition skipping in the decode path.
