@@ -105,10 +105,13 @@ def run_bench(num_cpus: int) -> dict:
 
     # ---- pyarrow-parquet baseline (reference-equivalent defaults) ----
     table = pq.read_table(path)
-    t0 = time.perf_counter()
     base_path = os.path.join(out, "baseline.parquet")
-    pq.write_table(table, base_path, compression="none", use_dictionary=True)
-    t_base = time.perf_counter() - t0
+    t_base = None
+    for _ in range(3):  # best-of-3, same protocol as our encode
+        t0 = time.perf_counter()
+        pq.write_table(table, base_path, compression="none", use_dictionary=True)
+        dt = time.perf_counter() - t0
+        t_base = dt if t_base is None else min(t_base, dt)
     queries["pyarrow_baseline_write"] = t_base
     base_bytes = os.path.getsize(base_path)
     extras["baseline_tokens_per_sec"] = n_tokens / t_base
