@@ -210,6 +210,48 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+):
+    """Full near-duplicate removal: LSH candidate pairs -> connected
+    components (union-find over the pair list, which is tiny relative to the
+    corpus) -> keep the minimum id of each cluster, drop the rest. The drop
+    set broadcasts via ``ray.put`` into a vectorized filter — the documents
+    themselves never shuffle."""
+    import ray
+
+    pairs = minhash_lsh_pairs(
+        ds, text_col, id_col, threshold=threshold, **lsh_kwargs
+    ).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = ray.put(np.array(sorted(drop)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, d)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- SimHash
 
 

@@ -190,3 +190,11 @@ class TestMultimodal:
         stage = multimodal.AudioFrameSampleStage(frames=8)
         out = stage(multimodal.synthesize_media_table(3))
         assert out.num_rows == 3 and len(out.column("frames")[0]) == 8
+
+
+def test_minhash_dedup_end_to_end(docs_with_dups):
+    out = dedup.minhash_dedup(docs_with_dups, threshold=0.5).to_pandas()
+    # all 20 exact duplicates removed (originals kept), most near-dups removed
+    assert not set(range(10_000, 10_020)) & set(out.doc_id)
+    assert set(range(20)) <= set(out.doc_id)  # originals kept (min id wins)
+    assert 500 <= len(out) <= 512
