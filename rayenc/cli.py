@@ -257,10 +257,15 @@ def main(argv=None):
     v.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
+    import pyarrow as pa
+
     try:
         args.fn(args)
     except FileNotFoundError as e:
         sys.stderr.write(f"rayenc: not found: {e.filename or e}\n")
+        sys.exit(2)
+    except pa.ArrowInvalid as e:
+        sys.stderr.write(f"rayenc: invalid input: {e}\n")
         sys.exit(2)
     except IndexError:
         target = getattr(args, "dir", None)
