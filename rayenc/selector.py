@@ -59,11 +59,14 @@ def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig)
         return [override]
     ptype = col.ptype
     cands: list[str] = []
-    dict_ok = (
-        col.name not in config.disable_dictionary
-        and stats.ndv_sample_ratio < DICT_NDV_GATE
-        and stats.num_values > 0
-    )
+    dict_ok = col.name not in config.disable_dictionary and stats.num_values > 0
+    if dict_ok and stats.ndv_sample_ratio >= DICT_NDV_GATE:
+        # mostly-distinct sample: still attempt the dictionary when a Chao1
+        # NDV estimate says the table would fit the reference's 1 MiB cap
+        # (medium-NDV columns under-sample badly; the estimate recovers them)
+        est = stats.ndv_estimate
+        if est is None or est * (4 + stats.avg_len) > config.max_dict_bytes:
+            dict_ok = False
     if ptype in ("INT32", "INT64"):
         # ints always get the dictionary attempt: the sorted+delta dict page
         # is near-free, and sampled-NDV gating misjudges large vocabularies
@@ -77,9 +80,10 @@ def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig)
     elif ptype == "BINARY":
         if dict_ok:
             cands.append("RLE_DICTIONARY")
-        if config.fsst and not dict_ok:
-            # low-NDV strings are dictionary territory; training an FSST
-            # table there is wasted work (it loses to dict ids by orders)
+        if config.fsst and stats.ndv_sample_ratio >= DICT_NDV_GATE:
+            # clearly-low-NDV strings are dictionary territory; training an
+            # FSST table there is wasted work (it loses to dict ids by
+            # orders). Medium/high-NDV chunks keep both candidates.
             cands.append("FSST")
         cands += ["DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY", "PLAIN"]
     elif ptype == "FIXED_LEN_BYTE_ARRAY":

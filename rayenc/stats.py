@@ -31,6 +31,8 @@ class ChunkStats:
     ndv_sample_ratio: float = 1.0  # distinct/sampled in the first NDV_SAMPLE values
     run_count: int = 0  # number of value runs (adjacent-equal collapsed)
     is_sorted: bool = False
+    ndv_estimate: float | None = None  # Chao1 estimate (binary columns)
+    avg_len: float = 0.0  # mean value length (binary columns)
 
     def to_manifest(self) -> dict:
         mn, mx = self.min_value, self.max_value
@@ -62,22 +64,34 @@ def compute(col: PhysicalColumn) -> ChunkStats:
         stride = max(1, n // NDV_SAMPLE)
         idx = np.arange(0, n, stride)[:NDV_SAMPLE]
         raw_b = data.tobytes()
-        sample = {raw_b[offsets[i] : offsets[i + 1]] for i in idx}
-        mn = mx = None
+        from collections import Counter
+
+        counts = Counter(raw_b[offsets[i] : offsets[i + 1]] for i in idx)
+        sample = counts.keys()
+        # Chao1 lower-bound NDV estimate from sample frequency-of-frequencies:
+        # ndv_hat = d + f1^2 / (2*f2)  (f1 = singletons, f2 = doubletons)
+        d = len(counts)
+        f1 = sum(1 for c in counts.values() if c == 1)
+        f2 = sum(1 for c in counts.values() if c == 2)
+        chao = d + (f1 * f1) / (2 * f2) if f2 else (d * 2 if f1 == d else d)
+        avg_len = (int(offsets[-1] - offsets[0]) / n) if n else 0
         # min/max over the sample only for binary (exact min/max of huge
         # string chunks is not worth a full sort; manifest marks sampled)
         mn = min(sample)
         mx = max(sample)
-        return ChunkStats(
+        st = ChunkStats(
             n,
             nulls,
             raw,
             mn,
             mx,
-            ndv_sample_ratio=len(sample) / len(idx),
+            ndv_sample_ratio=d / len(idx),
             run_count=n,  # run detection for binary left to the dictionary path
             is_sorted=False,
         )
+        st.ndv_estimate = float(chao * max(1.0, n / len(idx)) if d == len(idx) else chao)
+        st.avg_len = avg_len
+        return st
     if col.ptype == "FIXED_LEN_BYTE_ARRAY":
         v = np.asarray(col.values)
         n, width = v.shape if v.ndim == 2 else (len(v), 1)
