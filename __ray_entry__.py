@@ -291,6 +291,59 @@ def _ann_topk(sf_dir: str):
     return similarity.brute_force_topk(ds, mat[sel], ids[sel], k=5)
 
 
+def _ann_ivf(sf_dir: str):
+    """IVF approximate search (k-means centroids, nprobe partition scan)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import similarity
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+    cent = similarity.train_centroids(mat, nlist=8)
+    return similarity.ivf_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        mat[ids < 5], ids[ids < 5], cent, k=5, nprobe=4,
+    )
+
+
+def _cosine_near_dups(sf_dir: str):
+    """Embedding near-duplicate pairs by centroid bucket. Random embeddings
+    have no natural near-dups, so three deterministic perturbed copies are
+    appended; the operator must recover those pairs."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import similarity
+    import numpy as np
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = similarity._to_matrix(emb.column("embedding"))
+    dup = pa.table(
+        {
+            "vec_id": pa.array([900000, 900001, 900002], pa.int64()),
+            "embedding": pa.array(
+                [(mat[i] * 1.0005).tolist() for i in range(3)],
+                emb.schema.field("embedding").type,
+            ),
+            "label": pa.array([0, 0, 0], pa.int32()),
+        }
+    )
+    merged = pa.concat_tables([emb.select(dup.column_names).cast(dup.schema), dup])
+    cent = similarity.train_centroids(mat, nlist=4)
+    ds = ray.data.from_arrow(merged)
+    return similarity.cosine_near_dup_pairs(ds, cent, threshold=0.999)
+
+
+def _minhash_dedup_q(sf_dir: str):
+    """End-to-end near-duplicate removal; returns surviving doc ids."""
+    from rayenc.ops import dedup
+
+    out = dedup.minhash_dedup(_docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.6)
+    return out.select_columns(["doc_id"])
+
+
 def _minhash_pairs(sf_dir: str):
     from rayenc.ops import dedup
 
@@ -432,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tokens_roundtrip"] = _tokens_roundtrip
     q["selector_report"] = _selector_report
     q["minhash_lsh_pairs"] = _minhash_pairs
+    q["minhash_dedup"] = _minhash_dedup_q
+    q["ann_topk_ivf"] = _ann_ivf
+    q["cosine_near_dup_pairs"] = _cosine_near_dups
     q["quality_scores_documents"] = _quality
     q["language_id_documents"] = _langid
     q["multimodal_pipeline"] = _multimodal
