@@ -425,6 +425,26 @@ def _concat_binary(offs_list, data_list):
     return offsets, np.concatenate(data_list)
 
 
+def _content_key(col: PhysicalColumn):
+    """Cheap exact-content key for intra-block chunk dedup, or None."""
+    import hashlib
+
+    if col.null_mask is not None:
+        return None
+    if col.ptype == "BINARY":
+        offsets, data = col.values
+        if len(data) > 1 << 22:  # don't hash very large string chunks
+            return None
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(offsets).tobytes())
+        h.update(np.ascontiguousarray(data).tobytes())
+        return (col.ptype, h.hexdigest())
+    v = np.ascontiguousarray(np.asarray(col.values))
+    if v.nbytes > 1 << 22:
+        return None
+    return (col.ptype, str(v.dtype), hashlib.sha256(v.tobytes()).hexdigest())
+
+
 # ------------------------------------------------------------- chunk + block
 
 
@@ -573,17 +593,40 @@ def decode_chunk(
 
 
 def encode_block(table: pa.Table, config: sel.EncodeConfig | None = None) -> tuple[bytes, dict]:
-    """Encode one Arrow table (one block / row group) -> (blob, manifest)."""
+    """Encode one Arrow table (one block / row group) -> (blob, manifest).
+
+    Identical physical columns within a block (e.g. the tokenized table's
+    ``n_tok`` == ``tokens#lengths`` invariant) are encoded once; duplicates
+    become manifest aliases."""
     config = config or sel.EncodeConfig()
     out = io.BytesIO()
     out.write(MAGIC)
     chunks = []
+    seen: dict[tuple, str] = {}
     for field in table.schema:
         for col in shred(field.name, table.column(field.name)):
+            key = _content_key(col)
+            if key is not None and key in seen:
+                chunks.append(
+                    {
+                        "name": col.name,
+                        "ptype": col.ptype,
+                        "alias": seen[key],
+                        "encoding": "ALIAS",
+                        "encoded_bytes": 0,
+                        "stats": stats_mod.compute(col).to_manifest(),
+                        "pages": [],
+                        "aux": None,
+                        "validity": None,
+                    }
+                )
+                continue
             entry = encode_chunk(col, out, config)
             if config.compression:
                 entry["compression"] = config.compression
             chunks.append(entry)
+            if key is not None:
+                seen[key] = col.name
     blob = out.getvalue()
     manifest = {
         "format": "renc1",
@@ -622,14 +665,21 @@ def decode_block(
         and len(wanted) == 1
         and all(c == next(iter(wanted)) for c, _, _ in page_predicate)
     )
+    by_name = {c["name"]: c for c in manifest["chunks"]}
     decoded: dict[str, tuple] = {}
     for entry in manifest["chunks"]:
         if wanted is not None and entry["name"].split("#")[0] not in wanted:
             continue
+        target = entry
+        if entry.get("alias"):
+            target = by_name[entry["alias"]]
+            if target["name"] in decoded:
+                decoded[entry["name"]] = decoded[target["name"]]
+                continue
         mask = None
         if allow_page_skip and "#" not in entry["name"] and entry["validity"] is None:
             mask = page_mask_for_predicate(entry, page_predicate)
-        col = decode_chunk(blob, entry, page_mask=mask)
+        col = decode_chunk(blob, target, page_mask=mask)
         decoded[entry["name"]] = (col.values, col.null_mask)
     arrays = [assemble(field, decoded) for field in schema]
     return pa.Table.from_arrays(arrays, schema=schema)

@@ -121,10 +121,18 @@ def rewrite_partition(
         for c in manifest["chunks"]
         if c["name"].split("#")[0] in drop_columns
     }
+    by_name = {c["name"]: c for c in manifest["chunks"]}
     for entry in manifest["chunks"]:
         name = entry["name"]
         base = name.split("#")[0]
         if name in dropped_phys:
+            continue
+        if entry.get("alias") and entry["alias"] in dropped_phys:
+            # the aliased source chunk is being pruned away: materialize
+            col = blocks.decode_chunk(blob, by_name[entry["alias"]])
+            col.name = name
+            new_entry = blocks.encode_chunk(col, out, EncodeConfig())
+            new_chunks.append(new_entry)
             continue
         old_name = entry.get("compression")
         old_codec = pa.Codec(old_name) if old_name else None

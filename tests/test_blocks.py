@@ -257,3 +257,20 @@ def test_empty_table_roundtrip():
 def test_float16_roundtrip():
     vals = np.array([0.5, -1.25, 65504.0, 0.0, 6.1e-5], np.float16)
     roundtrip_table(pa.table({"h": pa.array(vals, pa.float16())}))
+
+
+def test_alias_chunks_for_identical_columns():
+    """n_tok duplicates tokens#lengths in the input_hint schema: the block
+    encodes the stream once and aliases the duplicate."""
+    from rayenc import data as data_mod
+
+    table = data_mod.make_table(3000, mean_tokens=40.0)
+    blob, manifest = blocks.encode_block(table)
+    byname = {c["name"]: c for c in manifest["chunks"]}
+    assert byname["n_tok"]["encoding"] == "ALIAS"
+    assert byname["n_tok"]["alias"] == "tokens#lengths"
+    out = blocks.decode_block(blob, manifest)
+    assert out.equals(table)
+    # column-pruned decode of just the aliased column still works
+    just = blocks.decode_block(blob, manifest, columns=["n_tok"])
+    assert just.column("n_tok").to_pylist() == table.column("n_tok").to_pylist()

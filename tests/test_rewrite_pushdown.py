@@ -133,3 +133,17 @@ def test_page_level_skipping_single_column(ray_session, tmp_path):
     assert t.num_rows == 1 and t.column("k")[0].as_py() == 777_777
     rng = _read_all(out, columns=["k"], predicate=[("k", ">=", 999_000)])
     assert rng.num_rows == 1000
+
+
+def test_rewrite_materializes_alias_when_target_dropped(ray_session, tmp_path):
+    from rayenc import data as data_mod
+
+    path = str(tmp_path / "tok.parquet")
+    pq.write_table(data_mod.make_table(2000, mean_tokens=30.0), path)
+    src = str(tmp_path / "enc")
+    pipeline.encode_job(path, src, target_block_bytes=64 << 20).materialize()
+    out = str(tmp_path / "pruned")
+    rewrite.rewrite_job(src, out, drop_columns=["tokens"]).materialize()
+    t = _read_all(out)
+    want = pq.read_table(path).drop_columns(["tokens"])
+    assert t.equals(want)  # n_tok survived its dropped alias target
