@@ -119,3 +119,19 @@ def test_real_testdata_snappy_pages():
     o, d = parquet_compat.read_column_chunk(path, "l_linestatus")
     want2 = pq.read_table(path, columns=["l_linestatus"])["l_linestatus"].to_pylist()
     assert binary_array(o, d).cast(pa.string()).to_pylist() == want2
+
+
+def test_mixed_encoding_chunk_dict_fallback(tmp_path):
+    """SURVEY §7.4: the reference can emit dict-encoded pages followed by
+    plain pages in one chunk when the dictionary overflows mid-chunk
+    (lastUsedDictionarySize semantics). Our page reader must handle the mix."""
+    vals = [f"value-{i}" for i in range(50_000)]  # all distinct -> dict overflow
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(
+        pa.table({"s": pa.array(vals)}), path, compression="none",
+        use_dictionary=True, dictionary_pagesize_limit=4096, data_page_size=16384,
+    )
+    encs = pq.ParquetFile(path).metadata.row_group(0).column(0).encodings
+    assert "RLE_DICTIONARY" in encs and "PLAIN" in encs  # genuinely mixed
+    o, d = parquet_compat.read_column_chunk(path, "s")
+    assert binary_array(o, d).cast(pa.string()).to_pylist() == vals
