@@ -228,7 +228,81 @@ def _append_baseline_md(report: dict, results: dict) -> None:
         f.write("\n".join(lines))
 
 
+def run_micro() -> dict:
+    """Per-codec encode/decode MB/s — mirrors the reference's JMH micro
+    harnesses (PlainEncoding/PlainDecodingBenchmark, delta BenchMarkTest,
+    BenchmarkDeltaByteArray; SURVEY.md §6) on equivalent workloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayenc import memtune
+    from rayenc.codecs import (
+        bytestream_split, delta_bp, delta_length, delta_strings,
+        dictionary as dict_codec, fsst, plain, rle_for, rle_hybrid,
+    )
+
+    memtune.tune_process_memory()
+    rng = np.random.default_rng(0)
+    N = 2_000_000
+    sorted32 = np.cumsum(rng.integers(0, 4, N)).astype(np.int32)
+    rand32 = rng.integers(0, 50257, N).astype(np.int32)
+    floats = rng.random(N).astype(np.float32)
+    small = rng.integers(0, 8, N).astype(np.uint32)
+    strings = pa.array([f"src-{i % 40}/doc-{i:09d}" for i in range(N // 10)])
+    s_off, s_dat = dict_codec.binary_parts(strings)
+    s_sorted = pa.array(sorted(strings.to_pylist()))
+    ss_off, ss_dat = dict_codec.binary_parts(s_sorted)
+
+    def mbs(fn, nbytes, reps=3):
+        best = None
+        out = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(nbytes / best / 1e6, 1), out
+
+    results = {}
+    b = sorted32.nbytes
+    results["plain_int32_enc"], buf = mbs(lambda: plain.encode_fixed(rand32, "INT32"), b)
+    results["plain_int32_dec"], _ = mbs(lambda: plain.decode_fixed(buf, N, "INT32"), b)
+    results["delta_bp_sorted_enc"], buf = mbs(lambda: delta_bp.encode(sorted32), b)
+    results["delta_bp_sorted_dec"], _ = mbs(lambda: delta_bp.decode(buf, np.int32), b)
+    results["delta_bp_random_enc"], buf = mbs(lambda: delta_bp.encode(rand32), b)
+    results["delta_bp_random_dec"], _ = mbs(lambda: delta_bp.decode(buf, np.int32), b)
+    results["rle_for_enc"], buf = mbs(lambda: rle_for.encode(rand32), b)
+    results["rle_for_dec"], _ = mbs(lambda: rle_for.decode(buf, N, np.int32), b)
+    results["rle_hybrid_lowndv_enc"], buf = mbs(lambda: rle_hybrid.encode(small, 3), b)
+    results["rle_hybrid_lowndv_dec"], _ = mbs(lambda: rle_hybrid.decode(buf, N, 3), b)
+    results["bss_float_enc"], buf = mbs(lambda: bytestream_split.encode(floats), floats.nbytes)
+    results["bss_float_dec"], _ = mbs(
+        lambda: bytestream_split.decode(buf, N, np.float32), floats.nbytes
+    )
+    sb = int(s_off[-1])
+    results["delta_length_enc"], buf = mbs(lambda: delta_length.encode(s_off, s_dat), sb)
+    results["delta_length_dec"], _ = mbs(lambda: delta_length.decode(buf, len(strings)), sb)
+    results["delta_strings_sorted_enc"], buf = mbs(
+        lambda: delta_strings.encode(ss_off, ss_dat), sb
+    )
+    results["delta_strings_sorted_dec"], _ = mbs(
+        lambda: delta_strings.decode(buf, len(strings)), sb
+    )
+    table = fsst.train(s_off, s_dat)
+    results["fsst_enc"], pair = mbs(lambda: fsst.compress(table, s_off, s_dat), sb)
+    results["fsst_dec"], _ = mbs(lambda: fsst.decompress(table, *pair), sb)
+    return {
+        "metric": "per-codec throughput (MB/s of raw data, best of 3 warm)",
+        "value": results["delta_bp_random_enc"],
+        "unit": "MB/s",
+        "queries": results,
+    }
+
+
 def main() -> None:
+    if "--micro" in sys.argv:
+        print(json.dumps(run_micro()))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
         return

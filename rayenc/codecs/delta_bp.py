@@ -225,6 +225,7 @@ def decode(buf, out_dtype=None) -> np.ndarray:
 
     nd = n - 1
     raw = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) else buf
+    raw_b = raw.tobytes()  # python bytes: ~5x faster scalar indexing for headers
     # pass 1: cheap header walk (python touches headers only, never payloads)
     pos = i
     mins: list[int] = []
@@ -234,21 +235,22 @@ def decode(buf, out_dtype=None) -> np.ndarray:
     mb_slot: list[int] = []
     remaining = nd
     b = 0
+    mb_bytes = msize // 8
     while remaining > 0:
-        mn, pos = rzz(raw, pos)
+        mn, pos = rzz(raw_b, pos)
         mins.append(mn)
-        wrow = raw[pos : pos + miniblocks]
+        wrow = raw_b[pos : pos + miniblocks]
         pos += miniblocks
         in_block = min(block, remaining)
         mb = (in_block + msize - 1) // msize
         for m in range(mb):
-            w = int(wrow[m])
+            w = wrow[m]
             if w:
                 mb_off.append(pos)
                 mb_w.append(w)
                 mb_block.append(b)
                 mb_slot.append(m)
-                pos += msize * w // 8
+                pos += mb_bytes * w
         remaining -= in_block
         b += 1
 
