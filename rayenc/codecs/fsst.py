@@ -98,22 +98,33 @@ def _gram_keys(data: np.ndarray, ln: int) -> np.ndarray:
 
 
 def _match(table: SymbolTable, data: np.ndarray, pos_end: np.ndarray):
-    """Per position: (longest symbol length or 0, code of that symbol)."""
+    """Per position: (longest symbol length or 0, code of that symbol).
+
+    Longest lengths first; each subsequent length only examines positions
+    still unmatched (gathered grams), so the work shrinks as matches land."""
     n = len(data)
     mlen = np.zeros(n, np.uint8)
     mcode = np.zeros(n, np.uint16)
-    positions = np.arange(n, dtype=np.int64)
+    pending = np.arange(n, dtype=np.int64)
+    # one contiguous pass builds the 8-byte gram at every position; each
+    # length's gram is then just a mask of it
+    d64 = data.astype(np.uint64)
+    g8 = np.zeros(n, np.uint64)
+    for k in range(min(MAX_SYMBOL_LEN, n)):
+        g8[: n - k] |= d64[k:] << np.uint64(8 * k)
     for ln in table._lengths_desc:
-        keys, codes = table._by_len[ln]
-        unmatched = mlen == 0
-        if not unmatched.any():
+        if not len(pending):
             break
-        gk = _gram_keys(data, ln)
+        keys, codes = table._by_len[ln]
+        mask_ln = np.uint64((1 << (8 * ln)) - 1) if ln < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        gk = g8[pending] & mask_ln
         idx = np.searchsorted(keys, gk)
         idx_c = np.minimum(idx, len(keys) - 1)
-        hit = (keys[idx_c] == gk) & (positions + ln <= pos_end) & unmatched
-        mlen[hit] = ln
-        mcode[hit] = codes[idx_c[hit]]
+        hit = (keys[idx_c] == gk) & (pending + ln <= pos_end[pending])
+        hp = pending[hit]
+        mlen[hp] = ln
+        mcode[hp] = codes[idx_c[hit]]
+        pending = pending[~hit]
     return mlen, mcode
 
 
@@ -130,52 +141,33 @@ def compress(
     pos_end = np.repeat(offsets[1:], lengths)  # string end for each byte pos
     mlen, mcode = _match(table, data, pos_end)
 
-    # greedy parse by rounds: emit the k-th token of every string at round k
+    # greedy parse by rounds: round k emits the k-th token of every string,
+    # writing directly into a 2x-overallocated buffer at per-string cursors
+    # (worst case is every byte escaped), then one compaction gather
+    base = (offsets[:-1] * 2).astype(np.int64)  # per-string region start
+    big = np.empty(int(offsets[-1]) * 2, np.uint8)
+    cur = np.zeros(n, np.int64)  # bytes written per string
     frontier = offsets[:-1].copy()
     sidx = np.arange(n, dtype=np.int64)
-    tok_str: list[np.ndarray] = []
-    tok_b0: list[np.ndarray] = []
-    tok_b1: list[np.ndarray] = []
-    tok_nb: list[np.ndarray] = []
-    ends = offsets[1:].copy()
+    ends = offsets[1:]
     while len(frontier):
-        active = frontier < ends
+        active = frontier < ends[sidx]
         frontier = frontier[active]
         sidx = sidx[active]
-        ends = ends[active]
         if not len(frontier):
             break
         ml = mlen[frontier]
         is_sym = ml > 0
-        b0 = np.where(is_sym, mcode[frontier].astype(np.uint8), np.uint8(ESCAPE))
-        b1 = np.where(is_sym, np.uint8(0), data[frontier])
-        nb = np.where(is_sym, np.uint8(1), np.uint8(2))
-        tok_str.append(sidx.copy())
-        tok_b0.append(b0)
-        tok_b1.append(b1)
-        tok_nb.append(nb)
+        wpos = base[sidx] + cur[sidx]
+        big[wpos] = np.where(is_sym, mcode[frontier].astype(np.uint8), np.uint8(ESCAPE))
+        esc = ~is_sym
+        big[wpos[esc] + 1] = data[frontier[esc]]
+        cur[sidx] += np.where(is_sym, 1, 2)
         frontier = frontier + np.where(is_sym, ml.astype(np.int64), np.int64(1))
 
-    if not tok_str:
-        return np.zeros(n + 1, np.int64), np.empty(0, np.uint8)
-    all_str = np.concatenate(tok_str)
-    all_b0 = np.concatenate(tok_b0)
-    all_b1 = np.concatenate(tok_b1)
-    all_nb = np.concatenate(tok_nb).astype(np.int64)
-    order = np.argsort(all_str, kind="stable")  # rounds appended in order
-    all_str = all_str[order]
-    all_b0 = all_b0[order]
-    all_b1 = all_b1[order]
-    all_nb = all_nb[order]
-
-    out_lengths = np.bincount(all_str, weights=all_nb, minlength=n).astype(np.int64)
     out_offsets = np.zeros(n + 1, np.int64)
-    np.cumsum(out_lengths, out=out_offsets[1:])
-    out = np.empty(int(out_offsets[-1]), np.uint8)
-    tok_pos = np.cumsum(all_nb) - all_nb  # output position of each token
-    out[tok_pos] = all_b0
-    esc = all_nb == 2
-    out[tok_pos[esc] + 1] = all_b1[esc]
+    np.cumsum(cur, out=out_offsets[1:])
+    out = big[_ranges(base, cur)]
     return out_offsets, out
 
 
