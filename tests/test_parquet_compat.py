@@ -135,3 +135,25 @@ def test_mixed_encoding_chunk_dict_fallback(tmp_path):
     assert "RLE_DICTIONARY" in encs and "PLAIN" in encs  # genuinely mixed
     o, d = parquet_compat.read_column_chunk(path, "s")
     assert binary_array(o, d).cast(pa.string()).to_pylist() == vals
+
+
+def test_v2_data_pages(tmp_path):
+    """DataPageHeaderV2 layout (ColumnWriterV2.java:43-56 analog): levels
+    outside the (possibly compressed) body, counts in the header."""
+    rng = np.random.default_rng(0)
+    vals = np.sort(rng.integers(0, 10**6, 30000)).astype(np.int32)
+    p1 = str(tmp_path / "v2.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(vals)}), p1, compression="none",
+        use_dictionary=False, column_encoding={"v": "DELTA_BINARY_PACKED"},
+        data_page_version="2.0",
+    )
+    np.testing.assert_array_equal(parquet_compat.read_column_chunk(p1, "v"), vals)
+    strs = [f"s-{i % 50}" for i in range(30000)]
+    p2 = str(tmp_path / "v2s.parquet")
+    pq.write_table(
+        pa.table({"s": pa.array(strs)}), p2, compression="none",
+        use_dictionary=True, data_page_version="2.0",
+    )
+    o, d = parquet_compat.read_column_chunk(p2, "s")
+    assert binary_array(o, d).cast(pa.string()).to_pylist() == strs
