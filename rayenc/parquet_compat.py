@@ -202,10 +202,20 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
         h = read_page_header(raw, pos)
         body = raw[pos + h.header_len : pos + h.header_len + h.compressed_size]
         pos += h.header_len + h.compressed_size
-        if codec is not None and h.type != DATA_PAGE_V2:
-            body = np.frombuffer(
-                codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
-            )
+        if codec is not None:
+            if h.type == DATA_PAGE_V2:
+                # V2: rep/def levels sit uncompressed before the compressed body
+                lv = h.v2_rep_bytes + h.v2_def_bytes
+                payload = codec.decompress(
+                    body[lv:].tobytes(), h.uncompressed_size - lv
+                )
+                body = np.concatenate(
+                    [body[:lv], np.frombuffer(payload, np.uint8)]
+                )
+            else:
+                body = np.frombuffer(
+                    codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
+                )
         if h.type == DICTIONARY_PAGE:
             dictionary = _decode_plain(body, h.num_values, ptype)
             continue

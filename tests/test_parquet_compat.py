@@ -157,3 +157,15 @@ def test_v2_data_pages(tmp_path):
     )
     o, d = parquet_compat.read_column_chunk(p2, "s")
     assert binary_array(o, d).cast(pa.string()).to_pylist() == strs
+
+
+def test_v2_compressed_pages(tmp_path):
+    """V2 + codec: levels uncompressed, body compressed (is_compressed flag)."""
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 10**6, 30000).astype(np.int64)
+    p = str(tmp_path / "v2c.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(vals)}), p, compression="snappy",
+        use_dictionary=True, data_page_version="2.0",
+    )
+    np.testing.assert_array_equal(parquet_compat.read_column_chunk(p, "v"), vals)
