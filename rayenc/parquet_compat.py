@@ -179,6 +179,7 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
     cmeta = meta.column(col_idx)
     schema_col = f.schema.column(col_idx)
     max_def = schema_col.max_definition_level
+    type_length = getattr(schema_col, "length", 0) or 0
     codec = None
     if cmeta.compression != "UNCOMPRESSED":
         import pyarrow as pa
@@ -217,7 +218,7 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
                     codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
                 )
         if h.type == DICTIONARY_PAGE:
-            dictionary = _decode_plain(body, h.num_values, ptype)
+            dictionary = _decode_plain(body, h.num_values, ptype, type_length)
             continue
         if h.type == DATA_PAGE:
             # V1 layout: [def levels: RLE with 4-byte length frame][values];
@@ -228,33 +229,37 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
                 assert levels.all(), "conformance fixtures are non-null"
                 body_v = body[consumed:]
             out_parts.append(
-                _decode_values(body_v, h.num_values, h.encoding, ptype, dictionary)
+                _decode_values(body_v, h.num_values, h.encoding, ptype, dictionary, type_length)
             )
         elif h.type == DATA_PAGE_V2:
             body_v = body[h.v2_rep_bytes + h.v2_def_bytes :]
             out_parts.append(
-                _decode_values(body_v, h.num_values, h.encoding, ptype, dictionary)
+                _decode_values(body_v, h.num_values, h.encoding, ptype, dictionary, type_length)
             )
         remaining -= h.num_values
     return _concat_parts(out_parts, ptype)
 
 
-def _decode_plain(body, n, ptype):
+def _decode_plain(body, n, ptype, type_length=0):
     if ptype in _PHYS:
         return plain.decode_fixed(body, n, ptype)
     if ptype == "BYTE_ARRAY":
         return plain.decode_binary(body, n)
     if ptype == "BOOLEAN":
         return plain.decode_boolean(body, n)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        return plain.decode_fixed_len(body, n, type_length)
     raise NotImplementedError(ptype)
 
 
-def _decode_values(body, n, encoding, ptype, dictionary):
+def _decode_values(body, n, encoding, ptype, dictionary, type_length=0):
     if encoding == PLAIN:
-        return _decode_plain(body, n, ptype)
+        return _decode_plain(body, n, ptype, type_length)
     if encoding in (PLAIN_DICTIONARY, RLE_DICTIONARY):
         width = int(body[0])
         ids = rle_hybrid.decode(body[1:], n, width)
+        if ptype == "FIXED_LEN_BYTE_ARRAY":
+            return dictionary[ids]
         if ptype == "BYTE_ARRAY":
             d_off, d_dat = dictionary
             lengths = np.diff(d_off)[ids]
@@ -270,7 +275,10 @@ def _decode_values(body, n, encoding, ptype, dictionary):
     if encoding == DELTA_LENGTH_BYTE_ARRAY:
         return delta_length.decode(body, n)
     if encoding == DELTA_BYTE_ARRAY:
-        return delta_strings.decode(body, n)
+        o, d = delta_strings.decode(body, n)
+        if ptype == "FIXED_LEN_BYTE_ARRAY":
+            return d.reshape(n, type_length)
+        return o, d
     if encoding == BYTE_STREAM_SPLIT:
         dt = {"FLOAT": np.float32, "DOUBLE": np.float64, "INT32": np.int32, "INT64": np.int64}[ptype]
         return bytestream_split.decode(body, n, dt)
@@ -278,6 +286,8 @@ def _decode_values(body, n, encoding, ptype, dictionary):
 
 
 def _concat_parts(parts, ptype):
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
     if ptype == "BYTE_ARRAY":
         offs_list = [p[0] for p in parts]
         data_list = [p[1] for p in parts]

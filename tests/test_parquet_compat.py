@@ -169,3 +169,26 @@ def test_v2_compressed_pages(tmp_path):
         use_dictionary=True, data_page_version="2.0",
     )
     np.testing.assert_array_equal(parquet_compat.read_column_chunk(p, "v"), vals)
+
+
+def test_flba_and_decimal_chunks(tmp_path):
+    rng = np.random.default_rng(2)
+    vals = [bytes(rng.integers(0, 8, 16).tolist()) for _ in range(5000)]
+    p1 = str(tmp_path / "flba.parquet")
+    pq.write_table(
+        pa.table({"f": pa.array(vals, pa.binary(16))}), p1,
+        compression="none", use_dictionary=True,
+    )
+    got = parquet_compat.read_column_chunk(p1, "f")
+    assert [bytes(r) for r in got] == vals
+    import decimal
+
+    decs = [decimal.Decimal(f"{i}.{i % 100:02d}") for i in range(5000)]
+    p2 = str(tmp_path / "dec.parquet")
+    pq.write_table(
+        pa.table({"d": pa.array(decs, pa.decimal128(12, 2))}), p2,
+        compression="none", use_dictionary=False,
+    )
+    got2 = parquet_compat.read_column_chunk(p2, "d")
+    # parquet decimal-over-FLBA is big-endian two's complement of the scaled int
+    assert int.from_bytes(bytes(got2[7]), "big", signed=True) == 707
