@@ -199,6 +199,7 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
     remaining = cmeta.num_values
     dictionary = None
     out_parts = []
+    level_parts = []
     while remaining > 0 and pos < len(raw):
         h = read_page_header(raw, pos)
         body = raw[pos + h.header_len : pos + h.header_len + h.compressed_size]
@@ -224,20 +225,36 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
             # V1 layout: [def levels: RLE with 4-byte length frame][values];
             # REQUIRED columns (max_def == 0) omit levels entirely
             body_v = body
+            nvals = h.num_values
             if max_def > 0 and h.def_level_encoding == RLE:
                 levels, consumed = rle_hybrid.decode_framed(body, h.num_values, 1)
-                assert levels.all(), "conformance fixtures are non-null"
+                level_parts.append(levels)
+                nvals = int(levels.sum())  # nulls hold no value slot
                 body_v = body[consumed:]
             out_parts.append(
-                _decode_values(body_v, h.num_values, h.encoding, ptype, dictionary, type_length)
+                _decode_values(body_v, nvals, h.encoding, ptype, dictionary, type_length)
             )
         elif h.type == DATA_PAGE_V2:
+            nvals = h.num_values
+            if max_def > 0 and h.v2_def_bytes:
+                levels = rle_hybrid.decode(
+                    body[h.v2_rep_bytes : h.v2_rep_bytes + h.v2_def_bytes],
+                    h.num_values,
+                    1,
+                )
+                level_parts.append(levels)
+                nvals = int(levels.sum())
             body_v = body[h.v2_rep_bytes + h.v2_def_bytes :]
             out_parts.append(
-                _decode_values(body_v, h.num_values, h.encoding, ptype, dictionary, type_length)
+                _decode_values(body_v, nvals, h.encoding, ptype, dictionary, type_length)
             )
         remaining -= h.num_values
-    return _concat_parts(out_parts, ptype)
+    values = _concat_parts(out_parts, ptype)
+    if level_parts:
+        levels = np.concatenate(level_parts)
+        if not levels.all():
+            return values, levels.astype(bool)  # (dense values, validity)
+    return values
 
 
 def _decode_plain(body, n, ptype, type_length=0):

@@ -192,3 +192,29 @@ def test_flba_and_decimal_chunks(tmp_path):
     got2 = parquet_compat.read_column_chunk(p2, "d")
     # parquet decimal-over-FLBA is big-endian two's complement of the scaled int
     assert int.from_bytes(bytes(got2[7]), "big", signed=True) == 707
+
+
+def test_nullable_column_chunks(tmp_path):
+    """Def levels with real nulls: reader returns (dense values, validity)."""
+    vals = [1, None, 3, None, 5] * 1000
+    p = str(tmp_path / "nulls.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(vals, pa.int64())}), p,
+        compression="none", use_dictionary=False,
+    )
+    dense, valid = parquet_compat.read_column_chunk(p, "v")
+    assert len(dense) == 3000 and valid.sum() == 3000
+    restored = np.full(len(valid), -1, np.int64)
+    restored[valid] = dense
+    want = np.array([v if v is not None else -1 for v in vals])
+    np.testing.assert_array_equal(restored, want)
+    # V2 pages too
+    p2 = str(tmp_path / "nulls2.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array(vals, pa.int64())}), p2,
+        compression="none", use_dictionary=True, data_page_version="2.0",
+    )
+    dense2, valid2 = parquet_compat.read_column_chunk(p2, "v")
+    restored2 = np.full(len(valid2), -1, np.int64)
+    restored2[valid2] = dense2
+    np.testing.assert_array_equal(restored2, want)
