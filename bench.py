@@ -12,9 +12,10 @@ Prints ONE JSON line:
    "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N, ...extras}
 
   python bench.py                 # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling       # same job at num_cpus=8 and 32 in fresh
-                                  # processes; prints both + efficiency and
-                                  # appends the result to BASELINE.md
+  python bench.py --scaling       # same job at num_cpus in {1,4,8,32}, each a
+                                  # fresh process/Ray session; prints N->4N
+                                  # efficiencies and appends to BASELINE.md
+  python bench.py --micro         # per-codec encode/decode MB/s table
 """
 
 from __future__ import annotations
@@ -148,7 +149,7 @@ SCALING_CPUS = (1, 4, 8, 32)
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes -> scaling efficiency.
 
-    Two pairs are reported: (2 -> 8), where this single-host sandbox still has
+    Two pairs are reported: (1 -> 4), where this single-host sandbox still has
     memory headroom and scaling reflects the design, and (8 -> 32), where the
     shared memory/fault path of the one box saturates (a real 4N-node cluster
     brings 4x the memory bandwidth; see BASELINE.md)."""
