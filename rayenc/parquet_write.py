@@ -10,9 +10,10 @@ and the file carries the `PAR1` magic framing
 and DuckDB — independent-reader proof that our encoded bytes are
 format-true.
 
-Supported: flat required INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/BOOLEAN columns
-and non-null list<primitive> (the tokenized-table shape); one row group per
-call site decision.
+Supported: flat INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/BOOLEAN/
+FIXED_LEN_BYTE_ARRAY(+DECIMAL) columns (required or optional) and non-null
+list<primitive> (the tokenized-table shape); one row group per call site
+decision.
 """
 
 from __future__ import annotations
@@ -32,10 +33,14 @@ MAGIC = b"PAR1"
 
 def _converted_type(t: "pa.DataType"):
     """ConvertedType enum for logical annotations we emit
-    (LogicalTypeAnnotation.java equivalents): UTF8=0, DATE=6,
-    TIMESTAMP_MILLIS=9, TIMESTAMP_MICROS=10."""
+    (LogicalTypeAnnotation.java equivalents): UTF8=0, DECIMAL=5, DATE=6,
+    TIMESTAMP_MILLIS=9, TIMESTAMP_MICROS=10. Plain binary columns stay
+    unannotated — stamping UTF8 on them would surface arbitrary payloads as
+    strings in independent readers."""
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return 0
+    if pa.types.is_decimal(t):
+        return 5
     if pa.types.is_date32(t):
         return 6
     return None
@@ -74,6 +79,7 @@ _PARQUET_TYPE = {
     "FLOAT": T_FLOAT,
     "DOUBLE": T_DOUBLE,
     "BINARY": T_BYTE_ARRAY,
+    "FIXED_LEN_BYTE_ARRAY": T_FLBA,
 }
 _ENC_CODE = {
     "PLAIN": ENC_PLAIN,
@@ -206,6 +212,7 @@ class _Column:
         self.dict_offset = None
         self.data_offset = None
         self.total_bytes = 0
+        self.type_length = None  # FIXED_LEN_BYTE_ARRAY width
 
 
 def _levels_payload(levels: np.ndarray | None, width: int) -> bytes:
@@ -247,19 +254,38 @@ def _encode_column_pages(
         np.cumsum((def_levels == max_def).astype(np.int64), out=vprefix[1:])
         ranges = [(int(vprefix[a]), int(vprefix[b])) for a, b in slot_ranges]
 
+    meta.start_offset = len(out)
+    if col.num_values == 0 and def_levels is None:
+        # zero-row chunk: no data pages; data_offset must still be valid
+        meta.encodings.add(ENC_PLAIN)
+        meta.data_offset = meta.start_offset
+        return
+
     st = stats_mod.compute(col)
     cands = []
     for enc_name in sel.candidates_for(col, st, cfg):
         if enc_name not in PARQUET_LEGAL:
             continue
+        if (
+            col.ptype == "FIXED_LEN_BYTE_ARRAY"
+            and enc_name in ("BYTE_STREAM_SPLIT", "DELTA_BYTE_ARRAY")
+        ):
+            # spec-legal for FLBA but common readers (DuckDB) only accept
+            # BSS for FLOAT/DOUBLE and DELTA_BYTE_ARRAY for BYTE_ARRAY —
+            # keep output widely readable
+            continue
         cand = _plan_candidate(col, enc_name, ranges, cfg)
         if cand is not None:
             cands.append(cand)
-    cands.sort(key=lambda c: c.size)
+    # V1 RLE data pages (BOOLEAN) carry a 4-byte LE length prefix per page
+    # (RunLengthBitPackingHybridValuesWriter.getBytes) — count it in the
+    # size comparison so RLE only wins when it wins framed.
+    cands.sort(key=lambda c: c.size + (4 * len(ranges) if c.encoding == "RLE" else 0))
     best = cands[0]
     aux, pages = best.emit()
+    if best.encoding == "RLE":
+        pages = [len(p).to_bytes(4, "little") + p for p in pages]
 
-    meta.start_offset = len(out)
     if best.encoding == "RLE_DICTIONARY":
         # emit the dictionary page in parquet shape (PLAIN keys in
         # first-occurrence order — parquet-java semantics, not our sorted
@@ -301,6 +327,8 @@ def _encode_column_pages(
         out += hdr
         out += body
         meta.num_values += nv
+    if meta.data_offset is None:
+        meta.data_offset = meta.start_offset
     meta.total_bytes = len(out) - meta.start_offset
 
 
@@ -337,12 +365,23 @@ def _write_row_group(
                 rep_levels=rep, def_levels=deflev, max_rep=1, max_def=1,
             )
             meta._list_field = field  # type: ignore[attr-defined]
-            meta._converted = None  # type: ignore[attr-defined]
+            meta._converted = _converted_type(t.value_type)  # type: ignore[attr-defined]
             meta._logical = None  # type: ignore[attr-defined]
             meta._optional = False  # type: ignore[attr-defined]
+            meta._decimal = None  # type: ignore[attr-defined]
             columns.append(meta)
         else:
             col = shred(field.name, arr)[0]
+            if col.ptype == "FIXED_LEN_BYTE_ARRAY" and pa.types.is_decimal(t):
+                # arrow decimal storage is little-endian full-width; parquet
+                # DECIMAL over FLBA is big-endian two's complement at the
+                # *minimal* length for the precision (parquet-mr / pyarrow
+                # convention; wider lengths trip DuckDB's decimal reader)
+                be = np.asarray(col.values)[:, ::-1]
+                L = 1
+                while 10 ** t.precision > 2 ** (8 * L - 1):
+                    L += 1
+                col.values = np.ascontiguousarray(be[:, be.shape[1] - L :])
             optional = col.null_mask is not None
             if optional:
                 deflev = (~col.null_mask).astype(np.uint32)
@@ -353,10 +392,15 @@ def _write_row_group(
             else:
                 meta = _Column([field.name], col.ptype, 0, 0)
                 _encode_column_pages(col, out, meta, config)
+            if col.ptype == "FIXED_LEN_BYTE_ARRAY":
+                meta.type_length = int(np.asarray(col.values).shape[1])
             meta._list_field = None  # type: ignore[attr-defined]
             meta._converted = _converted_type(t)  # type: ignore[attr-defined]
             meta._logical = _logical_type(t)  # type: ignore[attr-defined]
             meta._optional = optional  # type: ignore[attr-defined]
+            meta._decimal = (  # type: ignore[attr-defined]
+                (t.precision, t.scale) if pa.types.is_decimal(t) else None
+            )
             columns.append(meta)
     return columns
 
@@ -402,11 +446,18 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
         if meta._list_field is not None:
             body.append({"name": meta.path[0], "rep": 0, "children": 1, "converted": 3})  # LIST
             body.append({"name": "list", "rep": 2, "children": 1})
-            body.append(leaf_elem("element", meta.ptype, 0))
-        else:
-            e = leaf_elem(meta.path[0], meta.ptype, 1 if meta._optional else 0)
+            e = leaf_elem("element", meta.ptype, 0)
             if getattr(meta, "_converted", None) is not None:
                 e["converted"] = meta._converted
+            body.append(e)
+        else:
+            e = leaf_elem(meta.path[0], meta.ptype, 1 if meta._optional else 0)
+            if meta.type_length is not None:
+                e["type_length"] = meta.type_length
+            if getattr(meta, "_converted", None) is not None:
+                e["converted"] = meta._converted
+            if getattr(meta, "_decimal", None) is not None:
+                e["precision"], e["scale"] = meta._decimal
             if getattr(meta, "_logical", None) is not None:
                 e["logical"] = meta._logical
             body.append(e)
@@ -417,6 +468,8 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
         ew = _W()
         if "type" in e:
             ew.i(1, e["type"])
+        if "type_length" in e:
+            ew.i(2, e["type_length"])
         if "rep" in e:
             ew.i(3, e["rep"])
         ew.string(4, e["name"])
@@ -424,8 +477,9 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
             ew.i(5, e["children"])
         if e.get("converted") is not None:
             ew.i(6, e["converted"])
-        elif "type" in e and e["type"] == T_BYTE_ARRAY:
-            ew.i(6, 0)  # UTF8
+        if "scale" in e:
+            ew.i(7, e["scale"])
+            ew.i(8, e["precision"])
         if e.get("logical") is not None:
             e["logical"](ew)
         w.out += ew.stop()

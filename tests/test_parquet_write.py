@@ -132,3 +132,61 @@ def test_multiple_row_groups(tmp_path):
     assert duckdb.connect().execute(
         f"SELECT COUNT(*) FROM read_parquet('{path}')"
     ).fetchone()[0] == 50_000
+
+
+def test_run_heavy_boolean_rle(tmp_path):
+    # V1 RLE data pages need the 4-byte LE length prefix
+    # (RunLengthBitPackingHybridValuesWriter.getBytes)
+    table = pa.table({"b": pa.array(np.repeat([True, False], 5000))})
+    path = str(tmp_path / "b.parquet")
+    parquet_write.write_table(table, path)
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert "RLE" in md.encodings
+    assert pq.read_table(path).column("b").to_pylist() == table.column("b").to_pylist()
+    import duckdb
+
+    assert duckdb.sql(f"SELECT SUM(b::int) FROM '{path}'").fetchone()[0] == 5000
+
+
+def test_binary_column_stays_binary(tmp_path):
+    # UTF8 annotation must only go on string fields, not raw binary
+    table = pa.table({"raw": pa.array([b"\xff\x00\x01", b"abc", b"\x80\x81"], pa.binary())})
+    path = str(tmp_path / "bin.parquet")
+    parquet_write.write_table(table, path)
+    got = pq.read_table(path)
+    assert pa.types.is_binary(got.schema.field("raw").type) or pa.types.is_large_binary(
+        got.schema.field("raw").type
+    )
+    assert got.column("raw").to_pylist() == table.column("raw").to_pylist()
+
+
+def test_zero_row_table(tmp_path):
+    table = pa.table({"x": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    path = str(tmp_path / "empty.parquet")
+    parquet_write.write_table(table, path)
+    got = pq.read_table(path)
+    assert got.num_rows == 0
+    assert got.column_names == ["x", "s"]
+
+
+def test_decimal_and_fixed_len(tmp_path):
+    import decimal
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    vals = [decimal.Decimal(int(v)).scaleb(-2) for v in rng.integers(-10**8, 10**8, 300)]
+    vals[5] = None
+    table = pa.table(
+        {
+            "d": pa.array(vals, pa.decimal128(12, 2)),
+            "f": pa.array([bytes([65 + i % 26] * 4) for i in range(300)], pa.binary(4)),
+        }
+    )
+    path = str(tmp_path / "dec.parquet")
+    parquet_write.write_table(table, path)
+    got = pq.read_table(path)
+    assert got.column("d").to_pylist() == vals
+    assert got.column("f").to_pylist() == table.column("f").to_pylist()
+    cnt, mx = duckdb.sql(f"SELECT COUNT(d), MAX(d) FROM '{path}'").fetchone()
+    assert cnt == 299
+    assert mx == max(v for v in vals if v is not None)
