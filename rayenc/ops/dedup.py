@@ -2,10 +2,14 @@
 embedding cosine) — Ray-Data-first.
 
 Partitioning notes (the judge-visible scale contract):
-- exact/fingerprint dedup: one ``groupby(hash)`` shuffle keyed on a 64-bit
-  content hash; the per-group reducer keeps the minimum id. At 100 TB the
-  hash key is uniform, so no skew; pre-hashing in ``map_batches`` keeps the
-  shuffled payload to (hash, id) pairs — never the documents themselves.
+- exact/fingerprint dedup: the corpus is first projected to (hash, id) pairs
+  in ``map_batches`` (``hash_id_pairs``), so the one ``groupby(hash)``
+  shuffle moves 16 bytes/doc — never the documents. The drop set (ids of
+  *removed* docs only) broadcasts via ``ray.put`` into a vectorized
+  anti-filter over the streaming original.
+- connected components for near-dup clusters run distributed (hash-to-min
+  over the pair Dataset, O(log n) id-pair shuffles); the driver never holds
+  the pair list.
 - MinHash/SimHash candidate generation: signatures are computed vectorized
   per batch; only (bucket_key, doc_id) pairs shuffle. Bucket sizes are
   bounded by banding parameters, so ``groupby(bucket)`` groups stay small;
@@ -17,9 +21,13 @@ Partitioning notes (the judge-visible scale contract):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+log = logging.getLogger("rayenc.ops.dedup")
 
 # 64-bit mixing constants (splitmix64 / murmur finalizer — public domain)
 _M1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -68,25 +76,56 @@ def hash_strings(arr: pa.Array) -> np.ndarray:
     return _mix64(sums ^ _mix64(lengths.astype(np.uint64)))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep one row (min id) per distinct text. hash-partition + per-group
-    first — the content hash, not the text, is the shuffle key."""
+def hash_id_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Project each document to its (content hash, id) pair — the ONLY thing
+    exact dedup ever shuffles. Exposed so tests can assert the shuffled
+    intermediate carries no text column."""
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def pairs(batch: pa.Table) -> pa.Table:
         h = hash_strings(batch.column(text_col))
-        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+        col = batch.column(id_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"__h": pa.array(h.astype(np.int64)), id_col: col})
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        idx = pc.index(
-            group.column(id_col), pc.min(group.column(id_col))
-        ).as_py()
-        return group.take([idx]).drop_columns(["__h"])
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row (min id) per distinct text.
+
+    Scale shape: the shuffle moves only (hash, id) pairs, never the
+    documents. Per hash group the non-minimum ids form the drop set, which is
+    proportional to the number of *duplicate* documents (usually a small
+    fraction of the corpus); it broadcasts once via ``ray.put`` into a
+    vectorized anti-filter over the original dataset."""
+    import ray
+
+    def losers(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        keep = pc.not_equal(ids, pc.min(ids))
+        return group.filter(keep).select([id_col])
+
+    drop_parts = [
+        ray.get(r)
+        for r in hash_id_pairs(ds, text_col, id_col)
         .groupby("__h")
-        .map_groups(keep_first, batch_format="pyarrow")
-    )
+        .map_groups(losers, batch_format="pyarrow")
+        .to_arrow_refs()
+    ]
+    drop_ids = pa.concat_tables([p for p in drop_parts if p.num_rows]) if any(
+        p.num_rows for p in drop_parts
+    ) else None
+    if drop_ids is None:
+        return ds
+    drop_ref = ray.put(drop_ids.column(id_col).combine_chunks())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ MinHash + LSH
@@ -94,22 +133,42 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def _shingle_hashes(offsets: np.ndarray, data: np.ndarray, k: int = 5):
     """Rolling 64-bit hashes of all k-byte shingles, with per-position string
-    ids (shingles never cross document boundaries)."""
+    ids (shingles never cross document boundaries).
+
+    Documents shorter than ``k`` bytes would otherwise produce zero shingles
+    (leaving every short doc with an identical all-sentinel MinHash / all-zero
+    SimHash — silent dedup of *distinct* short docs); they fall back to one
+    shingle hashing the whole string + its length."""
     n = len(offsets) - 1
     lengths = np.diff(offsets)
-    total = len(data)
-    if total == 0 or n == 0:
+    if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    # hash k-gram at each position via packed window (k<=8 packs in uint64)
+    total = len(data)
     acc = np.zeros(total, np.uint64)
-    d = data.astype(np.uint64)
-    for j in range(min(k, 8)):
-        acc[: total - j] |= d[j:] << np.uint64(8 * j)
-    acc = _mix64(acc)
+    if total:
+        # hash k-gram at each position via packed window (k<=8 packs in uint64)
+        d = data.astype(np.uint64)
+        for j in range(min(k, 8)):
+            acc[: total - j] |= d[j:] << np.uint64(8 * j)
+        acc = _mix64(acc)
     str_id = np.repeat(np.arange(n), lengths)
     end = np.repeat(offsets[1:], lengths)
     valid = np.arange(total) + k <= end
-    return acc[valid], str_id[valid]
+    sh, sid = acc[valid], str_id[valid]
+    short = np.flatnonzero(lengths < k)
+    if len(short):
+        whole = np.zeros(len(short), np.uint64)
+        for j in range(k):
+            has = lengths[short] > j
+            if not has.any():
+                break
+            whole[has] |= data[offsets[short[has]] + j].astype(np.uint64) << np.uint64(
+                8 * j
+            )
+        whole = _mix64(whole ^ _mix64(lengths[short].astype(np.uint64)))
+        sh = np.concatenate([sh, whole])
+        sid = np.concatenate([sid, short])
+    return sh, sid
 
 
 def minhash_signatures(
@@ -149,6 +208,8 @@ def minhash_lsh_pairs(
     (id_a, id_b, est_jaccard) with id_a < id_b."""
     rows = num_hashes // bands
 
+    sig_width = num_hashes * 8
+
     def sigs(batch: pa.Table):
         sig = minhash_signatures(batch.column(text_col), num_hashes, k)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -162,14 +223,17 @@ def minhash_lsh_pairs(
                 for r in range(rows):
                     acc = _mix64(acc ^ chunk[:, r])
                 band_keys[:, bnd] = _mix64(acc + np.uint64(bnd))
-        sig_bytes = [sig[i].tobytes() for i in range(n)]
+        # signatures ship as one fixed-size-binary array built straight off
+        # the (n, num_hashes) matrix buffer — no per-row python loop
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(sig_width), n, [None, pa.py_buffer(np.ascontiguousarray(sig))]
+        )
+        rep = pa.array(np.repeat(np.arange(n), bands))
         return pa.table(
             {
                 "bucket": pa.array(band_keys.reshape(-1).astype(np.int64)),
                 id_col: pa.array(np.repeat(ids, bands)),
-                "sig": pa.array(
-                    [sig_bytes[i] for i in range(n) for _ in range(bands)], pa.binary()
-                ),
+                "sig": sig_arr.take(rep),
             }
         )
 
@@ -181,9 +245,25 @@ def minhash_lsh_pairs(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "est_jaccard": pa.array([], pa.float64())}
             )
+        if len(uniq) > max_bucket:
+            # a hot bucket (boilerplate text) is truncated like a salted hot
+            # key — never silently: the dropped count is the recall debt
+            log.warning(
+                "minhash LSH bucket truncated: %d docs > max_bucket=%d "
+                "(%d docs not compared in this bucket)",
+                len(uniq), max_bucket, len(uniq) - max_bucket,
+            )
         take = first_idx[np.argsort(uniq)][:max_bucket]
-        sigs_np = np.stack(
-            [np.frombuffer(group.column("sig")[int(i)].as_py(), np.uint64) for i in take]
+        sig_col = group.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sub = sig_col.take(pa.array(take))
+        buf = np.frombuffer(sub.buffers()[1], np.uint8)
+        start = sub.offset * sig_width
+        sigs_np = (
+            buf[start : start + len(sub) * sig_width]
+            .view(np.uint64)
+            .reshape(len(sub), num_hashes)
         )
         sel_ids = ids[take]
         m = len(take)
@@ -210,6 +290,67 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_component_edges(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                              max_rounds: int = 50):
+    """Distributed connected components over a candidate-pair edge Dataset via
+    hash-to-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce"): each round every node's group learns the
+    minimum id it is connected to and re-emits (min, member) edges, converging
+    in O(log n) small shuffles of id pairs. Nothing but id pairs ever moves;
+    the corpus is never touched. Returns the converged edge Dataset where
+    every edge is (component_min, member)."""
+
+    def to_uv(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column(id_a), "v": batch.column(id_b)})
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks() if isinstance(
+            batch.column("u"), pa.ChunkedArray) else batch.column("u")
+        v = batch.column("v").combine_chunks() if isinstance(
+            batch.column("v"), pa.ChunkedArray) else batch.column("v")
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    def star(group: pa.Table) -> pa.Table:
+        v = group.column("v").combine_chunks() if isinstance(
+            group.column("v"), pa.ChunkedArray) else group.column("v")
+        self_node = group.column("u")[0:1]
+        if isinstance(self_node, pa.ChunkedArray):
+            self_node = self_node.combine_chunks()
+        nodes = pc.unique(pa.concat_arrays([v, self_node]))
+        m = pc.min(nodes)
+        members = nodes.filter(pc.not_equal(nodes, m))
+        root = pa.array([m.as_py()] * len(members), nodes.type)
+        return pa.table({"u": root, "v": members})
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        hu = hash_strings(pc.cast(batch.column("u"), pa.large_string()))
+        hv = hash_strings(pc.cast(batch.column("v"), pa.large_string()))
+        with np.errstate(over="ignore"):
+            s = int(_mix64(hu * np.uint64(3) + hv).sum(dtype=np.uint64))
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                         "s": pa.array([s - (1 << 63)], pa.int64())})
+
+    edges = pairs.map_batches(to_uv, batch_format="pyarrow").materialize()
+    prev = None
+    for _ in range(max_rounds):
+        edges = (
+            edges.map_batches(sym, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(star, batch_format="pyarrow")
+            .materialize()
+        )
+        sig = edges.map_batches(checksum, batch_format="pyarrow").to_pandas()
+        state = (int(sig["n"].sum()), int(sig["s"].sum()))
+        if state == prev:
+            break
+        prev = state
+    else:
+        log.warning("connected components did not converge in %d rounds", max_rounds)
+    return edges
+
+
 def minhash_dedup(
     ds,
     text_col: str = "text",
@@ -217,37 +358,30 @@ def minhash_dedup(
     threshold: float = 0.8,
     **lsh_kwargs,
 ):
-    """Full near-duplicate removal: LSH candidate pairs -> connected
-    components (union-find over the pair list, which is tiny relative to the
-    corpus) -> keep the minimum id of each cluster, drop the rest. The drop
-    set broadcasts via ``ray.put`` into a vectorized filter — the documents
-    themselves never shuffle."""
+    """Full near-duplicate removal: LSH candidate pairs -> distributed
+    connected components (hash-to-min label propagation over the pair
+    Dataset — no driver-side union-find or pair materialization) -> keep the
+    minimum id of each cluster, drop the rest. Only the final drop set (one
+    id per *removed* document) is pulled to the driver and broadcast via
+    ``ray.put`` into a vectorized filter — the documents themselves never
+    shuffle."""
     import ray
 
-    pairs = minhash_lsh_pairs(
-        ds, text_col, id_col, threshold=threshold, **lsh_kwargs
-    ).to_pandas()
-
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs.id_a, pairs.id_b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    drop = {x for x in parent if find(x) != x}
-    drop_ref = ray.put(np.array(sorted(drop)))
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **lsh_kwargs)
+    edges = connected_component_edges(pairs)
+    drop_parts = [
+        ray.get(r) for r in edges.select_columns(["v"]).to_arrow_refs()
+    ]
+    drop_parts = [p for p in drop_parts if p.num_rows]
+    if not drop_parts:
+        return ds
+    drop = pc.unique(pa.concat_tables(drop_parts).column("v").combine_chunks())
+    drop_ref = ray.put(drop)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, d)
-        return batch.filter(pa.array(mask))
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
+        return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -300,8 +434,15 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming: int = 3
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "hamming": pa.array([], pa.int64())}
         )
-        if m < 2 or m > 256:
+        if m < 2:
             return empty
+        if m > 256:
+            log.warning(
+                "simhash bucket truncated: %d docs > 256 (%d docs not compared)",
+                m, m - 256,
+            )
+            ids, sims = ids[:256], sims[:256]
+            m = 256
         ia, ib = np.triu_indices(m, 1)
         x = sims[ia] ^ sims[ib]
         ham = np.zeros(len(x), np.int64)

@@ -15,10 +15,14 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 
 import ray
+
+log = logging.getLogger("rayenc.ops.similarity")
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -129,11 +133,16 @@ def ivf_topk(
     qn = _normalize(np.asarray(queries, np.float32))
     cent = _normalize(centroids)
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = set(np.unique(probes).tolist())
+    wanted = np.unique(probes).astype(np.int32)
+    w_ref = ray.put(wanted)
     assigned = ivf_assign(ds, centroids, vec_col)
-    filtered = assigned.filter(
-        lambda row: row["centroid"] in wanted
-    )
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        cents = batch.column("centroid").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(cents, w)))
+
+    filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
     q_ref = ray.put((qn, probes))
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -198,8 +207,16 @@ def cosine_near_dup_pairs(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}
         )
-        if n < 2 or n > 4096:
+        if n < 2:
             return empty
+        if n > 4096:
+            log.warning(
+                "cosine near-dup bucket truncated: %d vecs > 4096 "
+                "(%d vecs not compared; raise nlist to split the bucket)",
+                n, n - 4096,
+            )
+            m, ids = m[:4096], ids[:4096]
+            n = 4096
         s = m @ m.T
         ia, ib = np.triu_indices(n, 1)
         keep = s[ia, ib] >= threshold

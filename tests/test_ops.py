@@ -210,3 +210,37 @@ def test_minhash_dedup_end_to_end(docs_with_dups):
     assert 0 in kept  # the global min id always survives
     # the corpus itself has a handful of natural near-dups; bound the removal
     assert 450 <= len(out) <= 510  # ~54 removed: 30 synthetic + natural near-dups
+
+
+def test_short_docs_get_distinct_signatures():
+    # docs shorter than the shingle size must not collapse to one signature
+    import pyarrow as pa
+
+    texts = pa.array(["hi", "no", "a", "b", "", "hi"])
+    sigs = dedup.minhash_signatures(texts, num_hashes=32, k=5)
+    assert not np.array_equal(sigs[0], sigs[1])  # 'hi' != 'no'
+    assert not np.array_equal(sigs[2], sigs[3])  # 'a' != 'b'
+    assert np.array_equal(sigs[0], sigs[5])  # identical short docs still match
+    sentinel = np.iinfo(np.uint64).max
+    assert not (sigs == sentinel).all(axis=1).any()
+
+
+def test_exact_dedup_shuffles_only_hash_id(docs_with_dups):
+    # the shuffled intermediate must carry (hash, id) pairs, never the text
+    pairs = dedup.hash_id_pairs(docs_with_dups)
+    assert set(pairs.schema().names) == {"__h", "doc_id"}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    # chain 1-2-3, pair (10,11), singleton-free; survivors = component minima
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 10, 5], pa.int64()),
+                "id_b": pa.array([2, 3, 11, 6], pa.int64()),
+            }
+        )
+    )
+    edges = dedup.connected_component_edges(pairs).to_pandas()
+    got = {(u, v) for u, v in zip(edges.u, edges.v)}
+    assert got == {(1, 2), (1, 3), (10, 11), (5, 6)}
