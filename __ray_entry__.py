@@ -377,6 +377,127 @@ def _multimodal(sf_dir: str):
     ).select_columns(["media_id"])
 
 
+def _build_nested_events(sf_dir: str) -> pa.Table:
+    """Deterministic nested fixture derived from the events table: a nullable
+    struct, a nullable list<double> with nulls inside, and a map<string,int64>
+    — the Dremel-shredding surface (struct/map/list nulls at every level)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    ).combine_chunks()
+    eid = ev.column("event_id").to_numpy()
+    etype = ev.column("event_type").to_numpy(zero_copy_only=False)
+    value = ev.column("value").to_numpy()
+    n = len(eid)
+
+    err = etype == "error"
+    meta = pa.StructArray.from_arrays(
+        [ev.column("user_id").combine_chunks(), ev.column("event_type").combine_chunks()],
+        ["user_id", "event_type"],
+        mask=pa.array(err),
+    )
+
+    null_list = etype == "click"
+    lens = (eid % 3).astype(np.int64)
+    counts = np.where(null_list, 0, lens)
+    total = int(counts.sum())
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rows = np.repeat(np.arange(n), counts)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], counts)
+    elems = value[rows] * (pos + 1)
+    elem_null = (eid[rows] + pos) % 5 == 0
+    vals = pa.ListArray.from_arrays(
+        pa.array(starts, pa.int32()).cast(pa.int32()),
+        pa.array(elems, pa.float64(), mask=elem_null),
+        mask=pa.array(null_list),
+    )
+
+    k = pc.cast(
+        pc.replace_substring_regex(ev.column("props"), r"[^0-9]", ""), pa.int64()
+    ).combine_chunks()
+    pmap = pa.MapArray.from_arrays(
+        pa.array(np.arange(n + 1), pa.int32()),
+        pa.array(["k"] * n, pa.string()),
+        k,
+    )
+    return pa.table(
+        {"event_id": ev.column("event_id"), "meta": meta, "vals": vals, "pmap": pmap}
+    )
+
+
+def _flatten_nested(batch: pa.Table) -> pa.Table:
+    """Flatten the nested fixture back to oracle-comparable scalars (exercises
+    every nesting level of the decoded data)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    batch = batch.combine_chunks()
+    meta = batch.column("meta")
+    meta = meta.combine_chunks() if isinstance(meta, pa.ChunkedArray) else meta
+    vals = batch.column("vals")
+    vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+    pmap = batch.column("pmap")
+    pmap = pmap.combine_chunks() if isinstance(pmap, pa.ChunkedArray) else pmap
+
+    n_vals = pc.list_value_length(vals).cast(pa.int64())
+    # nulls inside each list, counted per row
+    n = len(vals)
+    lengths = pc.fill_null(pc.list_value_length(vals), 0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(vals)
+    rows = np.repeat(np.arange(n), lengths)
+    nulls = np.zeros(n, np.int64)
+    if len(flat):
+        np.add.at(nulls, rows, flat.is_null().to_numpy(zero_copy_only=False).astype(np.int64))
+    entries = pmap.cast(pa.list_(pa.struct([("key", pa.string()), ("value", pa.int64())])))
+    k_val = pc.struct_field(pc.list_flatten(entries), "value")
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "meta_user_id": pc.struct_field(meta, "user_id"),
+            "meta_event_type": pc.struct_field(meta, "event_type"),
+            "n_vals": n_vals,
+            "n_null_vals": pa.array(nulls),
+            "k_val": k_val,
+        }
+    )
+
+
+def _nested_roundtrip(sf_dir: str):
+    """Nested schemas through the full Ray container pipeline: struct/map/
+    nullable-list fixture -> encode_job -> decode_dataset -> flatten."""
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+
+    nested = _build_nested_events(sf_dir)
+    src = tempfile.mkdtemp(prefix="rayenc-nested-src-", dir="/tmp")
+    path = os.path.join(src, "nested.parquet")
+    pq.write_table(nested, path)
+    out = tempfile.mkdtemp(prefix="rayenc-nested-", dir="/tmp")
+    pipeline.encode_job(path, out, target_block_bytes=4 << 20).materialize()
+    return pipeline.decode_dataset(out).map_batches(
+        _flatten_nested, batch_format="pyarrow"
+    )
+
+
+def _parquet_write_nested(sf_dir: str):
+    """Nested schemas through the rayenc parquet writer, read back by pyarrow
+    (independent reader) and flattened for the oracle."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+
+    nested = _build_nested_events(sf_dir)
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(nested, out, row_group_size=4096)
+    return _flatten_nested(pq.read_table(out))
+
+
 def _parquet_page_conformance(sf_dir: str):
     """Decode real parquet pages (thrift headers + levels + values) with
     rayenc decoders only — format parity with independent writers."""
@@ -479,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_page_conformance"] = _parquet_page_conformance
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["transcode_parquet"] = _transcode_parquet
+    q["nested_roundtrip_events"] = _nested_roundtrip
+    q["parquet_write_nested"] = _parquet_write_nested
     q["events_window_agg"] = _events_window
     q["ann_topk_bruteforce"] = _ann_topk
     # rows-only (non-SQL-expressible) gates
@@ -543,6 +666,20 @@ def oracle_sql() -> dict[str, str]:
         " COUNT(*) AS cnt, SUM(value) AS sum_value"
         " FROM events GROUP BY 1, 2"
     )
+    nested_flat = (
+        "SELECT event_id,"
+        " CASE WHEN event_type='error' THEN NULL ELSE user_id END AS meta_user_id,"
+        " CASE WHEN event_type='error' THEN NULL ELSE event_type END AS meta_event_type,"
+        " CASE WHEN event_type='click' THEN NULL ELSE event_id % 3 END AS n_vals,"
+        " CAST(CASE WHEN event_type='click' THEN 0 ELSE"
+        "   (CASE WHEN event_id%3 >= 1 AND event_id%5=0 THEN 1 ELSE 0 END +"
+        "    CASE WHEN event_id%3 >= 2 AND (event_id+1)%5=0 THEN 1 ELSE 0 END)"
+        " END AS BIGINT) AS n_null_vals,"
+        " CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k_val"
+        " FROM events"
+    )
+    o["nested_roundtrip_events"] = nested_flat
+    o["parquet_write_nested"] = nested_flat
     o["ann_topk_bruteforce"] = (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         " WHERE vec_id < 5)"

@@ -197,6 +197,147 @@ def dict_page_header(num_values: int, unc: int) -> bytes:
     return _page_header(2, unc, unc, body)
 
 
+# ---------------------------------------------------- Dremel record shredding
+
+
+class _Leaf:
+    """One parquet leaf column shredded out of a (possibly nested) arrow
+    column: dense defined values plus repetition/definition level arrays."""
+
+    __slots__ = ("path", "arr", "rep", "dfv", "max_rep", "max_def")
+
+    def __init__(self, path, arr, rep, dfv, max_rep, max_def):
+        self.path = path
+        self.arr = arr
+        self.rep = rep
+        self.dfv = dfv
+        self.max_rep = max_rep
+        self.max_def = max_def
+
+
+def _entry_ranges(arr, idx, alive):
+    """(start, length) of each alive entry's value range in ``arr.values``
+    coordinates (offsets are slice-adjusted, values are the unsliced child)."""
+    S = len(alive)
+    start = np.zeros(S, np.int64)
+    length = np.zeros(S, np.int64)
+    t = arr.type
+    a_idx = idx[alive]
+    if pa.types.is_fixed_size_list(t):
+        w = t.list_size
+        start[alive] = (arr.offset + a_idx) * w
+        length[alive] = w
+        values = arr.values
+    else:
+        off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        start[alive] = off[a_idx]
+        length[alive] = off[a_idx + 1] - off[a_idx]
+        values = arr.values
+    return values, start, length
+
+
+def _walk(arr, nullable, rep, dfv, alive, idx, cur_rep, cur_def, path, leaves):
+    """Vectorized Dremel shredding (`io/MessageColumnIO.java:508` semantics):
+    one slot per level entry; null/empty entries go dead at their final
+    definition level and flow down to every leaf beneath, preserving record
+    order. All operations are numpy over whole slot arrays."""
+    t = arr.type
+
+    if nullable:
+        cur_def += 1
+        if arr.null_count:
+            isv = arr.is_valid().to_numpy(zero_copy_only=False)
+            ok = np.zeros(len(alive), bool)
+            ok[alive] = isv[idx[alive]]
+            alive = alive & ok
+        dfv = dfv.copy()
+        dfv[alive] += 1
+
+    if pa.types.is_map(t):
+        arr = arr.cast(
+            pa.list_(pa.struct([pa.field("key", t.key_type, False),
+                                pa.field("value", t.item_type)]))
+        )
+        t = arr.type
+        group = "key_value"
+    else:
+        group = "list"
+
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        cur_rep += 1
+        cur_def += 1  # the repeated level: empty lists stay one def below
+        values, start, length = _entry_ranges(arr, idx, alive)
+        nonempty = alive & (length > 0)
+        counts = np.ones(len(alive), np.int64)
+        counts[nonempty] = length[nonempty]
+        S2 = int(counts.sum())
+        starts = np.zeros(len(alive), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        new_rep = np.full(S2, cur_rep, np.uint8)
+        new_rep[starts] = rep  # first slot of each entry keeps the entry rep
+        ndfv = dfv.copy()
+        ndfv[nonempty] += 1
+        new_dfv = np.repeat(ndfv, counts)
+        new_alive = np.repeat(nonempty, counts)
+        pos = np.arange(S2, dtype=np.int64) - np.repeat(starts, counts)
+        new_idx = np.repeat(start, counts) + pos
+        elem = t.value_field
+        if group == "key_value":
+            st = values
+            kpath = path + [group, "key"]
+            vpath = path + [group, "value"]
+            _walk(st.field(0), False, new_rep, new_dfv, new_alive, new_idx,
+                  cur_rep, cur_def, kpath, leaves)
+            _walk(st.field(1), True, new_rep, new_dfv, new_alive, new_idx,
+                  cur_rep, cur_def, vpath, leaves)
+        else:
+            _walk(values, elem.nullable, new_rep, new_dfv, new_alive, new_idx,
+                  cur_rep, cur_def, path + [group, "element"], leaves)
+        return
+
+    if pa.types.is_struct(t):
+        for i, child in enumerate(t):
+            _walk(arr.field(i), child.nullable, rep, dfv, alive, idx,
+                  cur_rep, cur_def, path + [child.name], leaves)
+        return
+
+    if pa.types.is_dictionary(t):
+        arr = arr.dictionary_decode()
+
+    if alive.all() and len(idx) == len(arr) and (idx == np.arange(len(arr))).all():
+        dense = arr
+    else:
+        dense = arr.take(pa.array(idx[alive], pa.int64()))
+    leaves.append(
+        _Leaf(
+            path,
+            dense,
+            rep if cur_rep > 0 else None,
+            dfv if cur_def > 0 else None,
+            cur_rep,
+            cur_def,
+        )
+    )
+
+
+def _dremel_leaves(field: pa.Field, arr) -> list[_Leaf]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    leaves: list[_Leaf] = []
+    _walk(
+        arr, field.nullable,
+        np.zeros(n, np.uint8), np.zeros(n, np.uint8),
+        np.ones(n, bool), np.arange(n, dtype=np.int64),
+        0, 0, [field.name], leaves,
+    )
+    return leaves
+
+
 # ------------------------------------------------------------- file assembly
 
 
@@ -304,13 +445,15 @@ def _encode_column_pages(
     else:
         meta.encodings.add(_ENC_CODE[best.encoding])
 
+    from .codecs.dictionary import bit_width32
+
     for k, payload in enumerate(pages):
         if def_levels is not None:
             sa, sb = slot_ranges[k]
             lv = b""
             if max_rep > 0:
-                lv += _levels_payload(rep_levels[sa:sb], 1)
-            lv += _levels_payload(def_levels[sa:sb], 1)
+                lv += _levels_payload(rep_levels[sa:sb], bit_width32(max_rep))
+            lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
             nv = sb - sa
         else:
             a, b = ranges[k]
@@ -337,70 +480,28 @@ def _write_row_group(
 ) -> list[_Column]:
     columns: list[_Column] = []
     for field in table.schema:
-        t = field.type
-        arr = table.column(field.name)
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
-            if arr.null_count:
-                raise NotImplementedError("nullable list columns in the parquet writer")
-            offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
-            offsets = offsets - offsets[0]
-            lengths = np.diff(offsets)
-            n = len(lengths)
-            # slots: one per element + one per empty list
-            slot_counts = np.maximum(lengths, 1)
-            S = int(slot_counts.sum())
-            slot_starts = np.zeros(n + 1, np.int64)
-            np.cumsum(slot_counts, out=slot_starts[1:])
-            rep = np.ones(S, np.uint32)
-            rep[slot_starts[:-1]] = 0
-            deflev = np.ones(S, np.uint32)
-            deflev[slot_starts[:-1][lengths == 0]] = 0
-            values = arr.flatten()
-            sub = shred(f"{field.name}#values", values)[0]
-            meta = _Column([field.name, "list", "element"], sub.ptype, 1, 1)
-            _encode_column_pages(
-                sub, out, meta, config,
-                rep_levels=rep, def_levels=deflev, max_rep=1, max_def=1,
-            )
-            meta._list_field = field  # type: ignore[attr-defined]
-            meta._converted = _converted_type(t.value_type)  # type: ignore[attr-defined]
-            meta._logical = None  # type: ignore[attr-defined]
-            meta._optional = False  # type: ignore[attr-defined]
-            meta._decimal = None  # type: ignore[attr-defined]
-            columns.append(meta)
-        else:
-            col = shred(field.name, arr)[0]
+        for leaf in _dremel_leaves(field, table.column(field.name)):
+            t = leaf.arr.type
+            col = shred("/".join(leaf.path), leaf.arr)[0]
             if col.ptype == "FIXED_LEN_BYTE_ARRAY" and pa.types.is_decimal(t):
                 # arrow decimal storage is little-endian full-width; parquet
                 # DECIMAL over FLBA is big-endian two's complement at the
                 # *minimal* length for the precision (parquet-mr / pyarrow
                 # convention; wider lengths trip DuckDB's decimal reader)
                 be = np.asarray(col.values)[:, ::-1]
-                L = 1
-                while 10 ** t.precision > 2 ** (8 * L - 1):
-                    L += 1
+                L = _decimal_flba_len(t.precision)
                 col.values = np.ascontiguousarray(be[:, be.shape[1] - L :])
-            optional = col.null_mask is not None
-            if optional:
-                deflev = (~col.null_mask).astype(np.uint32)
-                meta = _Column([field.name], col.ptype, 0, 1)
-                _encode_column_pages(
-                    col, out, meta, config, def_levels=deflev, max_def=1
-                )
-            else:
-                meta = _Column([field.name], col.ptype, 0, 0)
+            meta = _Column(leaf.path, col.ptype, leaf.max_rep, leaf.max_def)
+            if leaf.max_def == 0:
                 _encode_column_pages(col, out, meta, config)
+            else:
+                _encode_column_pages(
+                    col, out, meta, config,
+                    rep_levels=leaf.rep, def_levels=leaf.dfv,
+                    max_rep=leaf.max_rep, max_def=leaf.max_def,
+                )
             if col.ptype == "FIXED_LEN_BYTE_ARRAY":
                 meta.type_length = int(np.asarray(col.values).shape[1])
-            meta._list_field = None  # type: ignore[attr-defined]
-            meta._converted = _converted_type(t)  # type: ignore[attr-defined]
-            meta._logical = _logical_type(t)  # type: ignore[attr-defined]
-            meta._optional = optional  # type: ignore[attr-defined]
-            meta._decimal = (  # type: ignore[attr-defined]
-                (t.precision, t.scale) if pa.types.is_decimal(t) else None
-            )
             columns.append(meta)
     return columns
 
@@ -433,35 +534,67 @@ def write_table(
         f.write(out)
 
 
+def _decimal_flba_len(precision: int) -> int:
+    L = 1
+    while 10 ** precision > 2 ** (8 * L - 1):
+        L += 1
+    return L
+
+
+def _schema_body(field: pa.Field) -> list[dict]:
+    """SchemaElement dicts for one (possibly nested) field, depth-first in the
+    same order `_dremel_leaves` emits leaves (MessageType tree of
+    `schema/MessageType.java`, LIST/MAP shapes per the parquet logical-type
+    spec / `parquet-arrow List3Levels.java`)."""
+    t = field.type
+    rep = 1 if field.nullable else 0
+    name = field.name
+    if pa.types.is_map(t):
+        return (
+            [{"name": name, "rep": rep, "children": 1, "converted": 1},  # MAP
+             {"name": "key_value", "rep": 2, "children": 2}]
+            + _schema_body(pa.field("key", t.key_type, False))
+            + _schema_body(pa.field("value", t.item_type, True))
+        )
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        elem = t.value_field
+        return (
+            [{"name": name, "rep": rep, "children": 1, "converted": 3},  # LIST
+             {"name": "list", "rep": 2, "children": 1}]
+            + _schema_body(pa.field("element", t.value_type, elem.nullable))
+        )
+    if pa.types.is_struct(t):
+        out = [{"name": name, "rep": rep, "children": t.num_fields}]
+        for child in t:
+            out += _schema_body(child)
+        return out
+    from .schema import physical_type
+
+    ptype = physical_type(t)
+    e = {"name": name, "type": _PARQUET_TYPE[ptype], "rep": rep}
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        e["type_length"] = (
+            _decimal_flba_len(t.precision) if pa.types.is_decimal(t) else t.byte_width
+        )
+    conv = _converted_type(t)
+    if conv is not None:
+        e["converted"] = conv
+    if pa.types.is_decimal(t):
+        e["precision"], e["scale"] = t.precision, t.scale
+    logical = _logical_type(t)
+    if logical is not None:
+        e["logical"] = logical
+    return [e]
+
+
 def _file_metadata(table: pa.Table, row_groups) -> bytes:
     w = _W()
     w.i(1, 2)  # version
-    columns0 = row_groups[0][0]
-
-    def leaf_elem(name, ptype, repetition):
-        return {"name": name, "type": _PARQUET_TYPE[ptype], "rep": repetition}
 
     body: list[dict] = []
-    for meta in columns0:
-        if meta._list_field is not None:
-            body.append({"name": meta.path[0], "rep": 0, "children": 1, "converted": 3})  # LIST
-            body.append({"name": "list", "rep": 2, "children": 1})
-            e = leaf_elem("element", meta.ptype, 0)
-            if getattr(meta, "_converted", None) is not None:
-                e["converted"] = meta._converted
-            body.append(e)
-        else:
-            e = leaf_elem(meta.path[0], meta.ptype, 1 if meta._optional else 0)
-            if meta.type_length is not None:
-                e["type_length"] = meta.type_length
-            if getattr(meta, "_converted", None) is not None:
-                e["converted"] = meta._converted
-            if getattr(meta, "_decimal", None) is not None:
-                e["precision"], e["scale"] = meta._decimal
-            if getattr(meta, "_logical", None) is not None:
-                e["logical"] = meta._logical
-            body.append(e)
-    elems = [{"name": "schema", "children": len(columns0)}] + body
+    for field in table.schema:
+        body += _schema_body(field)
+    elems = [{"name": "schema", "children": table.num_columns}] + body
 
     w.begin_list(2, 12, len(elems))
     for e in elems:

@@ -2,20 +2,30 @@
 
 Mirrors the role of parquet-java's MessageType / ColumnDescriptor
 (`parquet-column/.../schema/MessageType.java`,
-`column/ColumnDescriptor.java:33-34`): every Arrow field maps to one or two
-*physical* flat columns:
+`column/ColumnDescriptor.java:33-34`): every Arrow field decomposes
+*recursively* into flat physical streams — the Arrow-native equivalent of
+Dremel record shredding (`io/MessageColumnIO.java:508`), expressing each
+nesting level as its own structural stream instead of merged rep/def levels:
 
 - primitive field           -> one chunk of its physical type
 - string/binary field       -> one BINARY chunk
 - timestamp/date/time field -> one INT32/INT64 chunk (+ arrow type in manifest)
-- list<primitive> field     -> a ``name#lengths`` INT32 chunk plus a
-  ``name#values`` chunk of the element type. Our schemas have exactly one
-  repeated, non-null level, so parquet's rep/def machinery collapses to the
-  Arrow list offsets (SURVEY.md §1.3); ``lengths = diff(offsets)`` is the
-  lossless equivalent.
+- list / large_list         -> a ``name#lengths`` INT32 chunk (null lists =
+  masked slots, canonical length 0) plus recursively-shredded
+  ``name#values`` (so list<list<struct<...>>> works to any depth)
+- fixed_size_list           -> optional ``name#valid`` plus ``name#values``
+  (the child keeps all n*width slots, like Arrow's layout)
+- struct                    -> optional ``name#valid`` BOOLEAN chunk plus one
+  recursively-shredded ``name#f:<child>`` stream per child
+- map                       -> list<struct<key,value>> layout: ``#lengths``
+  plus ``#values#f:key`` / ``#values#f:value``
 
-Nullable flat columns carry a validity stream (RLE bit-width 1 — the
-def-level encoding of `ColumnWriterV1.java:61-81` with max_def = 1).
+Nullable leaf columns carry a validity stream (RLE bit-width 1 — the
+def-level encoding of `ColumnWriterV1.java:61-81` with max_def = 1); nulls
+*inside* lists land on the child streams' validity, and null list/struct
+slots on the structural streams — together these carry exactly the
+information of parquet's repetition/definition levels
+(`io/RecordReaderImplementation.java`), factored per level.
 """
 
 from __future__ import annotations
@@ -90,8 +100,11 @@ def _fixed_values(arr: pa.Array, ptype: str) -> np.ndarray:
 
 
 def shred(field_name: str, arr) -> list[PhysicalColumn]:
-    """Shred one Arrow column into physical columns (the Dremel shredding of
-    `io/MessageColumnIO.java:508`, collapsed to the flat/one-list case)."""
+    """Shred one Arrow column into flat physical streams, recursively (the
+    Dremel shredding of `io/MessageColumnIO.java:508`, factored per nesting
+    level — see the module docstring for the stream layout)."""
+    import pyarrow.compute as pc
+
     from rayenc.codecs.dictionary import binary_parts
 
     if isinstance(arr, pa.ChunkedArray):
@@ -101,18 +114,48 @@ def shred(field_name: str, arr) -> list[PhysicalColumn]:
     if arr.null_count:
         null_mask = arr.is_null().to_numpy(zero_copy_only=False)
 
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        if arr.null_count:
-            raise NotImplementedError("null lists not supported yet")
-        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), np.int64)
-        lengths = np.diff(offsets).astype(np.int32)
-        values = arr.flatten()
-        if values.null_count:
-            raise NotImplementedError("nulls inside lists not supported yet")
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+        if pa.types.is_map(t):
+            # maps share the list<struct<key,value>> layout — shred that view
+            arr = arr.cast(
+                pa.list_(pa.struct([pa.field("key", t.key_type, False),
+                                    pa.field("value", t.item_type)]))
+            )
+        lengths = pc.list_value_length(arr)
+        lengths = pc.fill_null(lengths, 0).cast(pa.int32()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int32)
+        if null_mask is not None:
+            lengths = lengths[~null_mask]  # dense contract: nulls removed
+        values = pc.list_flatten(arr)  # null slots contribute no values
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
         sub = shred(f"{field_name}#values", values)
         return [
-            PhysicalColumn(f"{field_name}#lengths", "INT32", lengths),
+            PhysicalColumn(f"{field_name}#lengths", "INT32", lengths, null_mask),
         ] + sub
+
+    if pa.types.is_fixed_size_list(t):
+        cols = []
+        if null_mask is not None:
+            cols.append(
+                PhysicalColumn(f"{field_name}#valid", "BOOLEAN", ~null_mask)
+            )
+        # the child keeps all n*width slots (Arrow layout), so null parent
+        # slots round-trip without re-inserting placeholder values
+        width = t.list_size
+        values = arr.values.slice(arr.offset * width, len(arr) * width)
+        return cols + shred(f"{field_name}#values", values)
+
+    if pa.types.is_struct(t):
+        cols = []
+        if null_mask is not None:
+            cols.append(
+                PhysicalColumn(f"{field_name}#valid", "BOOLEAN", ~null_mask)
+            )
+        for i, child in enumerate(t):
+            cols += shred(f"{field_name}#f:{child.name}", arr.field(i))
+        return cols
 
     ptype = physical_type(t)
     if ptype == "FIXED_LEN_BYTE_ARRAY":
@@ -146,15 +189,57 @@ def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:
     from rayenc.codecs.dictionary import binary_array
 
     t = field.type
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        lengths, _ = chunks[f"{field.name}#lengths"]
+    name = field.name
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+        lengths, lmask = chunks[f"{name}#lengths"]
+        lengths = np.asarray(lengths, np.int64)
+        if lmask is not None:
+            # dense contract: scatter stored lengths back over the null slots
+            full = np.zeros(len(lmask), np.int64)
+            full[~np.asarray(lmask, bool)] = lengths
+            lengths = full
         offsets = np.zeros(len(lengths) + 1, np.int64)
         np.cumsum(lengths, out=offsets[1:])
-        elem_field = pa.field(f"{field.name}#values", t.value_type)
-        values = assemble(elem_field, chunks)
+        if pa.types.is_map(t):
+            elem_type = pa.struct([pa.field("key", t.key_type, nullable=False),
+                                   pa.field("value", t.item_type)])
+        else:
+            elem_type = t.value_type
+        values = assemble(pa.field(f"{name}#values", elem_type), chunks)
         off_arr = pa.array(offsets, pa.int64())
-        out = pa.LargeListArray.from_arrays(off_arr, values)
+        mask = pa.array(np.asarray(lmask, bool)) if lmask is not None else None
+        out = pa.LargeListArray.from_arrays(off_arr, values, mask=mask)
+        if pa.types.is_map(t):
+            # map shares the list-of-struct layout: rebuild via buffers
+            lst = out.cast(pa.list_(elem_type))
+            return pa.Array.from_buffers(
+                t, len(lst), lst.buffers()[:2], children=[lst.values]
+            )
         return out.cast(t)
+
+    if pa.types.is_fixed_size_list(t):
+        values = assemble(pa.field(f"{name}#values", t.value_type), chunks)
+        vm = chunks.get(f"{name}#valid")
+        n = len(values) // t.list_size
+        if vm is None:
+            return pa.FixedSizeListArray.from_arrays(values, t.list_size).cast(t)
+        valid = np.asarray(vm[0], bool)
+        validity = pa.array(valid).buffers()[1]
+        return pa.Array.from_buffers(t, n, [validity], children=[values])
+
+    if pa.types.is_struct(t):
+        children = [
+            assemble(pa.field(f"{name}#f:{c.name}", c.type), chunks) for c in t
+        ]
+        vm = chunks.get(f"{name}#valid")
+        mask = pa.array(~np.asarray(vm[0], bool)) if vm is not None else None
+        out = pa.StructArray.from_arrays(children, [c.name for c in t], mask=mask)
+        if out.type != t:
+            # rebuild with the exact field types (e.g. non-nullable map keys)
+            out = pa.Array.from_buffers(
+                t, len(out), out.buffers()[:1], children=children
+            )
+        return out
 
     values, null_mask = chunks[field.name]
     ptype = physical_type(t)
