@@ -546,7 +546,7 @@ def _events_window(sf_dir: str):
     )
 
 
-def _transcode_parquet(sf_dir: str):
+def _transcode_parquet(sf_dir: str, config=None):
     """Distributed parquet->parquet re-encode through rayenc encoders; the
     output files are read back by pyarrow (independent reader)."""
     import pyarrow.parquet as pq
@@ -555,10 +555,29 @@ def _transcode_parquet(sf_dir: str):
 
     out = tempfile.mkdtemp(prefix="rayenc-transcode-", dir="/tmp")
     pipeline.transcode_parquet_job(
-        os.path.join(sf_dir, "orders.parquet"), out, target_block_bytes=8 << 20
+        os.path.join(sf_dir, "orders.parquet"), out,
+        config=config, target_block_bytes=8 << 20,
     ).materialize()
     return pa.concat_tables(
         [pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))]
+    )
+
+
+def _transcode_snappy(sf_dir: str):
+    """Transcode with snappy-compressed pages (ColumnChunkPageWriteStore
+    compress-per-page parity)."""
+    from rayenc.selector import EncodeConfig
+
+    return _transcode_parquet(sf_dir, EncodeConfig(compression="snappy"))
+
+
+def _transcode_v2(sf_dir: str):
+    """Transcode emitting zstd-compressed V2 data pages (ColumnWriterV2
+    parity: unframed levels, null/row counts in the page header)."""
+    from rayenc.selector import EncodeConfig
+
+    return _transcode_parquet(
+        sf_dir, EncodeConfig(compression="zstd", parquet_page_version="2.0")
     )
 
 
@@ -600,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_page_conformance"] = _parquet_page_conformance
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["transcode_parquet"] = _transcode_parquet
+    q["transcode_parquet_snappy"] = _transcode_snappy
+    q["transcode_parquet_v2"] = _transcode_v2
     q["nested_roundtrip_events"] = _nested_roundtrip
     q["parquet_write_nested"] = _parquet_write_nested
     q["events_window_agg"] = _events_window
@@ -661,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["transcode_parquet"] = "SELECT * FROM orders"
+    o["transcode_parquet_snappy"] = "SELECT * FROM orders"
+    o["transcode_parquet_v2"] = "SELECT * FROM orders"
     o["events_window_agg"] = (
         "SELECT date_trunc('hour', ts) AS window, event_type,"
         " COUNT(*) AS cnt, SUM(value) AS sum_value"

@@ -166,6 +166,20 @@ class _W:
         return bytes(self.out)
 
 
+# parquet CompressionCodec enum (CompressionCodecName.java:26-33); "lz4" maps
+# to LZ4_RAW (7) — the modern raw-block variant readers implement
+_CODEC_ID = {"snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6, "lz4": 7}
+
+
+def _page_codec(name: str | None):
+    if not name:
+        return 0, None
+    key = name.lower()
+    if key not in _CODEC_ID:
+        raise ValueError(f"unsupported parquet page codec {name!r}")
+    return _CODEC_ID[key], pa.Codec("lz4_raw" if key == "lz4" else key)
+
+
 def _page_header(ptype_page: int, unc: int, comp: int, body_fields) -> bytes:
     w = _W()
     w.i(1, ptype_page)
@@ -175,7 +189,7 @@ def _page_header(ptype_page: int, unc: int, comp: int, body_fields) -> bytes:
     return w.stop()
 
 
-def data_page_header(num_values: int, encoding: int, unc: int) -> bytes:
+def data_page_header(num_values: int, encoding: int, unc: int, comp: int | None = None) -> bytes:
     def body(w: _W):
         w.begin_struct(5)
         w.i(1, num_values)
@@ -184,17 +198,45 @@ def data_page_header(num_values: int, encoding: int, unc: int) -> bytes:
         w.i(4, ENC_RLE)  # repetition level encoding
         w.end_struct()
 
-    return _page_header(0, unc, unc, body)
+    return _page_header(0, unc, comp if comp is not None else unc, body)
 
 
-def dict_page_header(num_values: int, unc: int) -> bytes:
+def data_page_header_v2(
+    num_values: int,
+    num_nulls: int,
+    num_rows: int,
+    encoding: int,
+    def_len: int,
+    rep_len: int,
+    unc: int,
+    comp: int,
+    is_compressed: bool,
+) -> bytes:
+    """DataPageHeaderV2 (parquet.thrift; ColumnWriterV2.java:43-112): levels
+    sit unframed and uncompressed before the (optionally compressed) values."""
+
+    def body(w: _W):
+        w.begin_struct(8)
+        w.i(1, num_values)
+        w.i(2, num_nulls)
+        w.i(3, num_rows)
+        w.i(4, encoding)
+        w.i(5, def_len)
+        w.i(6, rep_len)
+        w.boolean(7, is_compressed)
+        w.end_struct()
+
+    return _page_header(3, unc, comp, body)
+
+
+def dict_page_header(num_values: int, unc: int, comp: int | None = None) -> bytes:
     def body(w: _W):
         w.begin_struct(7)
         w.i(1, num_values)
         w.i(2, ENC_PLAIN)
         w.end_struct()
 
-    return _page_header(2, unc, unc, body)
+    return _page_header(2, unc, comp if comp is not None else unc, body)
 
 
 # ---------------------------------------------------- Dremel record shredding
@@ -353,6 +395,8 @@ class _Column:
         self.dict_offset = None
         self.data_offset = None
         self.total_bytes = 0
+        self.total_unc = 0  # uncompressed equivalent (incl. headers)
+        self.codec = 0  # CompressionCodec enum
         self.type_length = None  # FIXED_LEN_BYTE_ARRAY width
 
 
@@ -390,7 +434,17 @@ def _encode_column_pages(
     else:
         S = len(def_levels)
         step = cfg.page_rows
-        slot_ranges = [(a, min(a + step, S)) for a in range(0, S, step)] or [(0, 0)]
+        if max_rep > 0 and S:
+            # pages must start on record boundaries (rep == 0) so V2
+            # num_rows is exact and readers can seek by row
+            rec = np.flatnonzero(rep_levels == 0)
+            want = np.arange(step, S, step)
+            hits = np.searchsorted(rec, want)
+            cuts = np.unique(rec[hits[hits < len(rec)]])
+            bounds = [0, *[int(c) for c in cuts if 0 < c < S], S]
+            slot_ranges = list(zip(bounds[:-1], bounds[1:]))
+        else:
+            slot_ranges = [(a, min(a + step, S)) for a in range(0, S, step)] or [(0, 0)]
         vprefix = np.zeros(S + 1, np.int64)
         np.cumsum((def_levels == max_def).astype(np.int64), out=vprefix[1:])
         ranges = [(int(vprefix[a]), int(vprefix[b])) for a, b in slot_ranges]
@@ -427,19 +481,30 @@ def _encode_column_pages(
     if best.encoding == "RLE":
         pages = [len(p).to_bytes(4, "little") + p for p in pages]
 
+    codec_id, codec = _page_codec(config.compression)
+    v2 = getattr(config, "parquet_page_version", "1.0") == "2.0"
+    meta.codec = codec_id
+
+    def compress(b: bytes) -> bytes:
+        return codec.compress(b).to_pybytes() if codec else b
+
     if best.encoding == "RLE_DICTIONARY":
         # emit the dictionary page in parquet shape (PLAIN keys in
         # first-occurrence order — parquet-java semantics, not our sorted
-        # container variant)
+        # container variant); compressed per page like
+        # ColumnChunkPageWriteStore.java:192-252
         fac = sel.try_dictionary(col, cfg)
         ids, dic = fac
         if col.ptype == "BINARY":
             dict_payload = dict_page_binary(dic)
         else:
             dict_payload = dict_page_fixed(dic, col.ptype)
+        dict_comp = compress(dict_payload)
         meta.dict_offset = len(out)
-        out += dict_page_header(len(dic), len(dict_payload))
-        out += dict_payload
+        hdr = dict_page_header(len(dic), len(dict_payload), len(dict_comp))
+        out += hdr
+        out += dict_comp
+        meta.total_unc += len(hdr) + len(dict_payload)
         meta.encodings |= {ENC_PLAIN, ENC_RLE_DICT}
         pages = [encode_ids(ids[a:b], len(dic)) for a, b in ranges]
     else:
@@ -447,29 +512,52 @@ def _encode_column_pages(
 
     from .codecs.dictionary import bit_width32
 
+    enc_code = (
+        ENC_RLE_DICT if best.encoding == "RLE_DICTIONARY" else _ENC_CODE[best.encoding]
+    )
     for k, payload in enumerate(pages):
         if def_levels is not None:
             sa, sb = slot_ranges[k]
-            lv = b""
-            if max_rep > 0:
-                lv += _levels_payload(rep_levels[sa:sb], bit_width32(max_rep))
-            lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
             nv = sb - sa
         else:
             a, b = ranges[k]
-            lv = b""
             nv = b - a
-        body = lv + payload
-        hdr = data_page_header(
-            nv,
-            ENC_RLE_DICT if best.encoding == "RLE_DICTIONARY" else _ENC_CODE[best.encoding],
-            len(body),
-        )
+        if v2:
+            # DataPageV2: unframed uncompressed levels, then compressed values
+            rep_b = def_b = b""
+            nrows, nnulls = nv, 0
+            if def_levels is not None:
+                if max_rep > 0:
+                    rep_b = rle_hybrid.encode(rep_levels[sa:sb], bit_width32(max_rep))
+                    nrows = int((rep_levels[sa:sb] == 0).sum())
+                def_b = rle_hybrid.encode(def_levels[sa:sb], bit_width32(max_def))
+                nnulls = int((def_levels[sa:sb] < max_def).sum())
+            vals = compress(payload)
+            hdr = data_page_header_v2(
+                nv, nnulls, nrows, enc_code,
+                len(def_b), len(rep_b),
+                unc=len(rep_b) + len(def_b) + len(payload),
+                comp=len(rep_b) + len(def_b) + len(vals),
+                is_compressed=codec is not None,
+            )
+            body = rep_b + def_b + vals
+            unc_len = len(rep_b) + len(def_b) + len(payload)
+        else:
+            lv = b""
+            if def_levels is not None:
+                if max_rep > 0:
+                    lv += _levels_payload(rep_levels[sa:sb], bit_width32(max_rep))
+                lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
+            raw = lv + payload
+            body = compress(raw)
+            hdr = data_page_header(nv, enc_code, len(raw), len(body))
+            unc_len = len(raw)
         if meta.data_offset is None:
             meta.data_offset = len(out)
         out += hdr
         out += body
         meta.num_values += nv
+        meta.total_unc += len(hdr) + unc_len
     if meta.data_offset is None:
         meta.data_offset = meta.start_offset
     meta.total_bytes = len(out) - meta.start_offset
@@ -635,9 +723,9 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
             for part in meta.path:
                 _wvarint(cc.out, len(part.encode()))
                 cc.out += part.encode()
-            cc.i(4, 0)  # UNCOMPRESSED
+            cc.i(4, meta.codec)
             cc.i64(5, meta.num_values)
-            cc.i64(6, meta.total_bytes)
+            cc.i64(6, meta.total_unc)
             cc.i64(7, meta.total_bytes)
             cc.i64(9, meta.data_offset)
             if meta.dict_offset is not None:

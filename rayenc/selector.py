@@ -40,6 +40,9 @@ class EncodeConfig:
     max_dict_bytes: int = MAX_DICT_BYTES
     compression: str | None = None  # page codec: None|lz4|zstd|gzip|snappy|brotli
     compression_level: int | None = None
+    # parquet_write data page layout: "1.0" (framed levels) or "2.0"
+    # (DataPageHeaderV2, unframed uncompressed levels; ColumnWriterV2.java)
+    parquet_page_version: str = "1.0"
     # per-column encoding override: {"colname": "DELTA_BINARY_PACKED", ...}
     # (the ColumnProperty / ValuesWriterFactory extension surface,
     #  ParquetProperties.java:465-471)

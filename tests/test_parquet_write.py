@@ -190,3 +190,25 @@ def test_decimal_and_fixed_len(tmp_path):
     cnt, mx = duckdb.sql(f"SELECT COUNT(d), MAX(d) FROM '{path}'").fetchone()
     assert cnt == 299
     assert mx == max(v for v in vals if v is not None)
+
+
+@pytest.mark.parametrize("comp,ver", [
+    ("snappy", "1.0"), ("zstd", "1.0"), ("gzip", "2.0"), ("zstd", "2.0"), (None, "2.0"),
+])
+def test_compressed_and_v2_pages(tmp_path, comp, ver):
+    from rayenc.selector import EncodeConfig
+    import duckdb
+
+    table = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "c.parquet")
+    parquet_write.write_table(
+        table, path, EncodeConfig(compression=comp, parquet_page_version=ver),
+        row_group_size=2500,
+    )
+    back = pq.read_table(path)
+    for c in table.column_names:
+        assert back.column(c).to_pylist() == table.column(c).to_pylist(), c
+    md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+    assert md.compression == (comp or "uncompressed").upper().replace("GZIP", "GZIP")
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+    assert n == table.num_rows
