@@ -277,6 +277,24 @@ def _pushdown_filter(sf_dir: str):
     return pipeline.decode_dataset(enc, predicate=[("l_orderkey", "<=", 1000)])
 
 
+def _pushdown_filter_strings(sf_dir: str):
+    """Predicate pushdown on a string column + numeric conjunction: partition
+    skipping via truncated binary min/max and bloom filters, page skipping via
+    the multi-column row-interval intersection."""
+    from rayenc import pipeline
+    from rayenc.selector import EncodeConfig
+
+    enc = tempfile.mkdtemp(prefix="rayenc-push-str-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(sf_dir, "documents.parquet"), enc,
+        config=EncodeConfig(bloom_columns={"source"}),
+        target_block_bytes=1 << 20,
+    ).materialize()
+    return pipeline.decode_dataset(
+        enc, predicate=[("source", "==", "src7"), ("n_chars", ">", 300)]
+    )
+
+
 def _ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -616,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rewrite_prune_lineitem"] = _prune_rewrite
     q["rewrite_mask_ndv"] = _masked_ndv
     q["pushdown_filter_lineitem"] = _pushdown_filter
+    q["pushdown_filter_documents"] = _pushdown_filter_strings
     q["parquet_page_conformance"] = _parquet_page_conformance
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["transcode_parquet"] = _transcode_parquet
@@ -679,6 +698,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT COUNT(DISTINCT l_returnflag) AS ndv FROM lineitem"
     )
     o["pushdown_filter_lineitem"] = "SELECT * FROM lineitem WHERE l_orderkey <= 1000"
+    o["pushdown_filter_documents"] = (
+        "SELECT * FROM documents WHERE source = 'src7' AND n_chars > 300"
+    )
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["transcode_parquet"] = "SELECT * FROM orders"

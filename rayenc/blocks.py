@@ -515,14 +515,29 @@ def encode_chunk(
             "raw_length": len(aux),
         }
         out.write(blob)
-    # per-page min/max for fixed types: the column-index page-skipping
-    # statistics (internal/column/columnindex/ColumnIndexBuilder.java analog)
+    # per-page min/max: the column-index page-skipping statistics
+    # (internal/column/columnindex/ColumnIndexBuilder.java analog)
     page_minmax = None
     if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE") and ranges:
         v = np.asarray(col.values)
         page_minmax = [
             (v[a:b].min().item(), v[a:b].max().item()) for a, b in ranges
         ]
+    elif col.ptype == "BINARY" and ranges and col.null_mask is None:
+        import pyarrow.compute as pc
+
+        arrb = dict_codec.binary_array(*col.values).cast(pa.large_binary())
+        page_minmax = []
+        for a, b in ranges:
+            mm = pc.min_max(arrb.slice(a, b - a))
+            page_minmax.append(
+                (
+                    mm["min"].as_py()[: stats_mod.BINARY_TRUNCATE].decode("latin-1"),
+                    stats_mod.truncate_max(
+                        mm["max"].as_py(), stats_mod.BINARY_TRUNCATE
+                    ).decode("latin-1"),
+                )
+            )
     for k, ((a, b), page) in enumerate(zip(ranges, pages)):
         blob = codec.compress(page).to_pybytes() if codec else page
         pentry = {
@@ -549,6 +564,13 @@ def page_mask_for_predicate(entry: dict, predicate) -> list[bool] | None:
         lo, hi = p["min"], p["max"]
         keep = True
         for _, op, value in predicate:
+            if isinstance(lo, str):
+                if not isinstance(value, (str, bytes)):
+                    continue
+                v = value.encode("utf-8") if isinstance(value, str) else value
+                value = v.decode("latin-1")
+            elif isinstance(value, (str, bytes)):
+                continue
             if (
                 (op == "==" and (value < lo or value > hi))
                 or (op == "<" and lo >= value)
@@ -639,6 +661,82 @@ def encode_block(table: pa.Table, config: sel.EncodeConfig | None = None) -> tup
     return blob, manifest
 
 
+def _merge_intervals(iv):
+    out: list[tuple[int, int]] = []
+    for a, b in iv:
+        if out and a <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+def _intersect_intervals(a, b):
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def _entry_page_ranges(entry):
+    counts = np.array([p["num_values"] for p in entry["pages"]], np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return [(int(s), int(e)) for s, e in zip(starts, ends)]
+
+
+def _kept_row_intervals(manifest, by_name, page_predicate, nrows):
+    """Rows that can satisfy the predicate, from per-page min/max of every
+    predicate column — the offset-index row-alignment of
+    `internal/column/columnindex/` generalized to multi-column conjunctions."""
+    from collections import defaultdict
+
+    conjs = defaultdict(list)
+    for c, op, v in page_predicate:
+        conjs[c].append((c, op, v))
+    kept = [(0, nrows)]
+    pruned = False
+    for cname, cl in conjs.items():
+        e = by_name.get(cname)
+        if e is not None and e.get("alias"):
+            e = by_name.get(e["alias"])
+        if e is None or e["validity"] is not None:
+            continue
+        mask = page_mask_for_predicate(e, cl)
+        if mask is None:
+            continue
+        iv = _merge_intervals(
+            [r for r, k in zip(_entry_page_ranges(e), mask) if k]
+        )
+        kept = _intersect_intervals(kept, iv)
+        pruned = True
+    if not pruned or kept == [(0, nrows)]:
+        return None
+    return kept
+
+
+def _take_rows(col: PhysicalColumn, idx: np.ndarray) -> PhysicalColumn:
+    if col.ptype == "BINARY":
+        offsets, data = col.values
+        lens = offsets[idx + 1] - offsets[idx]
+        new_off = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        from .codecs.delta_bp import _ranges
+
+        new_data = data[_ranges(offsets[idx], lens)]
+        return PhysicalColumn(col.name, col.ptype, (new_off, new_data))
+    v = np.asarray(col.values)
+    return PhysicalColumn(col.name, col.ptype, v[idx])
+
+
 def decode_block(
     blob,
     manifest: dict,
@@ -648,10 +746,13 @@ def decode_block(
     """Decode a block; ``columns`` restricts decode to those top-level fields
     (their list sub-chunks included) — chunk-level projection pushdown.
 
-    ``page_predicate`` enables page-level min/max skipping, valid only for a
-    single-column flat projection (row positions across columns would
-    desynchronize otherwise — parquet readers use the offset index for the
-    same reason)."""
+    ``page_predicate`` enables page-level min/max skipping across any number
+    of predicate columns: per-column page masks become global row intervals
+    (pages -> row ranges, like parquet's offset index), the intervals
+    intersect, and every projected column decodes only the pages overlapping
+    the surviving rows, sliced back into row alignment. Applies when all
+    projected chunks are flat and non-null; otherwise decoding falls back to
+    full pages."""
     assert bytes(blob[: len(MAGIC)]) == MAGIC, "bad block magic"
     schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(manifest["schema"])))
     if columns is not None:
@@ -659,27 +760,49 @@ def decode_block(
         wanted = set(columns)
     else:
         wanted = None
-    allow_page_skip = (
-        page_predicate is not None
-        and wanted is not None
-        and len(wanted) == 1
-        and all(c == next(iter(wanted)) for c, _, _ in page_predicate)
-    )
     by_name = {c["name"]: c for c in manifest["chunks"]}
+    proj = [
+        e
+        for e in manifest["chunks"]
+        if wanted is None or e["name"].split("#")[0] in wanted
+    ]
+    kept = None
+    if page_predicate is not None and all(
+        "#" not in e["name"] and e["validity"] is None for e in proj
+    ):
+        kept = _kept_row_intervals(
+            manifest, by_name, page_predicate, manifest["num_rows"]
+        )
     decoded: dict[str, tuple] = {}
-    for entry in manifest["chunks"]:
-        if wanted is not None and entry["name"].split("#")[0] not in wanted:
-            continue
+    for entry in proj:
         target = entry
         if entry.get("alias"):
             target = by_name[entry["alias"]]
             if target["name"] in decoded:
                 decoded[entry["name"]] = decoded[target["name"]]
                 continue
-        mask = None
-        if allow_page_skip and "#" not in entry["name"] and entry["validity"] is None:
-            mask = page_mask_for_predicate(entry, page_predicate)
-        col = decode_chunk(blob, target, page_mask=mask)
+        if kept is not None:
+            ranges = _entry_page_ranges(target)
+            sel = [
+                any(a < e and s < b for a, b in kept) for s, e in ranges
+            ]
+            col = decode_chunk(blob, target, page_mask=sel)
+            idx_parts = []
+            base = 0
+            for (s, e), k in zip(ranges, sel):
+                if not k:
+                    continue
+                for a, b in kept:
+                    lo, hi = max(s, a), min(e, b)
+                    if lo < hi:
+                        idx_parts.append(np.arange(base + lo - s, base + hi - s))
+                base += e - s
+            idx = (
+                np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
+            )
+            col = _take_rows(col, idx)
+        else:
+            col = decode_chunk(blob, target)
         decoded[entry["name"]] = (col.values, col.null_mask)
     arrays = [assemble(field, decoded) for field in schema]
     return pa.Table.from_arrays(arrays, schema=schema)

@@ -191,15 +191,26 @@ class DecodeWorker:
                 if not bool(filt.might_contain_hashes(bloom.value_hash(value))[0]):
                     return True
             st = stats.get(col)
-            if not st or st["min"] is None or not isinstance(st["min"], (int, float)):
+            if not st or st["min"] is None:
                 continue
             lo, hi = st["min"], st["max"]
+            cmp_value = value
+            if isinstance(lo, str):
+                # binary min/max are stored latin-1 (bytewise order preserved,
+                # max truncated-with-increment — ColumnIndexBuilder
+                # semantics); compare the predicate value in the same space
+                if not isinstance(value, (str, bytes)):
+                    continue
+                v = value.encode("utf-8") if isinstance(value, str) else value
+                cmp_value = v.decode("latin-1")
+            elif not isinstance(lo, (int, float)) or isinstance(value, (str, bytes)):
+                continue
             if (
-                (op == "==" and (value < lo or value > hi))
-                or (op == "<" and lo >= value)
-                or (op == "<=" and lo > value)
-                or (op == ">" and hi <= value)
-                or (op == ">=" and hi < value)
+                (op == "==" and (cmp_value < lo or cmp_value > hi))
+                or (op == "<" and lo >= cmp_value)
+                or (op == "<=" and lo > cmp_value)
+                or (op == ">" and hi <= cmp_value)
+                or (op == ">=" and hi < cmp_value)
             ):
                 return True
         return False
@@ -216,13 +227,10 @@ class DecodeWorker:
             with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
                 blob = f.read()
             page_pred = None
-            if (
-                self.predicate
-                and self.columns
-                and len(self.columns) == 1
-                and all(c == self.columns[0] for c, _, _ in self.predicate)
-            ):
-                page_pred = self.predicate
+            if self.predicate:
+                pred_cols = {c for c, _, _ in self.predicate}
+                if self.columns is None or pred_cols <= set(self.columns):
+                    page_pred = self.predicate
             table = blocks.decode_block(
                 blob, manifest, columns=self.columns, page_predicate=page_pred
             )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 
 from .schema import PhysicalColumn
 
@@ -37,8 +38,12 @@ class ChunkStats:
     def to_manifest(self) -> dict:
         mn, mx = self.min_value, self.max_value
         if isinstance(mn, bytes):
-            mn = mn[:BINARY_TRUNCATE].decode("utf-8", "replace")
-            mx = self.max_value[:BINARY_TRUNCATE].decode("utf-8", "replace")
+            # ColumnIndexBuilder truncation semantics: a min prefix is still a
+            # lower bound; the max prefix is incremented to stay an upper
+            # bound. latin-1 round-trips arbitrary bytes through JSON while
+            # preserving bytewise order for pushdown comparisons.
+            mn = mn[:BINARY_TRUNCATE].decode("latin-1")
+            mx = truncate_max(self.max_value, BINARY_TRUNCATE).decode("latin-1")
         elif mn is not None and not isinstance(mn, (int, float, bool, str)):
             mn, mx = str(mn), str(mx)
         return {
@@ -48,6 +53,21 @@ class ChunkStats:
             "min": mn,
             "max": mx,
         }
+
+
+def truncate_max(value: bytes, limit: int) -> bytes:
+    """Truncate an upper bound to ``limit`` bytes, incrementing the last kept
+    byte so the result stays >= every value with that prefix
+    (ColumnIndexBuilder's BinaryTruncator.incrementMax). Falls back to the
+    full value when every kept byte is 0xFF."""
+    if len(value) <= limit:
+        return value
+    kept = bytearray(value[:limit])
+    for i in range(len(kept) - 1, -1, -1):
+        if kept[i] != 0xFF:
+            kept[i] += 1
+            return bytes(kept[: i + 1])
+    return value  # all 0xFF — cannot increment, keep untruncated
 
 
 def compute(col: PhysicalColumn) -> ChunkStats:
@@ -75,10 +95,15 @@ def compute(col: PhysicalColumn) -> ChunkStats:
         f2 = sum(1 for c in counts.values() if c == 2)
         chao = d + (f1 * f1) / (2 * f2) if f2 else (d * 2 if f1 == d else d)
         avg_len = (int(offsets[-1] - offsets[0]) / n) if n else 0
-        # min/max over the sample only for binary (exact min/max of huge
-        # string chunks is not worth a full sort; manifest marks sampled)
-        mn = min(sample)
-        mx = max(sample)
+        # exact vectorized min/max (pyarrow kernel) — required for sound
+        # string-predicate pushdown; truncation happens at manifest time
+        import pyarrow.compute as pc
+
+        from rayenc.codecs.dictionary import binary_array
+
+        mm = pc.min_max(binary_array(offsets, data).cast(pa.large_binary()))
+        mn = mm["min"].as_py()
+        mx = mm["max"].as_py()
         st = ChunkStats(
             n,
             nulls,

@@ -3,6 +3,7 @@
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -147,3 +148,73 @@ def test_rewrite_materializes_alias_when_target_dropped(ray_session, tmp_path):
     t = _read_all(out)
     want = pq.read_table(path).drop_columns(["tokens"])
     assert t.equals(want)  # n_tok survived its dropped alias target
+
+
+def test_string_stats_partition_skipping(tmp_path, ray_session):
+    # sorted string column -> disjoint per-partition min/max -> real skipping
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+
+    n = 4000
+    keys = [f"key-{i:06d}" for i in range(n)]
+    table = pa.table({"k": pa.array(keys), "v": pa.array(np.arange(n, dtype=np.int64))})
+    src = str(tmp_path / "sorted.parquet")
+    pq.write_table(table, src, row_group_size=500)
+    enc = str(tmp_path / "enc")
+    pipeline.encode_job(src, enc, target_block_bytes=16 << 10).materialize()
+    import json, os
+
+    pred = [("k", ">=", "key-003500")]
+    w = pipeline.DecodeWorker(enc, predicate=pred)
+    manifests = [
+        json.loads(open(os.path.join(enc, f)).read())
+        for f in sorted(os.listdir(enc))
+        if f.endswith(".manifest.json")
+    ]
+    skipped = sum(w._skip_by_stats(m) for m in manifests)
+    assert len(manifests) >= 4 and skipped >= len(manifests) // 2, (
+        len(manifests), skipped,
+    )
+    parts = [
+        ray.get(r)
+        for r in pipeline.decode_dataset(enc, predicate=pred).to_arrow_refs()
+    ]
+    got = pa.concat_tables([p for p in parts if p.num_rows])
+    assert sorted(got.column("k").to_pylist()) == [k for k in keys if k >= "key-003500"]
+
+
+def test_multicolumn_page_skipping_block_level():
+    from rayenc.blocks import encode_block, decode_block
+    from rayenc.selector import EncodeConfig
+
+    n = 50_000
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(n, dtype=np.int64)),
+            "b": pa.array((np.arange(n, dtype=np.int64) * 7) % 1000),
+            "s": pa.array([f"s{i:05d}" for i in range(n)]),
+        }
+    )
+    cfg = EncodeConfig(page_rows=4000)
+    blob, manifest = encode_block(t, cfg)
+    pred = [("a", ">=", 20_000), ("a", "<", 24_000), ("s", "<", "s30000")]
+    got = decode_block(blob, manifest, page_predicate=pred)
+    # page skip returns a superset limited to overlapping pages, far fewer rows
+    assert got.num_rows < n // 2
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.and_(
+            pc.greater_equal(got.column("a"), pa.scalar(20_000)),
+            pc.less(got.column("a"), pa.scalar(24_000)),
+        ),
+        pc.less(got.column("s"), pa.scalar("s30000")),
+    )
+    exact = got.filter(mask)
+    assert exact.num_rows == 4000
+    assert exact.column("a").to_pylist() == list(range(20_000, 24_000))
+    # row alignment: b must still match a*7 % 1000
+    a = np.array(exact.column("a").to_pylist())
+    b = np.array(exact.column("b").to_pylist())
+    assert np.array_equal(b, (a * 7) % 1000)
