@@ -435,35 +435,94 @@ def transcode_parquet_job(
     )
 
 
+def _grouped_value_bytes(batch: pa.Table) -> np.ndarray:
+    """Per-row encoded-payload estimate used for block budgeting (tokens
+    dominate the tokenized table; 64 B/row otherwise)."""
+    if "tokens" in batch.column_names:
+        lens = pa.compute.list_value_length(batch.column("tokens")).to_numpy(
+            zero_copy_only=False
+        )
+        return lens.astype(np.int64) * 4
+    return np.full(batch.num_rows, 64, np.int64)
+
+
 def encode_grouped_job(
     paths: list[str] | str,
     out_dir: str,
     key: str = "source",
     config: EncodeConfig | None = None,
-    num_buckets: int = 32,
+    salt_col: str | None = "doc_id",
     max_block_rows: int = 100_000,
     max_block_value_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
     concurrency=None,
 ) -> "ray.data.Dataset":
-    """Encode with key co-location: rows are hash-bucketed by ``key`` so each
-    partition holds one key-bucket (dictionary/FSST tables stay coherent per
-    source — SURVEY.md §7.3), with skew capping: a bucket larger than the
-    block budget splits into multiple row-group-sized blocks, so one giant
-    source cannot create a straggler (FIXTURES.md F4 skew).
+    """Encode with key co-location: rows are bucketed by ``key`` so each
+    partition holds rows of one source (dictionary/FSST tables stay coherent
+    per source — SURVEY.md §7.3).
 
-    This is the one encode path with a shuffle; the key is low-cardinality so
-    only the groupby exchange moves rows, once."""
+    Skew is handled BEFORE the shuffle: a cheap pre-aggregation (per-batch
+    partial sizes -> one tiny groupby) measures each key's payload, each key
+    gets ceil(bytes / block_budget) sub-buckets, and rows salt into them by
+    ``salt_col`` hash. No task ever materializes more than ~one block budget
+    of rows — a giant source becomes many bounded groups instead of one
+    straggler holding 1/num_buckets of the corpus.
+
+    This is the one encode path with a shuffle; the pre-aggregation ships one
+    row per (batch, key), then only the groupby exchange moves rows, once."""
     if isinstance(paths, str):
         paths = [paths]
     os.makedirs(out_dir, exist_ok=True)
     config = config or EncodeConfig()
 
+    # pass 1: per-key payload sizes (partial aggregate inside map_batches,
+    # then a tiny shuffle of one row per key per batch)
+    def partial_sizes(batch: pa.Table) -> pa.Table:
+        vb = _grouped_value_bytes(batch)
+        t = pa.table(
+            {key: batch.column(key), "vbytes": pa.array(vb)}
+        )
+        agg = t.group_by([key]).aggregate([("vbytes", "sum")])
+        return agg.rename_columns([key, "vbytes"])
+
+    src_ds = ray.data.read_parquet(paths)
+    sizes = (
+        src_ds.map_batches(partial_sizes, batch_format="pyarrow")
+        .groupby(key)
+        .sum("vbytes")
+        .to_pandas()
+    )
+    vb_col = [c for c in sizes.columns if c != key][0]
+    keys_sorted = sizes.sort_values(key).reset_index(drop=True)
+    nblk = np.maximum(
+        1, np.ceil(keys_sorted[vb_col].to_numpy() / max_block_value_bytes)
+    ).astype(np.int64)
+    base = np.zeros(len(nblk), np.int64)
+    np.cumsum(nblk[:-1], out=base[1:])
+    plan = {
+        k: (int(b), int(nb))
+        for k, b, nb in zip(keys_sorted[key], base, nblk)
+    }
+    plan_ref = ray.put(plan)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         from .ops.dedup import hash_strings
 
-        h = hash_strings(batch.column(key).combine_chunks() if isinstance(batch.column(key), pa.ChunkedArray) else batch.column(key))
+        p = ray.get(plan_ref)
+        kv = batch.column(key).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(kv, return_inverse=True)
+        bases = np.array([p[u][0] for u in uniq], np.int64)[inv]
+        nb = np.array([p[u][1] for u in uniq], np.int64)[inv]
+        if salt_col and salt_col in batch.column_names:
+            salt_arr = batch.column(salt_col)
+            if not pa.types.is_string(salt_arr.type) and not pa.types.is_large_string(
+                salt_arr.type
+            ):
+                salt_arr = salt_arr.cast(pa.large_string())
+            salt = hash_strings(salt_arr).astype(np.int64) & 0x7FFFFFFF
+        else:
+            salt = np.arange(batch.num_rows, dtype=np.int64)
         return batch.append_column(
-            "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+            "__bucket", pa.array(bases + (salt % np.maximum(nb, 1)))
         )
 
     def encode_bucket(group: pa.Table) -> pa.Table:
@@ -472,15 +531,10 @@ def encode_grouped_job(
         group = group.sort_by([(key, "ascending")])
         bucket = int(group.column("__bucket")[0].as_py())
         group = group.drop_columns(["__bucket"])
-        # split the bucket into blocks bounded by rows and value bytes
-        sizes = []
-        if "tokens" in group.column_names:
-            lens = pa.compute.list_value_length(group.column("tokens")).to_numpy(
-                zero_copy_only=False
-            )
-            cum = np.cumsum(lens.astype(np.int64) * 4)
-        else:
-            cum = np.arange(1, group.num_rows + 1, dtype=np.int64) * 64
+        # split the bucket into blocks bounded by rows and value bytes (the
+        # pre-shuffle sub-bucketing already bounds groups to ~one budget;
+        # this is the exact-cut safety net)
+        cum = np.cumsum(_grouped_value_bytes(group))
         out_rows = []
         start = 0
         seq = 0
@@ -499,7 +553,8 @@ def encode_grouped_job(
                 os.path.join(out_dir, f"bucket-{bucket:04d}-{seq:04d}.manifest.json"),
                 json.dumps(manifest).encode(),
             )
-            out_rows.append((bucket, seq, block.num_rows, len(blob)))
+            vb = int(cum[end - 1] - (cum[start - 1] if start else 0))
+            out_rows.append((bucket, seq, block.num_rows, len(blob), vb))
             start = end
             seq += 1
         return pa.table(
@@ -508,12 +563,12 @@ def encode_grouped_job(
                 "seq": pa.array([r[1] for r in out_rows], pa.int64()),
                 "rows": pa.array([r[2] for r in out_rows], pa.int64()),
                 "blob_bytes": pa.array([r[3] for r in out_rows], pa.int64()),
+                "value_bytes": pa.array([r[4] for r in out_rows], pa.int64()),
             }
         )
 
-    ds = ray.data.read_parquet(paths)
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        src_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(encode_bucket, batch_format="pyarrow")
     )

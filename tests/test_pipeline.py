@@ -151,14 +151,15 @@ def test_grouped_encode_skew_capped(ray_session, tmp_path):
     pq.write_table(table, path)
     out = str(tmp_path / "enc")
     summary = pipeline.encode_grouped_job(
-        path, out, key="source", max_block_value_bytes=60_000, num_buckets=8
+        path, out, key="source", max_block_value_bytes=60_000
     ).to_pandas()
-    # the dominant source was split into multiple blocks
-    per_bucket = summary.groupby("bucket").seq.max()
-    assert per_bucket.max() >= 2, summary
-    # block sizes are capped: max block tokens <= 2x median (FIXTURES F4)
-    big = summary[summary.rows > 1]
-    assert big.rows.max() <= 2 * max(1, int(summary.rows.median())) + 50_000 // 20
+    # the dominant source was split across multiple sub-buckets BEFORE the
+    # shuffle: more buckets than distinct sources
+    assert summary.bucket.nunique() > 6, summary
+    # no task materialized more than ~2x the block budget (the VERDICT bound:
+    # one giant source must not become one giant group)
+    per_bucket_bytes = summary.groupby("bucket").value_bytes.sum()
+    assert per_bucket_bytes.max() <= 2 * 60_000, per_bucket_bytes.max()
     # lossless, order-insensitive
     res = pipeline.verify_roundtrip(path, out, key="doc_id")
     assert res["equal"] and res["rows"] == n
@@ -205,19 +206,33 @@ import sys; sys.path.insert(0, "/root/repo")
 from rayenc import pipeline
 pipeline.encode_job({path!r}, {out!r}, target_block_bytes=1 << 19, concurrency=2).materialize()
 """
-    proc = subprocess.Popen([sys.executable, "-c", script])
-    # wait until some partitions completed, then kill hard
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script], start_new_session=True
+    )
+    # deterministic trigger: kill as soon as >= 4 manifests exist on disk
     deadline = _t.time() + 120
     while _t.time() < deadline:
-        done = len([f for f in os.listdir(out)]) if os.path.isdir(out) else 0
+        done = len(pipeline.completed_pids(out))
         if done >= 4:
             break
         if proc.poll() is not None:
             break  # finished before we could kill — still a valid resume test
         _t.sleep(0.2)
     if proc.poll() is None:
-        proc.send_signal(signal.SIGKILL)
+        # kill the whole process group: Ray worker processes must stop too,
+        # or in-flight tasks keep writing manifests after the driver dies
+        # (the source of the old timing flake)
+        os.killpg(proc.pid, signal.SIGKILL)
         proc.wait()
+    # wait for the manifest set to quiesce before counting
+    prev = -1
+    stable_since = _t.time()
+    while _t.time() - stable_since < 1.5:
+        cur = len(pipeline.completed_pids(out))
+        if cur != prev:
+            prev = cur
+            stable_since = _t.time()
+        _t.sleep(0.25)
     killed_done = len(pipeline.completed_pids(out))
     total = len(pipeline.plan_partitions(path, target_block_bytes=1 << 19))
     # resume in-process
