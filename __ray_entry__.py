@@ -395,6 +395,145 @@ def _multimodal(sf_dir: str):
     ).select_columns(["media_id"])
 
 
+def _enc_rle_boolean(sf_dir: str):
+    """Forced boolean RLE through the container: a derived flag column
+    (l_quantity < 25) round-trips with the RLE/bit-packed hybrid pinned."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+    from rayenc.selector import EncodeConfig
+
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    flagged = pa.table(
+        {
+            "l_orderkey": li.column("l_orderkey"),
+            "l_linenumber": li.column("l_linenumber"),
+            "flag": pc.less(li.column("l_quantity"), pa.scalar(25.0)),
+        }
+    )
+    src = tempfile.mkdtemp(prefix="rayenc-boolsrc-", dir="/tmp")
+    path = os.path.join(src, "flags.parquet")
+    pq.write_table(flagged, path)
+    out = tempfile.mkdtemp(prefix="rayenc-bool-", dir="/tmp")
+    pipeline.encode_job(
+        path, out, config=EncodeConfig(column_encodings={"flag": "RLE"}),
+        target_block_bytes=4 << 20,
+    ).materialize()
+    return pipeline.decode_dataset(out)
+
+
+def _planted_dup_docs(sf_dir: str):
+    """Known-answer MinHash fixture: one synthetic pairwise-dissimilar text
+    per documents row (keyed by doc_id — the corpus's own texts contain
+    genuine near-identical pairs that would pollute the answer set), plus one
+    exact copy of every row at doc_id + 1_000_000."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = docs.column("doc_id").to_numpy()
+    texts = pa.array(
+        [" ".join(f"tok{did}x{j * did % 997}" for j in range(16)) for did in ids],
+        pa.string(),
+    )
+    base = pa.table({"doc_id": docs.column("doc_id"), "text": texts})
+    dup = pa.table(
+        {
+            "doc_id": pc.add(base.column("doc_id"), pa.scalar(1_000_000)),
+            "text": texts,
+        }
+    )
+    return ray.data.from_arrow(pa.concat_tables([base, dup]))
+
+
+def _minhash_dedup_planted(sf_dir: str):
+    """MinHash dedup with a known answer: exact copies share every signature,
+    so at threshold 1.0 exactly the planted copies drop (min id survives)."""
+    from rayenc.ops import dedup
+
+    out = dedup.minhash_dedup(_planted_dup_docs(sf_dir), threshold=1.0)
+    return out.select_columns(["doc_id"])
+
+
+def _minhash_pairs_planted(sf_dir: str):
+    """LSH candidate pairs with a known answer set: only the planted
+    identical-signature pairs survive threshold 1.0."""
+    from rayenc.ops import dedup
+
+    return dedup.minhash_lsh_pairs(_planted_dup_docs(sf_dir), threshold=1.0)
+
+
+def _ann_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe == nlist scans every partition — must equal the
+    oracled brute force exactly (the IVF machinery correctness gate)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import similarity
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+    cent = similarity.train_centroids(mat, nlist=8)
+    return similarity.ivf_topk(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        mat[ids < 5], ids[ids < 5], cent, k=5, nprobe=8,
+    )
+
+
+def _multimodal_docs_oracle(sf_dir: str):
+    """Media pipeline with a SQL-checkable answer: constant-byte payloads
+    derived from n_chars drive the real actor-pool decode stage, and the
+    recovered byte must equal n_chars % 256."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import multimodal
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    b = (docs.column("n_chars").to_numpy() % 256).astype(np.uint8)
+    payloads = pa.array([bytes([v]) * 256 for v in b], pa.binary())
+    media = pa.table(
+        {
+            "media_id": docs.column("doc_id"),
+            "m": payloads,
+            "m_format": pa.array(["fake"] * len(b), pa.string()),
+            "m_w": pa.array(np.full(len(b), 16, np.int32)),
+            "m_h": pa.array(np.full(len(b), 16, np.int32)),
+        }
+    )
+    out = multimodal.media_pipeline(
+        ray.data.from_arrow(media), target=8, concurrency=2, batch_size=64
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        f0 = pc.list_element(batch.column("features"), 0)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_features": pc.list_value_length(batch.column("features")).cast(
+                    pa.int64()
+                ),
+                "feat_byte": pc.round(pc.multiply(f0, pa.scalar(255.0))).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def _build_nested_events(sf_dir: str) -> pa.Table:
     """Deterministic nested fixture derived from the events table: a nullable
     struct, a nullable list<double> with nulls inside, and a map<string,int64>
@@ -624,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["enc_delta_byte_array"] = lambda sf: _forced(sf, "events", "props", "DELTA_BYTE_ARRAY")
     q["enc_fsst"] = lambda sf: _forced(sf, "documents", "text", "FSST")
     q["enc_byte_stream_split"] = lambda sf: _forced(sf, "embeddings", "embedding", "BYTE_STREAM_SPLIT")
+    q["enc_rle_boolean"] = _enc_rle_boolean
+    q["enc_rle_for"] = lambda sf: _forced(sf, "lineitem", "l_suppkey", "RLE_FOR")
     q["stats_lineitem"] = lambda sf: _stats_query(sf, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
     q["stats_documents"] = lambda sf: _stats_query(sf, "documents", ["n_chars"])
     q["dict_source_counts"] = _dict_group_counts
@@ -644,6 +785,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_write_nested"] = _parquet_write_nested
     q["events_window_agg"] = _events_window
     q["ann_topk_bruteforce"] = _ann_topk
+    q["ann_topk_ivf_exhaustive"] = _ann_ivf_exhaustive
+    q["cosine_near_dup_planted"] = lambda sf: _cosine_near_dups(sf).select_columns(
+        ["id_a", "id_b"]
+    )
+    q["minhash_dedup_planted"] = _minhash_dedup_planted
+    q["minhash_pairs_planted"] = _minhash_pairs_planted
+    q["multimodal_features_documents"] = _multimodal_docs_oracle
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
     q["selector_report"] = _selector_report
@@ -666,6 +814,10 @@ def oracle_sql() -> dict[str, str]:
     o["enc_delta_byte_array"] = "SELECT props FROM events"
     o["enc_fsst"] = "SELECT text FROM documents"
     o["enc_byte_stream_split"] = "SELECT embedding FROM embeddings"
+    o["enc_rle_boolean"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity < 25 AS flag FROM lineitem"
+    )
+    o["enc_rle_for"] = "SELECT l_suppkey FROM lineitem"
     o["stats_lineitem"] = (
         "SELECT COUNT(*) AS cnt,"
         " MIN(l_orderkey) AS min_l_orderkey, MAX(l_orderkey) AS max_l_orderkey,"
@@ -725,7 +877,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["nested_roundtrip_events"] = nested_flat
     o["parquet_write_nested"] = nested_flat
-    o["ann_topk_bruteforce"] = (
+    ann_sql = (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
         " WHERE vec_id < 5)"
         " SELECT query_id, rank, neighbor_id FROM ("
@@ -734,5 +886,55 @@ def oracle_sql() -> dict[str, str]:
         "     list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id ASC) AS rank,"
         "   e.vec_id AS neighbor_id"
         "  FROM q CROSS JOIN embeddings e) t WHERE rank <= 5"
+    )
+    o["ann_topk_bruteforce"] = ann_sql
+    o["ann_topk_ivf_exhaustive"] = ann_sql
+    o["minhash_dedup_planted"] = "SELECT doc_id FROM documents"
+    o["cosine_near_dup_planted"] = (
+        "SELECT vec_id AS id_a, 900000 + vec_id AS id_b FROM embeddings"
+        " WHERE vec_id < 3"
+    )
+    o["minhash_pairs_planted"] = (
+        "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,"
+        " CAST(1.0 AS DOUBLE) AS est_jaccard FROM documents"
+    )
+    o["multimodal_features_documents"] = (
+        "SELECT doc_id AS media_id, CAST(192 AS BIGINT) AS n_features,"
+        " n_chars % 256 AS feat_byte FROM documents"
+    )
+
+    # quality / language-id: the heuristics are plain regex counts, so the
+    # oracle is the same arithmetic in SQL (identical IEEE operations)
+    from rayenc.ops.text import _LANG_PROFILES
+
+    def stop_pat(lang: str) -> str:
+        return r"\b(" + "|".join(sorted(_LANG_PROFILES[lang])) + r")\b"
+
+    nw = "greatest(len(string_split(text, ' ')), 1)::DOUBLE"
+    o["quality_scores_documents"] = (
+        "SELECT doc_id,"
+        " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
+        f" length(text)::DOUBLE / {nw} AS mean_word_len,"
+        " len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE /"
+        "   greatest(length(text), 1)::DOUBLE AS punct_ratio,"
+        " len(regexp_extract_all(text, '[0-9]'))::DOUBLE /"
+        "   greatest(length(text), 1)::DOUBLE AS digit_ratio,"
+        f" len(regexp_extract_all(text, '{stop_pat('en')}'))::DOUBLE / {nw}"
+        "   AS stopword_ratio"
+        " FROM documents"
+    )
+    scores = ", ".join(
+        f"len(regexp_extract_all(text, '{stop_pat(lang)}'))::DOUBLE / {nw} AS s_{lang}"
+        for lang in _LANG_PROFILES
+    )
+    o["language_id_documents"] = (
+        f"WITH s AS (SELECT doc_id, {scores} FROM documents)"
+        " SELECT doc_id,"
+        " CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'unknown'"
+        "      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
+        "      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+        "      WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,"
+        " greatest(s_en, s_de, s_fr, s_es) AS lang_conf"
+        " FROM s"
     )
     return o
