@@ -43,7 +43,10 @@ SAMPLE_TARGET = 1 << 13  # 8 KiB of sample text
 class SymbolTable:
     """Static symbol table: symbols[i] is the bytes for code i."""
 
-    __slots__ = ("symbols", "_by_len", "_lengths_desc")
+    __slots__ = (
+        "symbols", "_by_len", "_lengths_desc", "_fb_lenmask", "_one", "_two",
+        "_long_by_prefix",
+    )
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMBOLS
@@ -57,8 +60,55 @@ class SymbolTable:
             pairs.sort()
             keys = np.array([k for k, _ in pairs], np.uint64)
             codes = np.array([c for _, c in pairs], np.uint16)
-            self._by_len[ln] = (keys, codes)
+            # 16-bit fingerprint filter: most non-matching grams bail on one
+            # multiply+gather instead of an 8-step binary search
+            with np.errstate(over="ignore"):
+                fp = ((keys * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)).astype(
+                    np.int64
+                )
+            bloom = np.zeros(1 << 16, bool)
+            bloom[fp] = True
+            self._by_len[ln] = (keys, codes, bloom)
         self._lengths_desc = sorted(self._by_len, reverse=True)
+        # first-byte prefilter: bit (ln-1) set iff some ln-symbol starts with
+        # that byte — cuts the searchsorted candidate sets ~10x on text
+        self._fb_lenmask = np.zeros(256, np.uint8)
+        for s in symbols:
+            self._fb_lenmask[s[0]] |= np.uint8(1 << (len(s) - 1))
+        # direct-indexed tables for 1- and 2-byte symbols (no search at all)
+        self._one = np.full(256, -1, np.int16)
+        self._two = np.full(1 << 16, -1, np.int16)
+        for code, s in enumerate(symbols):
+            if len(s) == 1:
+                self._one[s[0]] = code
+            elif len(s) == 2:
+                self._two[s[0] | (s[1] << 8)] = code
+        # prefix-bounded fast path (the real FSST's structural constraint,
+        # relaxed to two slots): when at most TWO symbols of length >= 3
+        # share any 2-byte prefix (our trainer guarantees this),
+        # longest-match is two direct probes — no per-length searchsorted
+        from collections import defaultdict
+
+        by_prefix: dict[int, list[tuple[int, bytes]]] = defaultdict(list)
+        for code, s in enumerate(symbols):
+            if len(s) >= 3:
+                by_prefix[s[0] | (s[1] << 8)].append((code, s))
+        self._long_by_prefix = None
+        if all(len(v) <= 2 for v in by_prefix.values()):
+            tiers = []
+            for slot in range(2):
+                lcode = np.full(1 << 16, -1, np.int16)
+                lkey = np.zeros(1 << 16, np.uint64)
+                llen = np.zeros(1 << 16, np.uint8)
+                tiers.append((lcode, lkey, llen))
+            for pfx, entries in by_prefix.items():
+                entries.sort(key=lambda cs: -len(cs[1]))  # longest in slot 0
+                for slot, (code, s) in enumerate(entries):
+                    lcode, lkey, llen = tiers[slot]
+                    lcode[pfx] = code
+                    lkey[pfx] = _pack_key(s)
+                    llen[pfx] = len(s)
+            self._long_by_prefix = tiers
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -97,34 +147,100 @@ def _gram_keys(data: np.ndarray, ln: int) -> np.ndarray:
     return acc
 
 
+_LEN_MASKS = np.array(
+    [(1 << (8 * ln)) - 1 for ln in range(MAX_SYMBOL_LEN)] + [(1 << 64) - 1],
+    np.uint64,
+)
+
+
+def _match_prefix_unique(table: SymbolTable, data, g8, pos_end):
+    """Direct-probe longest match when each 2-byte prefix owns at most two
+    symbols of length >= 3 (longest in slot 0): probe both slots, then the
+    2-byte direct table, then the 1-byte table — all full-array gathers."""
+    n = len(data)
+    g2 = (g8 & np.uint64(0xFFFF)).astype(np.int64)
+    slack = pos_end - np.arange(n, dtype=np.int64)  # bytes left in the string
+    mlen = np.zeros(n, np.uint8)
+    mcode = np.zeros(n, np.int16)
+    rest = np.ones(n, bool)
+    for lcode_t, lkey_t, llen_t in table._long_by_prefix:
+        llen = llen_t[g2]
+        hit = rest & (llen > 0) & (llen <= slack)
+        hit &= (g8 & _LEN_MASKS[llen]) == lkey_t[g2]
+        mlen[hit] = llen[hit]
+        mcode[hit] = lcode_t[g2[hit]]
+        rest &= ~hit
+    two = table._two[g2]
+    two_hit = rest & (two >= 0) & (slack >= 2)
+    mlen[two_hit] = 2
+    mcode[two_hit] = two[two_hit]
+    rest &= ~two_hit
+    one = table._one[data]
+    one_hit = rest & (one >= 0)
+    mlen[one_hit] = 1
+    mcode[one_hit] = one[one_hit]
+    return mlen, mcode.astype(np.uint16)
+
+
 def _match(table: SymbolTable, data: np.ndarray, pos_end: np.ndarray):
     """Per position: (longest symbol length or 0, code of that symbol).
 
-    Longest lengths first; each subsequent length only examines positions
-    still unmatched (gathered grams), so the work shrinks as matches land."""
+    Prefix-unique tables (all trained tables) take the single-probe fast
+    path; arbitrary tables fall back to the longest-first per-length loop
+    with a first-byte prefilter + 16-bit fingerprint before each search."""
     n = len(data)
-    mlen = np.zeros(n, np.uint8)
-    mcode = np.zeros(n, np.uint16)
-    pending = np.arange(n, dtype=np.int64)
     # one contiguous pass builds the 8-byte gram at every position; each
     # length's gram is then just a mask of it
     d64 = data.astype(np.uint64)
     g8 = np.zeros(n, np.uint64)
     for k in range(min(MAX_SYMBOL_LEN, n)):
         g8[: n - k] |= d64[k:] << np.uint64(8 * k)
+    if table._long_by_prefix is not None:
+        return _match_prefix_unique(table, data, g8, pos_end)
+    mlen = np.zeros(n, np.uint8)
+    mcode = np.zeros(n, np.uint16)
+    unmatched = np.ones(n, bool)
+    fbm = table._fb_lenmask[data]
     for ln in table._lengths_desc:
-        if not len(pending):
-            break
-        keys, codes = table._by_len[ln]
-        mask_ln = np.uint64((1 << (8 * ln)) - 1) if ln < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
-        gk = g8[pending] & mask_ln
-        idx = np.searchsorted(keys, gk)
-        idx_c = np.minimum(idx, len(keys) - 1)
-        hit = (keys[idx_c] == gk) & (pending + ln <= pos_end[pending])
-        hp = pending[hit]
+        cand = np.flatnonzero(unmatched & ((fbm & np.uint8(1 << (ln - 1))) != 0))
+        if not len(cand):
+            continue
+        cand = cand[cand + ln <= pos_end[cand]]
+        if not len(cand):
+            continue
+        if ln == 1:
+            code = table._one[data[cand]]
+            hit = code >= 0
+        elif ln == 2:
+            g2 = (g8[cand] & np.uint64(0xFFFF)).astype(np.int64)
+            code = table._two[g2]
+            hit = code >= 0
+        else:
+            keys, codes, bloom = table._by_len[ln]
+            mask_ln = (
+                np.uint64((1 << (8 * ln)) - 1) if ln < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+            )
+            gk = g8[cand] & mask_ln
+            with np.errstate(over="ignore"):
+                fp = ((gk * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)).astype(
+                    np.int64
+                )
+            pre = bloom[fp]
+            hit = np.zeros(len(cand), bool)
+            code = np.zeros(len(cand), np.int16)
+            if pre.any():
+                gk_p = gk[pre]
+                idx = np.searchsorted(keys, gk_p)
+                idx_c = np.minimum(idx, len(keys) - 1)
+                sub_hit = keys[idx_c] == gk_p
+                hit[pre] = sub_hit
+                sub_code = np.zeros(len(gk_p), np.int16)
+                sub_code[sub_hit] = codes[idx_c[sub_hit]].astype(np.int16)
+                code[pre] = sub_code
+        hp = cand[hit]
         mlen[hp] = ln
-        mcode[hp] = codes[idx_c[hit]]
-        pending = pending[~hit]
+        mcode[hp] = code[hit].astype(np.uint16)
+        unmatched[hp] = False
     return mlen, mcode
 
 
@@ -288,9 +404,20 @@ def train(offsets: np.ndarray, data: np.ndarray, seed: int = 0) -> SymbolTable:
                     gain[cat] = gain.get(cat, 0) + len(cat)
                 prev = sym
                 p += len(sym)
-        # keep top symbols by gain; deterministic tie-break on bytes
+        # keep top symbols by gain (deterministic tie-break on bytes), with
+        # the FSST structural constraint: at most one symbol of length >= 3
+        # per 2-byte prefix, so matching is a single direct probe
         ranked = sorted(gain.items(), key=lambda kv: (-kv[1], kv[0]))
-        table = [s for s, _ in ranked[:MAX_SYMBOLS]]
+        table = []
+        prefix_slots: dict[bytes, int] = {}
+        for s, _ in ranked:
+            if len(s) >= 3:
+                if prefix_slots.get(s[:2], 0) >= 2:
+                    continue
+                prefix_slots[s[:2]] = prefix_slots.get(s[:2], 0) + 1
+            table.append(s)
+            if len(table) == MAX_SYMBOLS:
+                break
     return SymbolTable(table)
 
 
