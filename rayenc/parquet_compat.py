@@ -128,6 +128,7 @@ class PageHeader:
     v2_def_bytes: int = 0
     v2_rep_bytes: int = 0
     header_len: int = 0
+    crc: int | None = None
 
 
 def read_page_header(buf, i=0) -> PageHeader:
@@ -140,6 +141,7 @@ def read_page_header(buf, i=0) -> PageHeader:
         num_values=0,
         encoding=PLAIN,
         header_len=end - i,
+        crc=fields.get(4),
     )
     if ptype == DATA_PAGE:
         d = fields[5]
@@ -204,6 +206,15 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
         h = read_page_header(raw, pos)
         body = raw[pos + h.header_len : pos + h.header_len + h.compressed_size]
         pos += h.header_len + h.compressed_size
+        if h.crc is not None:
+            # PageChecksum verification (ParquetFileWriter CRC semantics:
+            # CRC-32 over the on-disk page body)
+            import zlib
+
+            if zlib.crc32(body.tobytes()) != (h.crc & 0xFFFFFFFF):
+                raise ValueError(
+                    f"page CRC mismatch in {path!r} column {column!r}"
+                )
         if codec is not None:
             if h.type == DATA_PAGE_V2:
                 # V2: rep/def levels sit uncompressed before the compressed body
@@ -257,9 +268,22 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
     return values
 
 
+def int96_to_timestamp_ns(vals: np.ndarray) -> np.ndarray:
+    """Convert decoded INT96 rows (n, 12 bytes) to int64 epoch nanoseconds
+    (nanos-in-day + Julian day, the deprecated Spark/Impala layout)."""
+    v = np.ascontiguousarray(vals, np.uint8)
+    nanos = v[:, :8].copy().view(np.int64).reshape(-1)
+    julian = v[:, 8:12].copy().view(np.int32).reshape(-1).astype(np.int64)
+    return (julian - 2440588) * 86_400_000_000_000 + nanos
+
+
 def _decode_plain(body, n, ptype, type_length=0):
     if ptype in _PHYS:
         return plain.decode_fixed(body, n, ptype)
+    if ptype == "INT96":
+        # deprecated 12-byte timestamps (Encoding.java:63; Spark legacy
+        # files): nanos-in-day int64 LE + Julian day int32 LE
+        return plain.decode_fixed_len(body, n, 12)
     if ptype == "BYTE_ARRAY":
         return plain.decode_binary(body, n)
     if ptype == "BOOLEAN":

@@ -18,6 +18,8 @@ decision.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -180,16 +182,23 @@ def _page_codec(name: str | None):
     return _CODEC_ID[key], pa.Codec("lz4_raw" if key == "lz4" else key)
 
 
-def _page_header(ptype_page: int, unc: int, comp: int, body_fields) -> bytes:
+def _page_header(
+    ptype_page: int, unc: int, comp: int, body_fields, crc: int | None = None
+) -> bytes:
     w = _W()
     w.i(1, ptype_page)
     w.i(2, unc)
     w.i(3, comp)
+    if crc is not None:
+        w.i(4, crc - (1 << 32) if crc >= (1 << 31) else crc)  # thrift i32
     body_fields(w)
     return w.stop()
 
 
-def data_page_header(num_values: int, encoding: int, unc: int, comp: int | None = None) -> bytes:
+def data_page_header(
+    num_values: int, encoding: int, unc: int, comp: int | None = None,
+    crc: int | None = None,
+) -> bytes:
     def body(w: _W):
         w.begin_struct(5)
         w.i(1, num_values)
@@ -198,7 +207,7 @@ def data_page_header(num_values: int, encoding: int, unc: int, comp: int | None 
         w.i(4, ENC_RLE)  # repetition level encoding
         w.end_struct()
 
-    return _page_header(0, unc, comp if comp is not None else unc, body)
+    return _page_header(0, unc, comp if comp is not None else unc, body, crc)
 
 
 def data_page_header_v2(
@@ -211,6 +220,7 @@ def data_page_header_v2(
     unc: int,
     comp: int,
     is_compressed: bool,
+    crc: int | None = None,
 ) -> bytes:
     """DataPageHeaderV2 (parquet.thrift; ColumnWriterV2.java:43-112): levels
     sit unframed and uncompressed before the (optionally compressed) values."""
@@ -226,17 +236,19 @@ def data_page_header_v2(
         w.boolean(7, is_compressed)
         w.end_struct()
 
-    return _page_header(3, unc, comp, body)
+    return _page_header(3, unc, comp, body, crc)
 
 
-def dict_page_header(num_values: int, unc: int, comp: int | None = None) -> bytes:
+def dict_page_header(
+    num_values: int, unc: int, comp: int | None = None, crc: int | None = None
+) -> bytes:
     def body(w: _W):
         w.begin_struct(7)
         w.i(1, num_values)
         w.i(2, ENC_PLAIN)
         w.end_struct()
 
-    return _page_header(2, unc, comp if comp is not None else unc, body)
+    return _page_header(2, unc, comp if comp is not None else unc, body, crc)
 
 
 # ---------------------------------------------------- Dremel record shredding
@@ -501,7 +513,9 @@ def _encode_column_pages(
             dict_payload = dict_page_fixed(dic, col.ptype)
         dict_comp = compress(dict_payload)
         meta.dict_offset = len(out)
-        hdr = dict_page_header(len(dic), len(dict_payload), len(dict_comp))
+        hdr = dict_page_header(
+            len(dic), len(dict_payload), len(dict_comp), crc=zlib.crc32(dict_comp)
+        )
         out += hdr
         out += dict_comp
         meta.total_unc += len(hdr) + len(dict_payload)
@@ -533,14 +547,15 @@ def _encode_column_pages(
                 def_b = rle_hybrid.encode(def_levels[sa:sb], bit_width32(max_def))
                 nnulls = int((def_levels[sa:sb] < max_def).sum())
             vals = compress(payload)
+            body = rep_b + def_b + vals
             hdr = data_page_header_v2(
                 nv, nnulls, nrows, enc_code,
                 len(def_b), len(rep_b),
                 unc=len(rep_b) + len(def_b) + len(payload),
-                comp=len(rep_b) + len(def_b) + len(vals),
+                comp=len(body),
                 is_compressed=codec is not None,
+                crc=zlib.crc32(body),
             )
-            body = rep_b + def_b + vals
             unc_len = len(rep_b) + len(def_b) + len(payload)
         else:
             lv = b""
@@ -550,7 +565,7 @@ def _encode_column_pages(
                 lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
             raw = lv + payload
             body = compress(raw)
-            hdr = data_page_header(nv, enc_code, len(raw), len(body))
+            hdr = data_page_header(nv, enc_code, len(raw), len(body), crc=zlib.crc32(body))
             unc_len = len(raw)
         if meta.data_offset is None:
             meta.data_offset = len(out)

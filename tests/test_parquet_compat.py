@@ -1,6 +1,8 @@
 """Format conformance: rayenc decoders read pyarrow-written parquet pages
 (SURVEY.md §5(c) cross-validation against independent ground truth)."""
 
+import tempfile
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -218,3 +220,40 @@ def test_nullable_column_chunks(tmp_path):
     restored2 = np.full(len(valid2), -1, np.int64)
     restored2[valid2] = dense2
     np.testing.assert_array_equal(restored2, want)
+
+
+def test_int96_timestamps():
+    # deprecated Spark/Impala layout (Encoding.java:63): nanos-in-day + Julian day
+    import datetime
+
+    ts = [
+        datetime.datetime(2020, 1, 1) + datetime.timedelta(seconds=i * 12345)
+        for i in range(5000)
+    ]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("ns"))})
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path, use_deprecated_int96_timestamps=True, compression="NONE")
+    assert pq.ParquetFile(path).metadata.row_group(0).column(0).physical_type == "INT96"
+    vals = parquet_compat.read_column_chunk(path, "ts")
+    ns = parquet_compat.int96_to_timestamp_ns(vals)
+    np.testing.assert_array_equal(ns, t.column("ts").cast(pa.int64()).to_numpy())
+
+
+def test_page_crc_written_and_verified():
+    from rayenc import parquet_write
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(li, path)
+    # pyarrow verifies our CRCs
+    assert pq.read_table(path, page_checksum_verification=True).num_rows == li.num_rows
+    # our reader verifies them too, and detects corruption
+    v = parquet_compat.read_column_chunk(path, "l_orderkey")
+    np.testing.assert_array_equal(np.asarray(v), li.column("l_orderkey").to_numpy())
+    raw = bytearray(open(path, "rb").read())
+    off = pq.ParquetFile(path).metadata.row_group(0).column(0).data_page_offset
+    raw[off + 60] ^= 0xFF
+    bad = tempfile.mktemp(suffix=".parquet")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC"):
+        parquet_compat.read_column_chunk(bad, "l_orderkey")
