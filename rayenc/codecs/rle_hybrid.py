@@ -212,28 +212,61 @@ def encode_scalar(values, width: int) -> bytes:
 
 
 def decode(buf, n: int, width: int, out_dtype=np.uint32) -> np.ndarray:
-    """Decode n values; mirrors RunLengthBitPackingHybridDecoder.java:61-108."""
+    """Decode n values; mirrors RunLengthBitPackingHybridDecoder.java:61-108.
+
+    Two passes: a python skip-walk collects run descriptors (touching only
+    header bytes), then ALL bit-packed payloads unpack in one vectorized
+    call (group packing is byte-aligned, so concatenated payloads form one
+    valid stream) and scatter back by run; RLE runs are slice fills."""
     out = np.empty(n, out_dtype)
+    if n == 0:
+        return out
+    raw = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
+    rb = raw.tobytes()
+    vbytes = (width + 7) // 8
     pos = 0
     i = 0
-    vbytes = (width + 7) // 8
+    bp_runs: list[tuple[int, int, int, int, int]] = []
+    rle_runs: list[tuple[int, int, int]] = []
     while pos < n:
-        header, i = read_uvarint(buf, i)
+        b = rb[i]
+        i += 1
+        header = b & 0x7F
+        shift = 7
+        while b & 0x80:
+            b = rb[i]
+            i += 1
+            header |= (b & 0x7F) << shift
+            shift += 7
         if header & 1:  # bit-packed run
             groups = header >> 1
             cnt = groups * 8
             nbytes = groups * width
-            vals = unpack_lsb(buf[i : i + nbytes], cnt, width, out_dtype)
+            take = cnt if cnt <= n - pos else n - pos
+            bp_runs.append((i, nbytes, cnt, pos, take))
             i += nbytes
-            take = min(cnt, n - pos)
-            out[pos : pos + take] = vals[:take]
             pos += take
         else:  # rle run
             cnt = header >> 1
-            value = int.from_bytes(bytes(buf[i : i + vbytes]), "little")
+            value = int.from_bytes(rb[i : i + vbytes], "little")
             i += vbytes
-            out[pos : pos + cnt] = value
+            rle_runs.append((pos, cnt, value))
             pos += cnt
+    if bp_runs:
+        if len(bp_runs) == 1:
+            s, nb, cnt, opos, take = bp_runs[0]
+            vals = unpack_lsb(raw[s : s + nb], cnt, width, out_dtype)
+            out[opos : opos + take] = vals[:take]
+        else:
+            payload = np.concatenate([raw[s : s + nb] for s, nb, _, _, _ in bp_runs])
+            total = sum(c for _, _, c, _, _ in bp_runs)
+            vals = unpack_lsb(payload, total, width, out_dtype)
+            base = 0
+            for _, _, cnt, opos, take in bp_runs:
+                out[opos : opos + take] = vals[base : base + take]
+                base += cnt
+    for opos, cnt, value in rle_runs:
+        out[opos : opos + cnt] = value
     return out
 
 

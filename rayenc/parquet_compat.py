@@ -181,6 +181,7 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
     cmeta = meta.column(col_idx)
     schema_col = f.schema.column(col_idx)
     max_def = schema_col.max_definition_level
+    max_rep = schema_col.max_repetition_level
     type_length = getattr(schema_col, "length", 0) or 0
     codec = None
     if cmeta.compression != "UNCOMPRESSED":
@@ -197,11 +198,16 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
         fh.seek(start)
         raw = np.frombuffer(fh.read(total), np.uint8)
 
+    from .codecs.bitpack import bit_width32
+
+    w_rep = bit_width32(max_rep)
+    w_def = bit_width32(max_def)
     pos = 0
     remaining = cmeta.num_values
     dictionary = None
     out_parts = []
     level_parts = []
+    rep_parts = []
     while remaining > 0 and pos < len(raw):
         h = read_page_header(raw, pos)
         body = raw[pos + h.header_len : pos + h.header_len + h.compressed_size]
@@ -233,38 +239,57 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
             dictionary = _decode_plain(body, h.num_values, ptype, type_length)
             continue
         if h.type == DATA_PAGE:
-            # V1 layout: [def levels: RLE with 4-byte length frame][values];
-            # REQUIRED columns (max_def == 0) omit levels entirely
+            # V1 layout: [rep levels: framed RLE][def levels: framed RLE]
+            # [values]; REQUIRED flat columns (max levels == 0) omit levels
             body_v = body
             nvals = h.num_values
+            if max_rep > 0:
+                rlv, consumed = rle_hybrid.decode_framed(body_v, h.num_values, w_rep)
+                rep_parts.append(rlv)
+                body_v = body_v[consumed:]
             if max_def > 0 and h.def_level_encoding == RLE:
-                levels, consumed = rle_hybrid.decode_framed(body, h.num_values, 1)
+                levels, consumed = rle_hybrid.decode_framed(
+                    body_v, h.num_values, w_def
+                )
                 level_parts.append(levels)
-                nvals = int(levels.sum())  # nulls hold no value slot
-                body_v = body[consumed:]
+                nvals = int((levels == max_def).sum())  # nulls hold no value slot
+                body_v = body_v[consumed:]
             out_parts.append(
                 _decode_values(body_v, nvals, h.encoding, ptype, dictionary, type_length)
             )
         elif h.type == DATA_PAGE_V2:
             nvals = h.num_values
+            if max_rep > 0 and h.v2_rep_bytes:
+                rep_parts.append(
+                    rle_hybrid.decode(body[: h.v2_rep_bytes], h.num_values, w_rep)
+                )
             if max_def > 0 and h.v2_def_bytes:
                 levels = rle_hybrid.decode(
                     body[h.v2_rep_bytes : h.v2_rep_bytes + h.v2_def_bytes],
                     h.num_values,
-                    1,
+                    w_def,
                 )
                 level_parts.append(levels)
-                nvals = int(levels.sum())
+                nvals = int((levels == max_def).sum())
             body_v = body[h.v2_rep_bytes + h.v2_def_bytes :]
             out_parts.append(
                 _decode_values(body_v, nvals, h.encoding, ptype, dictionary, type_length)
             )
         remaining -= h.num_values
     values = _concat_parts(out_parts, ptype)
+    if max_rep > 0:
+        rep = np.concatenate(rep_parts) if rep_parts else np.zeros(0, np.uint32)
+        deflev = (
+            np.concatenate(level_parts)
+            if level_parts
+            else np.full(len(rep), max_def, np.uint32)
+        )
+        return values, rep, deflev  # (dense values, rep levels, def levels)
     if level_parts:
         levels = np.concatenate(level_parts)
-        if not levels.all():
-            return values, levels.astype(bool)  # (dense values, validity)
+        valid = levels == max_def
+        if not valid.all():
+            return values, valid  # (dense values, validity)
     return values
 
 
@@ -275,6 +300,64 @@ def int96_to_timestamp_ns(vals: np.ndarray) -> np.ndarray:
     nanos = v[:, :8].copy().view(np.int64).reshape(-1)
     julian = v[:, 8:12].copy().view(np.int32).reshape(-1).astype(np.int64)
     return (julian - 2440588) * 86_400_000_000_000 + nanos
+
+
+def read_list_column(path: str, field_name: str, row_group: int = 0):
+    """Decode a one-level list column (the 3-level LIST shape of
+    `parquet-arrow/.../schema/List3Levels.java`) from real rep/def levels
+    using rayenc decoders only; returns a pa.ListArray equal to pyarrow's
+    read. Handles null lists, empty lists and null elements."""
+    import pyarrow as pa
+
+    f = pq.ParquetFile(path)
+    arrow_field = f.schema_arrow.field(field_name)
+    t = arrow_field.type
+    assert pa.types.is_list(t) or pa.types.is_large_list(t), t
+    # locate the leaf path ("name.list.element" / legacy namings)
+    leaf = None
+    meta = f.metadata.row_group(row_group)
+    for ci in range(meta.num_columns):
+        p = meta.column(ci).path_in_schema
+        if p.split(".")[0] == field_name:
+            leaf = p
+            break
+    assert leaf is not None, field_name
+    sc = f.schema.column([c.path_in_schema for c in
+                          (meta.column(i) for i in range(meta.num_columns))
+                          ].index(leaf))
+    max_def = sc.max_definition_level
+    vals, rep, deflev = read_column_chunk(path, leaf, row_group)
+    d_list = 1 if arrow_field.nullable else 0
+    d_nonempty = d_list + 1
+    n_rec = int((rep == 0).sum())
+    rec_id = np.cumsum(rep == 0) - 1
+    elem_slot = deflev >= d_nonempty
+    counts = np.bincount(rec_id[elem_slot], minlength=n_rec)
+    offsets = np.zeros(n_rec + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    elem_def = deflev[elem_slot]
+    elem_valid = elem_def == max_def
+    # child array: dense decoded values scattered over element slots
+    n_elem = int(elem_slot.sum())
+    take = np.full(n_elem, -1, np.int64)
+    take[elem_valid] = np.arange(int(elem_valid.sum()))
+    elem_t = t.value_type
+    if isinstance(vals, tuple):  # BYTE_ARRAY
+        from .codecs.dictionary import binary_array
+
+        dense = binary_array(*vals)
+        if not pa.types.is_string(elem_t) and not pa.types.is_large_string(elem_t):
+            dense = dense.cast(pa.large_binary())
+    else:
+        v = np.asarray(vals)
+        dense = pa.array(v.reshape(len(v), -1).tolist()) if v.ndim == 2 else pa.array(v)
+    child = dense.take(
+        pa.array([None if x < 0 else int(x) for x in take], pa.int64())
+    ).cast(elem_t)
+    rec_first_def = deflev[rep == 0]
+    mask = pa.array(rec_first_def < d_list) if d_list else None
+    out = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), child, mask=mask)
+    return out.cast(t)
 
 
 def _decode_plain(body, n, ptype, type_length=0):
