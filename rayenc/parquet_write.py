@@ -410,6 +410,14 @@ class _Column:
         self.total_unc = 0  # uncompressed equivalent (incl. headers)
         self.codec = 0  # CompressionCodec enum
         self.type_length = None  # FIXED_LEN_BYTE_ARRAY width
+        # Statistics (ColumnMetaData field 12) + SizeStatistics (field 16)
+        self.null_count = 0
+        self.min_bytes = None
+        self.max_bytes = None
+        self.stats_exact = True
+        self.rep_hist = None
+        self.def_hist = None
+        self.unenc_bytes = None
 
 
 def _levels_payload(levels: np.ndarray | None, width: int) -> bytes:
@@ -578,6 +586,47 @@ def _encode_column_pages(
     meta.total_bytes = len(out) - meta.start_offset
 
 
+def _leaf_statistics(meta: _Column, col: PhysicalColumn, leaf: _Leaf) -> None:
+    """Typed min/max/null-count + level histograms for the footer
+    (Statistics.java + SizeStatistics.java semantics; binary bounds use the
+    ColumnIndexBuilder truncate/increment rule with exactness flags)."""
+    import struct
+
+    if leaf.dfv is not None:
+        meta.null_count = int((leaf.dfv < leaf.max_def).sum())
+        meta.def_hist = np.bincount(leaf.dfv, minlength=leaf.max_def + 1)
+    if leaf.rep is not None:
+        meta.rep_hist = np.bincount(leaf.rep, minlength=leaf.max_rep + 1)
+    if col.num_values == 0:
+        return
+    if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        v = np.asarray(col.values)
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            return
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[col.ptype]
+        meta.min_bytes = struct.pack(fmt, v.min().item())
+        meta.max_bytes = struct.pack(fmt, v.max().item())
+    elif col.ptype == "BOOLEAN":
+        v = np.asarray(col.values, bool)
+        meta.min_bytes = b"\x01" if v.min() else b"\x00"
+        meta.max_bytes = b"\x01" if v.max() else b"\x00"
+    elif col.ptype == "BINARY":
+        import pyarrow.compute as pc
+
+        from . import stats as st_mod
+        from .codecs.dictionary import binary_array
+
+        offsets, data = col.values
+        meta.unenc_bytes = int(offsets[-1] - offsets[0])
+        mm = pc.min_max(binary_array(offsets, data).cast(pa.large_binary()))
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        lim = st_mod.BINARY_TRUNCATE
+        if len(mn) > lim or len(mx) > lim:
+            meta.stats_exact = False
+        meta.min_bytes = mn[:lim]
+        meta.max_bytes = st_mod.truncate_max(mx, lim)
+
+
 def _write_row_group(
     table: pa.Table, out: bytearray, config: sel.EncodeConfig
 ) -> list[_Column]:
@@ -605,6 +654,7 @@ def _write_row_group(
                 )
             if col.ptype == "FIXED_LEN_BYTE_ARRAY":
                 meta.type_length = int(np.asarray(col.values).shape[1])
+            _leaf_statistics(meta, col, leaf)
             columns.append(meta)
     return columns
 
@@ -745,10 +795,43 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
             cc.i64(9, meta.data_offset)
             if meta.dict_offset is not None:
                 cc.i64(11, meta.dict_offset)
+            if meta.min_bytes is not None or meta.null_count:
+                cc.begin_struct(12)  # Statistics
+                cc.i64(3, meta.null_count)
+                if meta.max_bytes is not None:
+                    cc.binary(5, meta.max_bytes)
+                    cc.binary(6, meta.min_bytes)
+                    cc.boolean(7, meta.stats_exact)  # is_max_value_exact
+                    cc.boolean(8, meta.stats_exact)  # is_min_value_exact
+                cc.end_struct()
+            if (
+                meta.rep_hist is not None
+                or meta.def_hist is not None
+                or meta.unenc_bytes is not None
+            ):
+                cc.begin_struct(16)  # SizeStatistics
+                if meta.unenc_bytes is not None:
+                    cc.i64(1, meta.unenc_bytes)
+                for fid, hist in ((2, meta.rep_hist), (3, meta.def_hist)):
+                    if hist is not None:
+                        cc.begin_list(fid, 6, len(hist))
+                        for h in hist:
+                            _wvarint(cc.out, _zigzag(int(h)))
+                cc.end_struct()
             cc.end_struct()
             rg.out += cc.stop()
         rg.i64(2, sum(m.total_bytes for m in columns))
         rg.i64(3, rg_rows)
         w.out += rg.stop()
     w.string(6, "rayenc 0.1")
+    # column_orders: readers only honor min_value/max_value when the order
+    # is declared TYPE_DEFINED_ORDER (parquet.thrift ColumnOrder union)
+    num_leaves = len(row_groups[0][0]) if row_groups else 0
+    if num_leaves:
+        w.begin_list(7, 12, num_leaves)
+        for _ in range(num_leaves):
+            co = _W()
+            co.begin_struct(1)  # TYPE_ORDER (empty struct)
+            co.end_struct()
+            w.out += co.stop()
     return w.stop()

@@ -212,3 +212,36 @@ def test_compressed_and_v2_pages(tmp_path, comp, ver):
     assert md.compression == (comp or "uncompressed").upper().replace("GZIP", "GZIP")
     n = duckdb.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
     assert n == table.num_rows
+
+
+def test_footer_statistics_and_size_statistics(tmp_path):
+    import duckdb
+
+    li = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "st.parquet")
+    parquet_write.write_table(li, path, row_group_size=1500)
+    md = pq.ParquetFile(path).metadata
+    st = md.row_group(0).column(0).statistics
+    assert st.has_min_max and st.null_count == 0
+    ok = li.column("l_orderkey")[:1500]
+    assert st.min == min(ok.to_pylist()) and st.max == max(ok.to_pylist())
+    flag = duckdb.sql(
+        f"SELECT stats_min_value, stats_max_value FROM parquet_metadata('{path}')"
+        " WHERE path_in_schema='l_returnflag' AND row_group_id=0"
+    ).fetchone()
+    assert flag == ("A", "R")
+
+
+def test_nested_null_counts_and_level_histograms(tmp_path):
+    from tests.test_nested import gnarly_table
+
+    t = gnarly_table()
+    path = str(tmp_path / "nested.parquet")
+    parquet_write.write_table(t, path)
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    by_path = {
+        md.column(i).path_in_schema: md.column(i) for i in range(md.num_columns)
+    }
+    # l = [[1,2], None, [], [None,5]] -> one null element + null/empty lists
+    assert by_path["l.list.element"].statistics.null_count == 3  # null list + empty + null elem
+    assert by_path["i"].statistics.null_count == 1
