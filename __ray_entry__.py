@@ -488,6 +488,28 @@ def _ann_ivf_exhaustive(sf_dir: str):
     )
 
 
+def _ann_ivf_indexed(sf_dir: str):
+    """Persisted IVF index (centroid-bucketed renc container with manifest
+    skipping) probed exhaustively — must equal the oracled brute force."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import similarity
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+    cent = similarity.train_centroids(mat, nlist=8)
+    idx_dir = tempfile.mkdtemp(prefix="rayenc-ivfidx-", dir="/tmp")
+    similarity.build_ivf_index(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        cent, idx_dir,
+    )
+    return similarity.ivf_index_topk(
+        idx_dir, mat[ids < 5], ids[ids < 5], cent, k=5, nprobe=8
+    )
+
+
 def _multimodal_docs_oracle(sf_dir: str):
     """Media pipeline with a SQL-checkable answer: constant-byte payloads
     derived from n_chars drive the real actor-pool decode stage, and the
@@ -786,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_window_agg"] = _events_window
     q["ann_topk_bruteforce"] = _ann_topk
     q["ann_topk_ivf_exhaustive"] = _ann_ivf_exhaustive
+    q["ann_topk_ivf_indexed"] = _ann_ivf_indexed
     q["cosine_near_dup_planted"] = lambda sf: _cosine_near_dups(sf).select_columns(
         ["id_a", "id_b"]
     )
@@ -889,6 +912,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["ann_topk_bruteforce"] = ann_sql
     o["ann_topk_ivf_exhaustive"] = ann_sql
+    o["ann_topk_ivf_indexed"] = ann_sql
     o["minhash_dedup_planted"] = "SELECT doc_id FROM documents"
     o["cosine_near_dup_planted"] = (
         "SELECT vec_id AS id_a, 900000 + vec_id AS id_b FROM embeddings"

@@ -179,10 +179,15 @@ def cmd_rewrite(args):
 
 
 def cmd_transcode(args):
+    from .selector import EncodeConfig
+
     ray = _ray()
     from rayenc import pipeline
 
-    df = pipeline.transcode_parquet_job(args.inputs, args.out).to_pandas()
+    cfg = EncodeConfig(
+        compression=args.compress, parquet_page_version=args.page_version
+    )
+    df = pipeline.transcode_parquet_job(args.inputs, args.out, config=cfg).to_pandas()
     total = int(df.out_bytes.sum()) if len(df) else 0
     print(f"transcoded {len(df)} partitions -> {total} bytes of parquet")
     ray.shutdown()
@@ -248,6 +253,9 @@ def main(argv=None):
     tc = sub.add_parser("transcode")
     tc.add_argument("inputs", nargs="+")
     tc.add_argument("-o", "--out", required=True)
+    tc.add_argument("--compress", default=None,
+                    help="page codec: snappy|gzip|zstd|brotli|lz4")
+    tc.add_argument("--page-version", default="1.0", choices=["1.0", "2.0"])
     tc.set_defaults(fn=cmd_transcode)
 
     v = sub.add_parser("verify")

@@ -187,6 +187,106 @@ def ivf_topk(
     return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
 
 
+def build_ivf_index(
+    ds,
+    centroids: np.ndarray,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Persist the IVF assignment: the corpus is encoded into the renc
+    container bucketed by nearest centroid (one groupby shuffle), so each
+    partition's manifest carries centroid min == max == its list id and
+    probe-time decoding skips every non-probed partition from manifests
+    alone — nprobe/nlist becomes a real scan reduction, not a compare
+    reduction. Returns the index directory."""
+    import os
+    import tempfile
+
+    from rayenc import pipeline
+
+    assigned = ivf_assign(ds, centroids, vec_col)
+    staging = tempfile.mkdtemp(prefix="ivf-staging-", dir="/tmp")
+    assigned.write_parquet(staging)
+    paths = [
+        os.path.join(staging, f)
+        for f in sorted(os.listdir(staging))
+        if f.endswith(".parquet")
+    ]
+    pipeline.encode_grouped_job(
+        paths, out_dir, key="centroid", salt_col=None,
+        max_block_rows=1 << 20,
+    ).materialize()
+    return out_dir
+
+
+def ivf_index_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Search a persisted IVF index: per query only the ``nprobe`` nearest
+    centroid partitions decode (manifest min/max skipping); everything else
+    never leaves storage."""
+    from rayenc import pipeline
+
+    qn = _normalize(np.asarray(queries, np.float32))
+    cent = _normalize(centroids)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probes)
+    probed = None
+    for c in wanted.tolist():
+        part = pipeline.decode_dataset(
+            index_dir, predicate=[("centroid", "==", int(c))]
+        )
+        probed = part if probed is None else probed.union(part)
+    q_ref = ray.put((qn, probes))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q, pr = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cents = batch.column("centroid").to_numpy(zero_copy_only=False)
+        scores = q @ m.T
+        mask = np.zeros_like(scores, bool)
+        for qi in range(len(q)):
+            mask[qi] = np.isin(cents, pr[qi])
+        scores = np.where(mask, scores, -2.0)
+        kk = min(k, scores.shape[1])
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {
+                "qi": pa.array(np.repeat(np.arange(len(q)), kk)),
+                id_col: pa.array(ids[top.reshape(-1)]),
+                "score": pa.array(
+                    np.take_along_axis(scores, top, 1).reshape(-1).astype(np.float64)
+                ),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in probed.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
+    ]
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    qi = allp.column("qi").to_numpy(zero_copy_only=False)
+    ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+    sc = allp.column("score").to_numpy(zero_copy_only=False)
+    out = {"query_id": [], "rank": [], "neighbor_id": []}
+    for i in range(len(qn)):
+        sel = (qi == i) & (sc > -1.5)
+        order = np.lexsort((ids[sel], -sc[sel]))[:k]
+        out["query_id"] += [int(query_ids[i])] * len(order)
+        out["neighbor_id"] += ids[sel][order].tolist()
+        out["rank"] += list(range(1, len(order) + 1))
+    return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
+
+
 def cosine_near_dup_pairs(
     ds,
     centroids: np.ndarray,

@@ -244,3 +244,50 @@ def test_connected_components_matches_union_find(ray_session):
     edges = dedup.connected_component_edges(pairs).to_pandas()
     got = {(u, v) for u, v in zip(edges.u, edges.v)}
     assert got == {(1, 2), (1, 3), (10, 11), (5, 6)}
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """The persisted IVF index skips non-probed partitions from manifests
+    alone and matches brute force when every list is probed."""
+    import json
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+    cent = similarity.train_centroids(mat, nlist=8)
+    idx_dir = str(tmp_path / "ivf")
+    similarity.build_ivf_index(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), cent, idx_dir
+    )
+    # one partition per centroid, min == max == list id in the manifest
+    import os
+
+    manifests = [
+        json.loads(open(os.path.join(idx_dir, f)).read())
+        for f in sorted(os.listdir(idx_dir))
+        if f.endswith(".manifest.json")
+    ]
+    assert len(manifests) >= 4
+    for m in manifests:
+        st = {c["name"]: c["stats"] for c in m["chunks"]}["centroid"]
+        assert st["min"] == st["max"]
+    # manifest-level skipping: a single-probe decode skips all other partitions
+    w = pipeline.DecodeWorker(idx_dir, predicate=[("centroid", "==", int(manifests[0]["chunks"][0] and 0))])
+    skipped = sum(w._skip_by_stats(m) for m in manifests)
+    assert skipped >= len(manifests) - 2
+    # exhaustive probe == brute force
+    exact = similarity.brute_force_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), mat[:5], ids[:5], k=5
+    )
+    got = similarity.ivf_index_topk(idx_dir, mat[:5], ids[:5], cent, k=5, nprobe=8)
+    assert got.equals(exact)
+    # partial probe keeps decent recall
+    approx = similarity.ivf_index_topk(idx_dir, mat[:5], ids[:5], cent, k=5, nprobe=4)
+    recall = len(
+        set(zip(approx.column("query_id").to_pylist(), approx.column("neighbor_id").to_pylist()))
+        & set(zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist()))
+    ) / exact.num_rows
+    assert recall >= 0.5, recall
