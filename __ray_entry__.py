@@ -689,6 +689,16 @@ def _parquet_page_conformance(sf_dir: str):
     return pa.table({"l_orderkey": pa.array(vals, pa.int64())})
 
 
+def _conformance_read_embeddings(sf_dir: str):
+    """Decode a whole parquet file — every column including the repeated
+    list<float> from real rep/def levels — with rayenc decoders only."""
+    from rayenc import parquet_compat
+
+    return parquet_compat.read_table_conformance(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+
 def _events_window(sf_dir: str):
     """Tumbling-hour windowed aggregate over the events stream: per-batch
     partial aggregation inside map_batches (the combiner), then one small
@@ -799,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pushdown_filter_lineitem"] = _pushdown_filter
     q["pushdown_filter_documents"] = _pushdown_filter_strings
     q["parquet_page_conformance"] = _parquet_page_conformance
+    q["conformance_read_embeddings"] = _conformance_read_embeddings
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
@@ -877,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM documents WHERE source = 'src7' AND n_chars > 300"
     )
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
+    o["conformance_read_embeddings"] = "SELECT * FROM embeddings"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["transcode_parquet"] = "SELECT * FROM orders"
     o["transcode_parquet_snappy"] = "SELECT * FROM orders"

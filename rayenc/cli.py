@@ -178,6 +178,28 @@ def cmd_rewrite(args):
     ray.shutdown()
 
 
+def cmd_convert_csv(args):
+    """CSV -> renc container (the reference CLI's convert-csv): arrow csv
+    reader -> staged parquet -> distributed encode."""
+    import os
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from . import pipeline
+
+    staging = tempfile.mkdtemp(prefix="rayenc-csv-", dir="/tmp")
+    paths = []
+    for i, src_path in enumerate(args.inputs):
+        table = pacsv.read_csv(src_path)
+        p = os.path.join(staging, f"part-{i:04d}.parquet")
+        pq.write_table(table, p)
+        paths.append(p)
+    df = pipeline.encode_job(paths, args.out, resume=not args.no_resume).to_pandas()
+    print(f"encoded {len(df)} partitions, {df['rows'].sum() if len(df) else 0} rows")
+
+
 def cmd_transcode(args):
     from .selector import EncodeConfig
 
@@ -249,6 +271,12 @@ def main(argv=None):
     r.add_argument("--mask", action="append", default=[])
     r.add_argument("--compress", default=None)
     r.set_defaults(fn=cmd_rewrite)
+
+    cv = sub.add_parser("convert-csv")
+    cv.add_argument("inputs", nargs="+")
+    cv.add_argument("-o", "--out", required=True)
+    cv.add_argument("--no-resume", action="store_true")
+    cv.set_defaults(fn=cmd_convert_csv)
 
     tc = sub.add_parser("transcode")
     tc.add_argument("inputs", nargs="+")

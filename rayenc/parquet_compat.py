@@ -360,6 +360,59 @@ def read_list_column(path: str, field_name: str, row_group: int = 0):
     return out.cast(t)
 
 
+def read_table_conformance(path: str) -> "pa.Table":
+    """Decode a whole parquet file (flat + one-level list columns, all row
+    groups) with rayenc decoders only, returning a pa.Table equal to
+    pyarrow's read — the file-level conformance gate. Struct and decimal
+    columns are out of scope for this reader (the writer covers them; see
+    rayenc.parquet_write)."""
+    import pyarrow as pa
+
+    from .schema import _restore_nulls
+
+    f = pq.ParquetFile(path)
+    schema = f.schema_arrow
+    parts = []
+    for rg in range(f.metadata.num_row_groups):
+        cols = []
+        for field in schema:
+            t = field.type
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                cols.append(read_list_column(path, field.name, rg))
+                continue
+            if pa.types.is_struct(t) or pa.types.is_map(t) or pa.types.is_decimal(t):
+                raise NotImplementedError(f"conformance read of {t}")
+            r = read_column_chunk(path, field.name, rg)
+            mask = None
+            if isinstance(r, tuple) and len(r) == 2 and r[1].dtype == bool:
+                r, valid = r
+                mask = ~valid
+            if isinstance(r, tuple):  # BYTE_ARRAY
+                from .codecs.dictionary import binary_array
+
+                arr = binary_array(*r)
+                if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                    arr = arr.cast(pa.large_binary())
+            else:
+                v = np.asarray(r)
+                if v.ndim == 2 and v.shape[1] == 12 and pa.types.is_timestamp(t):
+                    arr = pa.array(int96_to_timestamp_ns(v), pa.timestamp("ns"))
+                elif v.ndim == 2:
+                    arr = pa.array(
+                        [bytes(row) for row in v], pa.binary(v.shape[1])
+                    )
+                elif pa.types.is_temporal(t):
+                    arr = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
+                elif pa.types.is_boolean(t):
+                    arr = pa.array(v.astype(bool))
+                else:
+                    arr = pa.array(v)
+            arr = _restore_nulls(arr, mask, arr.type)
+            cols.append(arr.cast(t))
+        parts.append(pa.Table.from_arrays(cols, schema=schema))
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+
 def _decode_plain(body, n, ptype, type_length=0):
     if ptype in _PHYS:
         return plain.decode_fixed(body, n, ptype)

@@ -311,3 +311,20 @@ class TestListConformance:
         got = parquet_compat.read_list_column(path, "l")
         assert got.equals(pq.read_table(path).column("l").combine_chunks())
         assert got.to_pylist() == t.column("l").to_pylist()
+
+
+def test_read_table_conformance_all_tables():
+    d = "/root/testdata/sf0.001"
+    import os
+
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = os.path.join(d, f"{name}.parquet")
+        got = parquet_compat.read_table_conformance(p)
+        want = pq.read_table(p)
+        for c in want.column_names:
+            assert got.column(c).combine_chunks().equals(
+                want.column(c).combine_chunks()
+            ), (name, c)
