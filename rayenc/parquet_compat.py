@@ -166,7 +166,8 @@ def read_page_header(buf, i=0) -> PageHeader:
 _PHYS = {"INT32": "INT32", "INT64": "INT64", "FLOAT": "FLOAT", "DOUBLE": "DOUBLE"}
 
 
-def read_column_chunk(path: str, column: str, row_group: int = 0):
+def read_column_chunk(path: str, column: str, row_group: int = 0,
+                      raw_levels: bool = False):
     """Decode one flat column chunk of an (uncompressed) parquet file using
     ONLY rayenc decoders for levels and values. Returns a numpy array for
     fixed types or (offsets, data) for BYTE_ARRAY."""
@@ -277,6 +278,10 @@ def read_column_chunk(path: str, column: str, row_group: int = 0):
             )
         remaining -= h.num_values
     values = _concat_parts(out_parts, ptype)
+    if raw_levels:
+        rep = np.concatenate(rep_parts) if rep_parts else None
+        deflev = np.concatenate(level_parts) if level_parts else None
+        return values, rep, deflev
     if max_rep > 0:
         rep = np.concatenate(rep_parts) if rep_parts else np.zeros(0, np.uint32)
         deflev = (
@@ -300,6 +305,57 @@ def int96_to_timestamp_ns(vals: np.ndarray) -> np.ndarray:
     nanos = v[:, :8].copy().view(np.int64).reshape(-1)
     julian = v[:, 8:12].copy().view(np.int32).reshape(-1).astype(np.int64)
     return (julian - 2440588) * 86_400_000_000_000 + nanos
+
+
+def _read_struct_column(path, field, row_group):
+    """Assemble a flat struct column (primitive children) from each leaf's
+    multi-level definition levels: def >= 1 -> struct present, def == max_def
+    -> child value present."""
+    import pyarrow as pa
+
+    from .codecs.dictionary import binary_array
+    from .schema import _restore_nulls
+
+    t = field.type
+    d_struct = 1 if field.nullable else 0
+    children = []
+    struct_mask = None
+    for child in t:
+        if not (
+            pa.types.is_integer(child.type) or pa.types.is_floating(child.type)
+            or pa.types.is_string(child.type) or pa.types.is_large_string(child.type)
+            or pa.types.is_boolean(child.type) or pa.types.is_temporal(child.type)
+        ):
+            raise NotImplementedError(f"struct child {child.type}")
+        leaf = f"{field.name}.{child.name}"
+        vals, rep, deflev = read_column_chunk(path, leaf, row_group, raw_levels=True)
+        max_def = d_struct + (1 if child.nullable else 0)
+        n = len(deflev) if deflev is not None else (
+            len(vals[0]) - 1 if isinstance(vals, tuple) else len(vals)
+        )
+        if deflev is None:
+            deflev = np.full(n, max_def, np.uint32)
+        if isinstance(vals, tuple):
+            dense = binary_array(*vals)
+            if not (pa.types.is_string(child.type) or pa.types.is_large_string(child.type)):
+                dense = dense.cast(pa.large_binary())
+        else:
+            v = np.asarray(vals)
+            if pa.types.is_temporal(child.type):
+                dense = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
+            elif pa.types.is_boolean(child.type):
+                dense = pa.array(v.astype(bool))
+            else:
+                dense = pa.array(v)
+        child_null = deflev < max_def
+        arr = _restore_nulls(dense, child_null if child_null.any() else None, dense.type)
+        children.append(arr.cast(child.type))
+        if d_struct:
+            struct_mask = pa.array(deflev < d_struct)
+    out = pa.StructArray.from_arrays(children, [c.name for c in t], mask=struct_mask)
+    if out.type != t:
+        out = pa.Array.from_buffers(t, len(out), out.buffers()[:1], children=children)
+    return out
 
 
 def read_list_column(path: str, field_name: str, row_group: int = 0):
@@ -380,7 +436,10 @@ def read_table_conformance(path: str) -> "pa.Table":
             if pa.types.is_list(t) or pa.types.is_large_list(t):
                 cols.append(read_list_column(path, field.name, rg))
                 continue
-            if pa.types.is_struct(t) or pa.types.is_map(t) or pa.types.is_decimal(t):
+            if pa.types.is_struct(t):
+                cols.append(_read_struct_column(path, field, rg))
+                continue
+            if pa.types.is_map(t) or pa.types.is_decimal(t):
                 raise NotImplementedError(f"conformance read of {t}")
             r = read_column_chunk(path, field.name, rg)
             mask = None

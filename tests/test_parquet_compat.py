@@ -328,3 +328,25 @@ def test_read_table_conformance_all_tables():
             assert got.column(c).combine_chunks().equals(
                 want.column(c).combine_chunks()
             ), (name, c)
+
+
+def test_struct_column_conformance():
+    t = pa.table(
+        {
+            "s": pa.array(
+                [{"a": 1, "b": "x"}, None, {"a": None, "b": "z"}, {"a": 4, "b": None}]
+                * 3000,
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "i": pa.array(list(range(12000)), pa.int64()),
+        }
+    )
+    for comp in ("NONE", "SNAPPY"):
+        path = tempfile.mktemp(suffix=".parquet")
+        pq.write_table(t, path, compression=comp, data_page_size=8192)
+        got = parquet_compat.read_table_conformance(path)
+        want = pq.read_table(path)
+        for c in want.column_names:
+            assert got.column(c).combine_chunks().equals(
+                want.column(c).combine_chunks()
+            ), (comp, c)

@@ -86,3 +86,78 @@ def test_block_roundtrip_mixed(ints, strs):
     )
     blob, manifest = blocks.encode_block(table)
     assert blocks.decode_block(blob, manifest).equals(table)
+
+
+# ---------------------------------------------------- nested schema property
+
+_prims = st.sampled_from(
+    [pa.int64(), pa.int32(), pa.float64(), pa.string(), pa.bool_()]
+)
+
+
+def _nested_types(depth):
+    if depth == 0:
+        return _prims
+    inner = _nested_types(depth - 1)
+    return st.one_of(
+        _prims,
+        inner.map(pa.list_),
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c"]), inner),
+            min_size=1, max_size=3, unique_by=lambda kv: kv[0],
+        ).map(lambda fs: pa.struct(fs)),
+    )
+
+
+@st.composite
+def _nested_arrays(draw):
+    t = draw(_nested_types(2))
+    n = draw(st.integers(0, 25))
+    pyvals = draw(
+        st.lists(_pyval_for(t, 2), min_size=n, max_size=n)
+    )
+    return pa.array(pyvals, t)
+
+
+def _pyval_for(t, depth):
+    if pa.types.is_integer(t):
+        base = st.integers(-(2**31), 2**31 - 1)
+    elif pa.types.is_floating(t):
+        base = st.floats(allow_nan=False, width=32)
+    elif pa.types.is_string(t):
+        base = st.text(max_size=8)
+    elif pa.types.is_boolean(t):
+        base = st.booleans()
+    elif pa.types.is_list(t):
+        base = st.lists(_pyval_for(t.value_type, depth - 1), max_size=4)
+    elif pa.types.is_struct(t):
+        base = st.fixed_dictionaries(
+            {f.name: _pyval_for(f.type, depth - 1) for f in t}
+        )
+    else:
+        raise AssertionError(t)
+    return st.one_of(st.none(), base)
+
+
+@given(arr=_nested_arrays())
+@settings(max_examples=30, deadline=None)
+def test_nested_shred_roundtrip_property(arr):
+    t = pa.table({"x": arr})
+    blob, manifest = blocks.encode_block(t)
+    back = blocks.decode_block(blob, manifest)
+    assert back.column("x").combine_chunks().equals(arr)
+
+
+@given(arr=_nested_arrays())
+@settings(max_examples=20, deadline=None)
+def test_nested_parquet_write_property(arr):
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+
+    t = pa.table({"x": arr})
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(t, path)
+    assert pq.read_table(path).column("x").to_pylist() == arr.to_pylist()
