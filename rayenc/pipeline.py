@@ -574,6 +574,67 @@ def encode_grouped_job(
     )
 
 
+def export_parquet_job(
+    container_dir: str,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    *,
+    resume: bool = True,
+    concurrency=None,
+) -> "ray.data.Dataset":
+    """Distributed container -> parquet export: each renc partition decodes
+    and re-writes as one standard parquet file through rayenc.parquet_write
+    (the inverse of transcode_parquet_job; completes the
+    parquet -> container -> parquet lifecycle). Completed partitions are
+    skipped on re-submit."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifests = sorted(
+        n for n in os.listdir(container_dir) if n.endswith(".manifest.json")
+    )
+    if resume:
+        manifests = [
+            m for m in manifests
+            if not os.path.exists(
+                os.path.join(out_dir, m.replace(".manifest.json", ".parquet"))
+            )
+        ]
+    if not manifests:
+        return ray.data.from_items([])
+
+    def export(batch: dict) -> dict:
+        from .memtune import tune_process_memory
+        from . import blocks as blocks_mod
+        from . import parquet_write
+
+        tune_process_memory()
+        rows = []
+        for name in batch["manifest"]:
+            name = str(name)
+            manifest = json.loads(
+                open(os.path.join(container_dir, name), "rb").read()
+            )
+            with open(os.path.join(container_dir, manifest["blob"]), "rb") as f:
+                blob = f.read()
+            table = blocks_mod.decode_block(blob, manifest)
+            final = os.path.join(out_dir, name.replace(".manifest.json", ".parquet"))
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            parquet_write.write_table(table, tmp, config)
+            os.replace(tmp, final)
+            rows.append({"manifest": name, "rows": table.num_rows,
+                         "out_bytes": os.path.getsize(final)})
+        return {k: np.array([r[k] for r in rows]) for k in rows[0]}
+
+    ds = ray.data.from_items([{"manifest": m} for m in manifests])
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.map_batches(
+        export,
+        batch_size=1,
+        concurrency=min(concurrency, len(manifests)) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )
+
+
 def decode_dataset(
     out_dir: str, concurrency=None, columns=None, predicate=None
 ) -> "ray.data.Dataset":

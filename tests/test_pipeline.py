@@ -241,3 +241,30 @@ pipeline.encode_job({path!r}, {out!r}, target_block_bytes=1 << 19, concurrency=2
     ).to_pandas()
     assert len(summary) == total - killed_done
     assert pipeline.verify_roundtrip(path, out, key="doc_id")["equal"]
+
+
+def test_export_parquet_job(ray_session, tmp_path):
+    """container -> parquet export closes the lifecycle; output readable by
+    DuckDB and equal to the original input."""
+    import duckdb
+
+    src = f"{SF}/events.parquet"
+    enc = str(tmp_path / "enc")
+    out = str(tmp_path / "pq")
+    pipeline.encode_job(src, enc, target_block_bytes=1 << 20).materialize()
+    from rayenc.selector import EncodeConfig
+
+    df = pipeline.export_parquet_job(
+        enc, out, EncodeConfig(compression="zstd")
+    ).to_pandas()
+    assert df["rows"].sum() == 1000
+    want = pq.read_table(src).sort_by("event_id")
+    got = pa.concat_tables(
+        [pq.read_table(str(p)) for p in sorted((tmp_path / "pq").iterdir())]
+    ).sort_by("event_id")
+    for c in want.column_names:
+        assert got.column(c).combine_chunks().equals(want.column(c).combine_chunks()), c
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == 1000
+    # resume: nothing left to do
+    assert len(pipeline.export_parquet_job(enc, out).to_pandas()) == 0
