@@ -45,6 +45,12 @@ def _converted_type(t: "pa.DataType"):
         return 5
     if pa.types.is_date32(t):
         return 6
+    if pa.types.is_integer(t):
+        # INT_8..INT_64 = 15..18, UINT_8..UINT_64 = 11..14
+        width_slot = {8: 0, 16: 1, 32: 2, 64: 3}[t.bit_width]
+        if pa.types.is_signed_integer(t):
+            return None if t.bit_width in (32, 64) else 15 + width_slot
+        return 11 + width_slot
     return None
 
 
@@ -687,6 +693,41 @@ def write_table(
         f.write(out)
 
 
+def _degrade_fsl(t: "pa.DataType") -> "pa.DataType":
+    """fixed_size_list -> list for the embedded schema: the parquet data is
+    3-level lists (null slots have zero elements), which arrow readers
+    cannot restore to fixed-size."""
+    if pa.types.is_fixed_size_list(t):
+        return pa.list_(_degrade_fsl(t.value_type))
+    if pa.types.is_list(t):
+        return pa.list_(_degrade_fsl(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_degrade_fsl(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _degrade_fsl(f.type), f.nullable) for f in t]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(_degrade_fsl(t.key_type), _degrade_fsl(t.item_type))
+    return t
+
+
+def _arrow_schema_b64(schema: pa.Schema) -> str:
+    """Serialized arrow schema (IPC stream framing + base64), the
+    ARROW:schema convention arrow readers use to restore logical types."""
+    import base64
+
+    import pyarrow.ipc as ipc
+
+    schema = pa.schema(
+        [pa.field(f.name, _degrade_fsl(f.type), f.nullable) for f in schema]
+    )
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, schema):
+        pass
+    return base64.b64encode(sink.getvalue().to_pybytes()).decode()
+
+
 def _decimal_flba_len(precision: int) -> int:
     L = 1
     while 10 ** precision > 2 ** (8 * L - 1):
@@ -772,6 +813,7 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
     w.i64(3, table.num_rows)
 
     w.begin_list(4, 12, len(row_groups))
+    kv_pairs = [("ARROW:schema", _arrow_schema_b64(table.schema))]
     for columns, rg_rows in row_groups:
         rg = _W()
         rg.begin_list(1, 12, len(columns))
@@ -823,6 +865,14 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
         rg.i64(2, sum(m.total_bytes for m in columns))
         rg.i64(3, rg_rows)
         w.out += rg.stop()
+    # ARROW:schema key-value metadata: readers restore the exact arrow types
+    # (fixed-size lists, timestamp timezones) like pyarrow's own files
+    w.begin_list(5, 12, len(kv_pairs))
+    for key, val in kv_pairs:
+        kv = _W()
+        kv.string(1, key)
+        kv.string(2, val)
+        w.out += kv.stop()
     w.string(6, "rayenc 0.1")
     # column_orders: readers only honor min_value/max_value when the order
     # is declared TYPE_DEFINED_ORDER (parquet.thrift ColumnOrder union)
