@@ -263,7 +263,12 @@ def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:
     if pa.types.is_temporal(t):
         arr = pa.array(values, storage)
         return _restore_nulls(arr, null_mask, storage).cast(t)
-    arr = pa.array(values)
+    v = np.asarray(values)
+    if pa.types.is_unsigned_integer(t) and t.bit_width == v.dtype.itemsize * 8:
+        # same-width unsigned came through signed storage bit-identically;
+        # reinterpret instead of a (range-checked) cast
+        v = v.view(np.dtype(f"u{v.dtype.itemsize}"))
+    arr = pa.array(v)
     return _restore_nulls(arr, null_mask, arr.type).cast(t)
 
 

@@ -274,3 +274,25 @@ def test_alias_chunks_for_identical_columns():
     # column-pruned decode of just the aliased column still works
     just = blocks.decode_block(blob, manifest, columns=["n_tok"])
     assert just.column("n_tok").to_pylist() == table.column("n_tok").to_pylist()
+
+
+def test_exotic_fixed_types_roundtrip():
+    # same-width unsigned ints travel through signed storage bit-identically
+    t = pa.table(
+        {
+            "i8": pa.array([1, -2, None], pa.int8()),
+            "u8": pa.array([0, 255, None], pa.uint8()),
+            "u16": pa.array([1, 65535, 2], pa.uint16()),
+            "u32": pa.array([1, 2**32 - 1, 2], pa.uint32()),
+            "u64": pa.array([1, 2**63, 2**64 - 1], pa.uint64()),
+            "f16": pa.array(np.array([1.5, 2.5, 3.5], np.float16)),
+            "date": pa.array([1, 2, 3], pa.date32()),
+            "t32": pa.array([1, 2, 3], pa.time32("ms")),
+            "t64": pa.array([1, 2, 3], pa.time64("us")),
+            "dur": pa.array([1, 2, 3], pa.duration("ms")),
+        }
+    )
+    blob, m = blocks.encode_block(t)
+    back = blocks.decode_block(blob, m)
+    for c in t.column_names:
+        assert t.column(c).combine_chunks().equals(back.column(c).combine_chunks()), c
