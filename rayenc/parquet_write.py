@@ -694,9 +694,13 @@ def write_table(
 
 
 def _degrade_fsl(t: "pa.DataType") -> "pa.DataType":
-    """fixed_size_list -> list for the embedded schema: the parquet data is
-    3-level lists (null slots have zero elements), which arrow readers
-    cannot restore to fixed-size."""
+    """fixed_size_list -> list and dictionary -> value type for the embedded
+    schema: the parquet data is 3-level lists (null slots have zero
+    elements) / plain values, which arrow readers cannot restore directly
+    (dictionary restoration trips pyarrow's DictAccumulator on non-dict
+    page encodings)."""
+    if pa.types.is_dictionary(t):
+        return _degrade_fsl(t.value_type)
     if pa.types.is_fixed_size_list(t):
         return pa.list_(_degrade_fsl(t.value_type))
     if pa.types.is_list(t):
@@ -741,6 +745,8 @@ def _schema_body(field: pa.Field) -> list[dict]:
     `schema/MessageType.java`, LIST/MAP shapes per the parquet logical-type
     spec / `parquet-arrow List3Levels.java`)."""
     t = field.type
+    if pa.types.is_dictionary(t):
+        t = t.value_type  # shredded as the value type
     rep = 1 if field.nullable else 0
     name = field.name
     if pa.types.is_map(t):

@@ -109,6 +109,11 @@ def shred(field_name: str, arr) -> list[PhysicalColumn]:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        # dictionary-typed columns shred as their value type; the container's
+        # own dictionary encoding re-derives the table (often smaller: sorted
+        # + delta keys)
+        arr = arr.dictionary_decode()
     t = arr.type
     null_mask = None
     if arr.null_count:
@@ -190,6 +195,14 @@ def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:
 
     t = field.type
     name = field.name
+    if pa.types.is_dictionary(t):
+        inner = assemble(pa.field(name, t.value_type), chunks)
+        try:
+            return inner.cast(t)
+        except pa.lib.ArrowNotImplementedError:
+            # e.g. int64 -> dictionary casts are unimplemented; re-encode
+            # (first-occurrence order matches the decoded value order)
+            return inner.dictionary_encode().cast(t)
     if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
         lengths, lmask = chunks[f"{name}#lengths"]
         lengths = np.asarray(lengths, np.int64)

@@ -296,3 +296,14 @@ def test_exotic_fixed_types_roundtrip():
     back = blocks.decode_block(blob, m)
     for c in t.column_names:
         assert t.column(c).combine_chunks().equals(back.column(c).combine_chunks()), c
+
+
+def test_dictionary_typed_columns_roundtrip():
+    for arr in (
+        pa.array(["a", "b", "a", None, "c"] * 100).dictionary_encode(),
+        pa.array([1, 2, 1, None, 3] * 100).dictionary_encode(),
+    ):
+        t = pa.table({"d": arr})
+        blob, m = blocks.encode_block(t)
+        back = blocks.decode_block(blob, m)
+        assert t.column("d").combine_chunks().equals(back.column("d").combine_chunks())
