@@ -35,6 +35,7 @@ from .codecs.varint import read_uvarint
 PLAIN = 0
 PLAIN_DICTIONARY = 2
 RLE = 3
+BIT_PACKED = 4  # deprecated big-endian level encoding
 DELTA_BINARY_PACKED = 5
 DELTA_LENGTH_BYTE_ARRAY = 6
 DELTA_BYTE_ARRAY = 7
@@ -125,6 +126,7 @@ class PageHeader:
     num_values: int
     encoding: int
     def_level_encoding: int | None = None
+    rep_level_encoding: int | None = None
     v2_def_bytes: int = 0
     v2_rep_bytes: int = 0
     header_len: int = 0
@@ -148,6 +150,7 @@ def read_page_header(buf, i=0) -> PageHeader:
         h.num_values = d[1]
         h.encoding = d[2]
         h.def_level_encoding = d[3]
+        h.rep_level_encoding = d.get(4)
     elif ptype == DICTIONARY_PAGE:
         d = fields[7]
         h.num_values = d[1]
@@ -245,9 +248,18 @@ def read_column_chunk(path: str, column: str, row_group: int = 0,
             body_v = body
             nvals = h.num_values
             if max_rep > 0:
-                rlv, consumed = rle_hybrid.decode_framed(body_v, h.num_values, w_rep)
-                rep_parts.append(rlv)
-                body_v = body_v[consumed:]
+                if h.rep_level_encoding == BIT_PACKED:
+                    from .codecs.bitpack import unpack_msb
+
+                    nb = (h.num_values * w_rep + 7) // 8
+                    rep_parts.append(unpack_msb(body_v[:nb], h.num_values, w_rep))
+                    body_v = body_v[nb:]
+                else:
+                    rlv, consumed = rle_hybrid.decode_framed(
+                        body_v, h.num_values, w_rep
+                    )
+                    rep_parts.append(rlv)
+                    body_v = body_v[consumed:]
             if max_def > 0 and h.def_level_encoding == RLE:
                 levels, consumed = rle_hybrid.decode_framed(
                     body_v, h.num_values, w_def
@@ -255,6 +267,16 @@ def read_column_chunk(path: str, column: str, row_group: int = 0,
                 level_parts.append(levels)
                 nvals = int((levels == max_def).sum())  # nulls hold no value slot
                 body_v = body_v[consumed:]
+            elif max_def > 0 and h.def_level_encoding == BIT_PACKED:
+                # deprecated big-endian level encoding (unframed; legacy
+                # parquet-java files)
+                from .codecs.bitpack import unpack_msb
+
+                nbytes = (h.num_values * w_def + 7) // 8
+                levels = unpack_msb(body_v[:nbytes], h.num_values, w_def)
+                level_parts.append(levels)
+                nvals = int((levels == max_def).sum())
+                body_v = body_v[nbytes:]
             out_parts.append(
                 _decode_values(body_v, nvals, h.encoding, ptype, dictionary, type_length)
             )

@@ -78,7 +78,7 @@ def _logical_type(t: "pa.DataType"):
 
 # thrift parquet enums
 T_BOOLEAN, T_INT32, T_INT64, T_INT96, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY, T_FLBA = range(8)
-ENC_PLAIN, _, ENC_PLAIN_DICT, ENC_RLE, _, ENC_DELTA_BP, ENC_DELTA_LEN, ENC_DELTA_BA, ENC_RLE_DICT, ENC_BSS = range(10)
+ENC_PLAIN, _, ENC_PLAIN_DICT, ENC_RLE, ENC_BIT_PACKED, ENC_DELTA_BP, ENC_DELTA_LEN, ENC_DELTA_BA, ENC_RLE_DICT, ENC_BSS = range(10)
 
 _PARQUET_TYPE = {
     "BOOLEAN": T_BOOLEAN,
@@ -203,14 +203,14 @@ def _page_header(
 
 def data_page_header(
     num_values: int, encoding: int, unc: int, comp: int | None = None,
-    crc: int | None = None,
+    crc: int | None = None, level_enc: int = ENC_RLE,
 ) -> bytes:
     def body(w: _W):
         w.begin_struct(5)
         w.i(1, num_values)
         w.i(2, encoding)
-        w.i(3, ENC_RLE)  # definition level encoding
-        w.i(4, ENC_RLE)  # repetition level encoding
+        w.i(3, level_enc)  # definition level encoding
+        w.i(4, level_enc)  # repetition level encoding
         w.end_struct()
 
     return _page_header(0, unc, comp if comp is not None else unc, body, crc)
@@ -573,13 +573,24 @@ def _encode_column_pages(
             unc_len = len(rep_b) + len(def_b) + len(payload)
         else:
             lv = b""
+            legacy = getattr(config, "level_encoding", "RLE") == "BIT_PACKED"
             if def_levels is not None:
-                if max_rep > 0:
-                    lv += _levels_payload(rep_levels[sa:sb], bit_width32(max_rep))
-                lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
+                if legacy:
+                    from .codecs.bitpack import pack_msb
+
+                    if max_rep > 0:
+                        lv += pack_msb(rep_levels[sa:sb], bit_width32(max_rep))
+                    lv += pack_msb(def_levels[sa:sb], bit_width32(max_def))
+                else:
+                    if max_rep > 0:
+                        lv += _levels_payload(rep_levels[sa:sb], bit_width32(max_rep))
+                    lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
             raw = lv + payload
             body = compress(raw)
-            hdr = data_page_header(nv, enc_code, len(raw), len(body), crc=zlib.crc32(body))
+            hdr = data_page_header(
+                nv, enc_code, len(raw), len(body), crc=zlib.crc32(body),
+                level_enc=ENC_BIT_PACKED if legacy else ENC_RLE,
+            )
             unc_len = len(raw)
         if meta.data_offset is None:
             meta.data_offset = len(out)

@@ -43,6 +43,12 @@ class EncodeConfig:
     # parquet_write data page layout: "1.0" (framed levels) or "2.0"
     # (DataPageHeaderV2, unframed uncompressed levels; ColumnWriterV2.java)
     parquet_page_version: str = "1.0"
+    # V1 level encoding: "RLE" (default) or the deprecated big-endian
+    # "BIT_PACKED" (parquet-java legacy parity: Encoding.java:155-158 reads
+    # it BIG_ENDIAN; note parquet-cpp/pyarrow reads these levels LSB-first
+    # instead — a real cross-implementation discrepancy in the deprecated
+    # encoding, so only rayenc + parquet-java readers apply)
+    level_encoding: str = "RLE"
     # per-column encoding override: {"colname": "DELTA_BINARY_PACKED", ...}
     # (the ColumnProperty / ValuesWriterFactory extension surface,
     #  ParquetProperties.java:465-471)

@@ -350,3 +350,39 @@ def test_struct_column_conformance():
             assert got.column(c).combine_chunks().equals(
                 want.column(c).combine_chunks()
             ), (comp, c)
+
+
+def test_bit_packed_levels_reference_semantics():
+    """Deprecated BIT_PACKED level encoding, BIG_ENDIAN per the reference
+    (Encoding.java:155-158). parquet-cpp/pyarrow reads these levels LSB-first
+    instead (a cross-implementation discrepancy in the deprecated encoding),
+    so the round trip here is rayenc writer -> rayenc reader."""
+    from rayenc import parquet_write
+    from rayenc.codecs.bitpack import pack_msb, unpack_msb
+    from rayenc.selector import EncodeConfig
+
+    rng = np.random.default_rng(2)
+    for w in range(1, 9):
+        vals = rng.integers(0, 1 << w, 300, dtype=np.uint64)
+        back = unpack_msb(
+            np.frombuffer(pack_msb(vals, w), np.uint8), 300, w, np.uint64
+        )
+        np.testing.assert_array_equal(back, vals)
+
+    t = pa.table(
+        {
+            "x": pa.array([1, None, 3, None, 5] * 2000, pa.int64()),
+            "l": pa.array(
+                [[1, 2], None, [], [3], [4, 5, 6]] * 2000, pa.list_(pa.int32())
+            ),
+        }
+    )
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(t, path, EncodeConfig(level_encoding="BIT_PACKED"))
+    vals, valid = parquet_compat.read_column_chunk(path, "x")
+    assert valid.sum() == 6000 and len(valid) == 10000
+    np.testing.assert_array_equal(
+        np.asarray(vals), np.tile([1, 3, 5], 2000)
+    )
+    lc = parquet_compat.read_list_column(path, "l")
+    assert lc.to_pylist() == t.column("l").to_pylist()
