@@ -416,6 +416,8 @@ class _Column:
         self.total_unc = 0  # uncompressed equivalent (incl. headers)
         self.codec = 0  # CompressionCodec enum
         self.type_length = None  # FIXED_LEN_BYTE_ARRAY width
+        # PageEncodingStats (field 13): {(page_type, encoding): count}
+        self.page_stats: dict = {}
         # Statistics (ColumnMetaData field 12) + SizeStatistics (field 16)
         self.null_count = 0
         self.min_bytes = None
@@ -532,6 +534,7 @@ def _encode_column_pages(
         )
         out += hdr
         out += dict_comp
+        meta.page_stats[(2, ENC_PLAIN)] = meta.page_stats.get((2, ENC_PLAIN), 0) + 1
         meta.total_unc += len(hdr) + len(dict_payload)
         meta.encodings |= {ENC_PLAIN, ENC_RLE_DICT}
         pages = [encode_ids(ids[a:b], len(dic)) for a, b in ranges]
@@ -598,6 +601,8 @@ def _encode_column_pages(
         out += body
         meta.num_values += nv
         meta.total_unc += len(hdr) + unc_len
+        pt = 3 if v2 else 0
+        meta.page_stats[(pt, enc_code)] = meta.page_stats.get((pt, enc_code), 0) + 1
     if meta.data_offset is None:
         meta.data_offset = meta.start_offset
     meta.total_bytes = len(out) - meta.start_offset
@@ -854,6 +859,7 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
             cc.i64(9, meta.data_offset)
             if meta.dict_offset is not None:
                 cc.i64(11, meta.dict_offset)
+            _emit_13 = bool(meta.page_stats)
             if meta.min_bytes is not None or meta.null_count:
                 cc.begin_struct(12)  # Statistics
                 cc.i64(3, meta.null_count)
@@ -863,6 +869,14 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
                     cc.boolean(7, meta.stats_exact)  # is_max_value_exact
                     cc.boolean(8, meta.stats_exact)  # is_min_value_exact
                 cc.end_struct()
+            if _emit_13:
+                cc.begin_list(13, 12, len(meta.page_stats))  # encoding_stats
+                for (pt, enc), cnt in sorted(meta.page_stats.items()):
+                    pes = _W()
+                    pes.i(1, pt)
+                    pes.i(2, enc)
+                    pes.i(3, cnt)
+                    cc.out += pes.stop()
             if (
                 meta.rep_hist is not None
                 or meta.def_hist is not None
