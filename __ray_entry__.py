@@ -225,6 +225,20 @@ def _token_counts(sf_dir: str):
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def _bpe_token_counts(sf_dir: str):
+    from rayenc.ops import text as text_ops
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe": text_ops.bpe_ish_token_counts(batch.column("text")),
+            }
+        )
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 def _fingerprint_distinct(sf_dir: str):
     from rayenc.ops import text as text_ops
 
@@ -803,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # training-data pipeline operators (SQL-oracled where expressible)
     q["exact_dedup_documents"] = _exact_dedup
     q["token_counts_documents"] = _token_counts
+    q["bpe_token_counts_documents"] = _bpe_token_counts
     q["fingerprint_distinct"] = _fingerprint_distinct
     q["rewrite_prune_lineitem"] = _prune_rewrite
     q["rewrite_mask_ndv"] = _masked_ndv
@@ -871,6 +886,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["token_counts_documents"] = (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"
+    )
+    o["bpe_token_counts_documents"] = (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe FROM documents"
     )
     o["fingerprint_distinct"] = (
         "SELECT COUNT(DISTINCT text) AS distinct_texts FROM documents"
