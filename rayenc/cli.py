@@ -184,6 +184,8 @@ def cmd_convert_csv(args):
     import os
     import tempfile
 
+    _ray()  # local init like every other command (staging paths are node-local)
+
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
 

@@ -405,8 +405,8 @@ def train(offsets: np.ndarray, data: np.ndarray, seed: int = 0) -> SymbolTable:
                 prev = sym
                 p += len(sym)
         # keep top symbols by gain (deterministic tie-break on bytes), with
-        # the FSST structural constraint: at most one symbol of length >= 3
-        # per 2-byte prefix, so matching is a single direct probe
+        # the FSST structural constraint relaxed to TWO symbols of length
+        # >= 3 per 2-byte prefix (matching probes both slots, longest first)
         ranked = sorted(gain.items(), key=lambda kv: (-kv[1], kv[0]))
         table = []
         prefix_slots: dict[bytes, int] = {}

@@ -98,7 +98,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     documents. Per hash group the non-minimum ids form the drop set, which is
     proportional to the number of *duplicate* documents (usually a small
     fraction of the corpus); it broadcasts once via ``ray.put`` into a
-    vectorized anti-filter over the original dataset."""
+    vectorized anti-filter over the original dataset.
+
+    ``id_col`` is assumed to be a key (unique per row, the input_hint
+    contract). Rows duplicated WITH the same id are additionally collapsed
+    batch-locally, so whole-batch re-ingestions dedupe too; identical
+    (id, text) rows split across different blocks are out of scope for an
+    id-addressed drop set."""
     import ray
 
     def losers(group: pa.Table) -> pa.Table:
@@ -113,17 +119,29 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         .map_groups(losers, batch_format="pyarrow")
         .to_arrow_refs()
     ]
-    drop_ids = pa.concat_tables([p for p in drop_parts if p.num_rows]) if any(
-        p.num_rows for p in drop_parts
-    ) else None
-    if drop_ids is None:
-        return ds
-    drop_ref = ray.put(drop_ids.column(id_col).combine_chunks())
+    nonempty = [p for p in drop_parts if p.num_rows]
+    if nonempty:
+        drop_arr = pa.concat_tables(nonempty).column(id_col).combine_chunks()
+    else:
+        drop_arr = None
+    drop_ref = ray.put(drop_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
-        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
-        return batch.filter(mask)
+        out = batch
+        if d is not None:
+            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
+            out = batch.filter(mask)
+        # collapse same-id duplicates within the batch (re-ingested rows)
+        ids = out.column(id_col)
+        if out.num_rows and pc.count_distinct(ids).as_py() < out.num_rows:
+            import numpy as np
+
+            _, first = np.unique(
+                ids.to_numpy(zero_copy_only=False), return_index=True
+            )
+            out = out.take(pa.array(np.sort(first)))
+        return out
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

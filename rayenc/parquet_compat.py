@@ -129,6 +129,7 @@ class PageHeader:
     rep_level_encoding: int | None = None
     v2_def_bytes: int = 0
     v2_rep_bytes: int = 0
+    v2_is_compressed: bool = True
     header_len: int = 0
     crc: int | None = None
 
@@ -161,6 +162,7 @@ def read_page_header(buf, i=0) -> PageHeader:
         h.encoding = d[4]
         h.v2_def_bytes = d[5]
         h.v2_rep_bytes = d[6]
+        h.v2_is_compressed = d.get(7, True)
     return h
 
 
@@ -227,14 +229,17 @@ def read_column_chunk(path: str, column: str, row_group: int = 0,
                 )
         if codec is not None:
             if h.type == DATA_PAGE_V2:
-                # V2: rep/def levels sit uncompressed before the compressed body
-                lv = h.v2_rep_bytes + h.v2_def_bytes
-                payload = codec.decompress(
-                    body[lv:].tobytes(), h.uncompressed_size - lv
-                )
-                body = np.concatenate(
-                    [body[:lv], np.frombuffer(payload, np.uint8)]
-                )
+                if not h.v2_is_compressed:
+                    pass  # spec allows per-page opt-out (field 7)
+                else:
+                    # V2: rep/def levels sit uncompressed before the body
+                    lv = h.v2_rep_bytes + h.v2_def_bytes
+                    payload = codec.decompress(
+                        body[lv:].tobytes(), h.uncompressed_size - lv
+                    )
+                    body = np.concatenate(
+                        [body[:lv], np.frombuffer(payload, np.uint8)]
+                    )
             else:
                 body = np.frombuffer(
                     codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
@@ -419,6 +424,7 @@ def read_list_column(path: str, field_name: str, row_group: int = 0):
     n_elem = int(elem_slot.sum())
     take = np.full(n_elem, -1, np.int64)
     take[elem_valid] = np.arange(int(elem_valid.sum()))
+    take_arr = pa.array(take, pa.int64(), mask=take < 0)
     elem_t = t.value_type
     if isinstance(vals, tuple):  # BYTE_ARRAY
         from .codecs.dictionary import binary_array
@@ -429,9 +435,7 @@ def read_list_column(path: str, field_name: str, row_group: int = 0):
     else:
         v = np.asarray(vals)
         dense = pa.array(v.reshape(len(v), -1).tolist()) if v.ndim == 2 else pa.array(v)
-    child = dense.take(
-        pa.array([None if x < 0 else int(x) for x in take], pa.int64())
-    ).cast(elem_t)
+    child = dense.take(take_arr).cast(elem_t)
     rec_first_def = deflev[rep == 0]
     mask = pa.array(rec_first_def < d_list) if d_list else None
     out = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), child, mask=mask)
@@ -513,6 +517,12 @@ def _decode_plain(body, n, ptype, type_length=0):
 def _decode_values(body, n, encoding, ptype, dictionary, type_length=0):
     if encoding == PLAIN:
         return _decode_plain(body, n, ptype, type_length)
+    if encoding == RLE:
+        # RLE as a VALUE encoding is boolean-only and 4-byte length framed
+        # in both V1 and V2 pages (only LEVELS drop the frame in V2)
+        assert ptype == "BOOLEAN", ptype
+        vals, _ = rle_hybrid.decode_framed(body, n, 1, np.uint8)
+        return vals.astype(bool)
     if encoding in (PLAIN_DICTIONARY, RLE_DICTIONARY):
         width = int(body[0])
         ids = rle_hybrid.decode(body[1:], n, width)

@@ -893,7 +893,7 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
                 cc.end_struct()
             cc.end_struct()
             rg.out += cc.stop()
-        rg.i64(2, sum(m.total_bytes for m in columns))
+        rg.i64(2, sum(m.total_unc for m in columns))  # spec: UNCOMPRESSED size
         rg.i64(3, rg_rows)
         w.out += rg.stop()
     # ARROW:schema key-value metadata: readers restore the exact arrow types

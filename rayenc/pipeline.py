@@ -198,7 +198,11 @@ class DecodeWorker:
             if isinstance(lo, str):
                 # binary min/max are stored latin-1 (bytewise order preserved,
                 # max truncated-with-increment — ColumnIndexBuilder
-                # semantics); compare the predicate value in the same space
+                # semantics); compare the predicate value in the same space.
+                # Manifests from before stats_v=2 stored lossy utf-8-replace
+                # strings that are NOT valid bounds — never skip on those.
+                if st.get("stats_v", 1) < 2:
+                    continue
                 if not isinstance(value, (str, bytes)):
                     continue
                 v = value.encode("utf-8") if isinstance(value, str) else value
@@ -465,7 +469,7 @@ def encode_grouped_job(
     gets ceil(bytes / block_budget) sub-buckets, and rows salt into them by
     ``salt_col`` hash. No task ever materializes more than ~one block budget
     of rows — a giant source becomes many bounded groups instead of one
-    straggler holding 1/num_buckets of the corpus.
+    straggler materializing a fixed fraction of the corpus.
 
     This is the one encode path with a shuffle; the pre-aggregation ships one
     row per (batch, key), then only the groupby exchange moves rows, once."""

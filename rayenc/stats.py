@@ -46,13 +46,18 @@ class ChunkStats:
             mx = truncate_max(self.max_value, BINARY_TRUNCATE).decode("latin-1")
         elif mn is not None and not isinstance(mn, (int, float, bool, str)):
             mn, mx = str(mn), str(mx)
-        return {
+        out = {
             "num_values": self.num_values,
             "null_count": self.null_count,
             "raw_bytes": self.raw_bytes,
             "min": mn,
             "max": mx,
         }
+        if isinstance(self.min_value, bytes):
+            # marks exact latin-1 truncate/increment bounds; older manifests
+            # stored lossy utf-8-replace strings that are NOT valid bounds
+            out["stats_v"] = 2
+        return out
 
 
 def truncate_max(value: bytes, limit: int) -> bytes:

@@ -291,3 +291,11 @@ def test_ivf_persisted_index(ray_session, tmp_path):
         & set(zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist()))
     ) / exact.num_rows
     assert recall >= 0.5, recall
+
+
+def test_exact_dedup_same_id_reingestion(ray_session):
+    # duplicate rows sharing the same doc_id collapse batch-locally
+    t = pa.table({"doc_id": pa.array([1, 1, 2], pa.int64()),
+                  "text": pa.array(["x", "x", "y"])})
+    out = dedup.exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out.doc_id) == [1, 2]

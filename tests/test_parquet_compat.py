@@ -386,3 +386,16 @@ def test_bit_packed_levels_reference_semantics():
     )
     lc = parquet_compat.read_list_column(path, "l")
     assert lc.to_pylist() == t.column("l").to_pylist()
+
+
+def test_boolean_rle_values_read():
+    # RLE as VALUE encoding (boolean): framed in both V1 and V2 pages
+    t = pa.table({"b": pa.array(np.repeat([True, False], 3000))})
+    p1 = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, p1, data_page_version="2.0", compression="NONE", use_dictionary=False)
+    assert parquet_compat.read_table_conformance(p1).column("b").to_pylist() == t.column("b").to_pylist()
+    from rayenc import parquet_write
+
+    p2 = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(t, p2)
+    assert parquet_compat.read_table_conformance(p2).column("b").to_pylist() == t.column("b").to_pylist()
