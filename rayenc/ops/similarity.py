@@ -193,6 +193,7 @@ def build_ivf_index(
     out_dir: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    staging_dir: str | None = None,
 ):
     """Persist the IVF assignment: the corpus is encoded into the renc
     container bucketed by nearest centroid (one groupby shuffle), so each
@@ -206,7 +207,9 @@ def build_ivf_index(
     from rayenc import pipeline
 
     assigned = ivf_assign(ds, centroids, vec_col)
-    staging = tempfile.mkdtemp(prefix="ivf-staging-", dir="/tmp")
+    # on a multi-node cluster pass a shared filesystem path here; the
+    # default node-local tmp dir only works single-node
+    staging = staging_dir or tempfile.mkdtemp(prefix="ivf-staging-", dir="/tmp")
     assigned.write_parquet(staging)
     paths = [
         os.path.join(staging, f)
