@@ -373,6 +373,31 @@ def encode_job(
     )
 
 
+def encode_dataset_job(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    staging_dir: str | None = None,
+    **encode_kwargs,
+) -> "ray.data.Dataset":
+    """Encode an arbitrary Ray Dataset (not just parquet paths): the dataset
+    is staged as parquet once (write_parquet — on a multi-node cluster pass a
+    shared ``staging_dir``), then encoded through the deterministic
+    partitioned job so resume/lineage semantics hold. The staging cost is one
+    extra sequential write; sources that are already parquet should call
+    ``encode_job`` directly."""
+    import tempfile
+
+    staging = staging_dir or tempfile.mkdtemp(prefix="rayenc-stage-", dir="/tmp")
+    ds.write_parquet(staging)
+    paths = [
+        os.path.join(staging, f)
+        for f in sorted(os.listdir(staging))
+        if f.endswith(".parquet")
+    ]
+    return encode_job(paths, out_dir, config=config, **encode_kwargs)
+
+
 def transcode_parquet_job(
     paths: list[str] | str,
     out_dir: str,

@@ -399,3 +399,14 @@ def test_boolean_rle_values_read():
     p2 = tempfile.mktemp(suffix=".parquet")
     parquet_write.write_table(t, p2)
     assert parquet_compat.read_table_conformance(p2).column("b").to_pylist() == t.column("b").to_pylist()
+
+
+@pytest.mark.parametrize("comp,ver", [("NONE", "1.0"), ("SNAPPY", "2.0"), ("ZSTD", "2.0")])
+def test_read_table_conformance_pyarrow_variants(comp, ver):
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(src, path, compression=comp, data_page_version=ver, row_group_size=2000)
+    got = parquet_compat.read_table_conformance(path)
+    want = pq.read_table(path)
+    for c in want.column_names:
+        assert got.column(c).combine_chunks().equals(want.column(c).combine_chunks()), c

@@ -268,3 +268,22 @@ def test_export_parquet_job(ray_session, tmp_path):
     assert n == 1000
     # resume: nothing left to do
     assert len(pipeline.export_parquet_job(enc, out).to_pandas()) == 0
+
+
+def test_encode_dataset_job(ray_session, tmp_path):
+    """Dataset-source encode: stage + deterministic partitioned job."""
+    import ray
+
+    table = pq.read_table(f"{SF}/orders.parquet")
+    out = str(tmp_path / "dsenc")
+    summary = pipeline.encode_dataset_job(
+        ray.data.from_arrow(table), out,
+        staging_dir=str(tmp_path / "stage"), target_block_bytes=1 << 20,
+    ).to_pandas()
+    assert summary["rows"].sum() == table.num_rows
+    got = pa.concat_tables(
+        [ray.get(r) for r in pipeline.decode_dataset(out).to_arrow_refs()]
+    ).sort_by("o_orderkey")
+    want = table.sort_by("o_orderkey")
+    for c in want.column_names:
+        assert got.column(c).combine_chunks().equals(want.column(c).combine_chunks()), c
