@@ -418,6 +418,10 @@ class _Column:
         self.type_length = None  # FIXED_LEN_BYTE_ARRAY width
         # PageEncodingStats (field 13): {(page_type, encoding): count}
         self.page_stats: dict = {}
+        # per-data-page records for the ColumnIndex / OffsetIndex
+        self.page_index: list = []
+        self.ci_offset = self.ci_len = None
+        self.oi_offset = self.oi_len = None
         # Statistics (ColumnMetaData field 12) + SizeStatistics (field 16)
         self.null_count = 0
         self.min_bytes = None
@@ -597,15 +601,73 @@ def _encode_column_pages(
             unc_len = len(raw)
         if meta.data_offset is None:
             meta.data_offset = len(out)
+        page_off = len(out)
         out += hdr
         out += body
         meta.num_values += nv
         meta.total_unc += len(hdr) + unc_len
         pt = 3 if v2 else 0
         meta.page_stats[(pt, enc_code)] = meta.page_stats.get((pt, enc_code), 0) + 1
+        # ColumnIndex / OffsetIndex records (PageLocation.offset points at
+        # the page header; sizes include the header)
+        if def_levels is not None:
+            sa, sb = slot_ranges[k]
+            page_rows = (
+                int((rep_levels[sa:sb] == 0).sum()) if max_rep > 0 else nv
+            )
+            va, vb = ranges[k]
+            defined = vb - va
+            bounds = _value_bounds(col, va, vb)
+        else:
+            va, vb = ranges[k]
+            defined = vb - va
+            page_rows = nv
+            bounds = _value_bounds(col, va, vb)
+        meta.page_index.append(
+            {
+                "offset": page_off,
+                "size": len(out) - page_off,
+                "rows": page_rows,
+                "nulls": nv - defined,
+                "defined": defined,
+                "bounds": bounds,
+            }
+        )
     if meta.data_offset is None:
         meta.data_offset = meta.start_offset
     meta.total_bytes = len(out) - meta.start_offset
+
+
+def _value_bounds(col: PhysicalColumn, a: int, b: int):
+    """(min_bytes, max_bytes, exact) of col.values[a:b] in parquet Statistics
+    byte order, or None when unbounded (NaNs, FLBA ordering subtleties)."""
+    import struct
+
+    if b <= a:
+        return None
+    if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        v = np.asarray(col.values)[a:b]
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            return None
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[col.ptype]
+        return struct.pack(fmt, v.min().item()), struct.pack(fmt, v.max().item()), True
+    if col.ptype == "BOOLEAN":
+        v = np.asarray(col.values, bool)[a:b]
+        return (b"\x01" if v.min() else b"\x00"), (b"\x01" if v.max() else b"\x00"), True
+    if col.ptype == "BINARY":
+        import pyarrow.compute as pc
+
+        from . import stats as st_mod
+        from .codecs.dictionary import binary_array
+
+        offsets, data = col.values
+        arr = binary_array(offsets, data).cast(pa.large_binary()).slice(a, b - a)
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        lim = st_mod.BINARY_TRUNCATE
+        exact = len(mn) <= lim and len(mx) <= lim
+        return mn[:lim], st_mod.truncate_max(mx, lim), exact
+    return None
 
 
 def _leaf_statistics(meta: _Column, col: PhysicalColumn, leaf: _Leaf) -> None:
@@ -621,32 +683,12 @@ def _leaf_statistics(meta: _Column, col: PhysicalColumn, leaf: _Leaf) -> None:
         meta.rep_hist = np.bincount(leaf.rep, minlength=leaf.max_rep + 1)
     if col.num_values == 0:
         return
-    if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
-        v = np.asarray(col.values)
-        if v.dtype.kind == "f" and np.isnan(v).any():
-            return
-        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[col.ptype]
-        meta.min_bytes = struct.pack(fmt, v.min().item())
-        meta.max_bytes = struct.pack(fmt, v.max().item())
-    elif col.ptype == "BOOLEAN":
-        v = np.asarray(col.values, bool)
-        meta.min_bytes = b"\x01" if v.min() else b"\x00"
-        meta.max_bytes = b"\x01" if v.max() else b"\x00"
-    elif col.ptype == "BINARY":
-        import pyarrow.compute as pc
-
-        from . import stats as st_mod
-        from .codecs.dictionary import binary_array
-
-        offsets, data = col.values
+    if col.ptype == "BINARY":
+        offsets, _data = col.values
         meta.unenc_bytes = int(offsets[-1] - offsets[0])
-        mm = pc.min_max(binary_array(offsets, data).cast(pa.large_binary()))
-        mn, mx = mm["min"].as_py(), mm["max"].as_py()
-        lim = st_mod.BINARY_TRUNCATE
-        if len(mn) > lim or len(mx) > lim:
-            meta.stats_exact = False
-        meta.min_bytes = mn[:lim]
-        meta.max_bytes = st_mod.truncate_max(mx, lim)
+    bounds = _value_bounds(col, 0, col.num_values)
+    if bounds is not None:
+        meta.min_bytes, meta.max_bytes, meta.stats_exact = bounds
 
 
 def _write_row_group(
@@ -681,6 +723,48 @@ def _write_row_group(
     return columns
 
 
+def _page_indexes_bytes(meta: _Column):
+    """(ColumnIndex bytes, OffsetIndex bytes) for one chunk
+    (`internal/column/columnindex/ColumnIndexBuilder.java` /
+    `OffsetIndexBuilder.java` output shapes), or None when a non-null page
+    has no representable bounds (NaNs, FLBA)."""
+    pages = meta.page_index
+    if not pages:
+        return None
+    for p in pages:
+        if p["defined"] > 0 and p["bounds"] is None:
+            return None
+    ci = _W()
+    ci.begin_list(1, 1, len(pages))  # null_pages (bool bytes: 1 true, 2 false)
+    for p in pages:
+        ci.out.append(1 if p["defined"] == 0 else 2)
+    ci.begin_list(2, 8, len(pages))  # min_values
+    for p in pages:
+        b = p["bounds"][0] if p["defined"] else b""
+        _wvarint(ci.out, len(b))
+        ci.out += b
+    ci.begin_list(3, 8, len(pages))  # max_values
+    for p in pages:
+        b = p["bounds"][1] if p["defined"] else b""
+        _wvarint(ci.out, len(b))
+        ci.out += b
+    ci.i(4, 0)  # boundary_order: UNORDERED
+    ci.begin_list(5, 6, len(pages))  # null_counts
+    for p in pages:
+        _wvarint(ci.out, _zigzag(p["nulls"]))
+    oi = _W()
+    oi.begin_list(1, 12, len(pages))  # page_locations
+    first = 0
+    for p in pages:
+        pl = _W()
+        pl.i64(1, p["offset"])
+        pl.i(2, p["size"])
+        pl.i64(3, first)
+        oi.out += pl.stop()
+        first += p["rows"]
+    return ci.stop(), oi.stop()
+
+
 def write_table(
     table: pa.Table,
     path: str,
@@ -700,6 +784,21 @@ def write_table(
     for sl in slices:
         cols = _write_row_group(sl, out, config)
         row_groups.append((cols, sl.num_rows))
+
+    # page-index structures (column index then offset index per chunk),
+    # between the last row group and the footer like ParquetFileWriter
+    for cols, _ in row_groups:
+        for meta in cols:
+            res = _page_indexes_bytes(meta)
+            if res is None:
+                continue
+            ci_b, oi_b = res
+            meta.ci_offset = len(out)
+            meta.ci_len = len(ci_b)
+            out += ci_b
+            meta.oi_offset = len(out)
+            meta.oi_len = len(oi_b)
+            out += oi_b
 
     footer = _file_metadata(table, row_groups)
     out += footer
@@ -892,6 +991,11 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
                             _wvarint(cc.out, _zigzag(int(h)))
                 cc.end_struct()
             cc.end_struct()
+            if meta.oi_offset is not None:
+                cc.i64(4, meta.oi_offset)
+                cc.i(5, meta.oi_len)
+                cc.i64(6, meta.ci_offset)
+                cc.i(7, meta.ci_len)
             rg.out += cc.stop()
         rg.i64(2, sum(m.total_unc for m in columns))  # spec: UNCOMPRESSED size
         rg.i64(3, rg_rows)

@@ -245,3 +245,114 @@ def test_nested_null_counts_and_level_histograms(tmp_path):
     # l = [[1,2], None, [], [None,5]] -> one null element + null/empty lists
     assert by_path["l.list.element"].statistics.null_count == 3  # null list + empty + null elem
     assert by_path["i"].statistics.null_count == 1
+
+
+# -- minimal thrift compact reader (lists included) for page-index validation
+
+
+def _rz(buf, i):
+    from rayenc.codecs.varint import read_uvarint
+
+    v, i = read_uvarint(buf, i)
+    return (v >> 1) ^ -(v & 1), i
+
+
+def _tvalue(buf, i, ftype):
+    from rayenc.codecs.varint import read_uvarint
+
+    if ftype == 3:
+        return buf[i], i + 1
+    if ftype in (4, 5, 6):
+        return _rz(buf, i)
+    if ftype == 8:
+        ln, i = read_uvarint(buf, i)
+        return bytes(buf[i : i + ln]), i + ln
+    if ftype == 9:
+        return _tlist(buf, i)
+    if ftype == 12:
+        return _tstruct(buf, i)
+    raise AssertionError(ftype)
+
+
+def _tlist(buf, i):
+    from rayenc.codecs.varint import read_uvarint
+
+    hdr = buf[i]
+    i += 1
+    size, etype = hdr >> 4, hdr & 0xF
+    if size == 15:
+        size, i = read_uvarint(buf, i)
+    out = []
+    for _ in range(size):
+        if etype in (1, 2):
+            out.append(buf[i] == 1)
+            i += 1
+        else:
+            v, i = _tvalue(buf, i, etype)
+            out.append(v)
+    return out, i
+
+
+def _tstruct(buf, i):
+    fields, last = {}, 0
+    while True:
+        b = buf[i]
+        i += 1
+        if b == 0:
+            return fields, i
+        delta, ftype = b >> 4, b & 0xF
+        if delta == 0:
+            fid, i = _rz(buf, i)
+            fid = int(fid)
+        else:
+            fid = last + delta
+        last = fid
+        if ftype == 1:
+            fields[fid] = True
+        elif ftype == 2:
+            fields[fid] = False
+        else:
+            fields[fid], i = _tvalue(buf, i, ftype)
+
+
+def test_column_and_offset_index_written(tmp_path):
+    """Page-index structures (ColumnIndexBuilder / OffsetIndexBuilder output):
+    per-page bounds, null pages, and page locations that point at real page
+    headers."""
+    from rayenc import parquet_compat
+    from rayenc.selector import EncodeConfig
+
+    n = 60_000
+    table = pa.table(
+        {
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array([f"k{i:06d}" if i % 7 else None for i in range(n)]),
+        }
+    )
+    path = str(tmp_path / "pi.parquet")
+    parquet_write.write_table(table, path, EncodeConfig(page_rows=8000))
+    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
+    flen = int.from_bytes(raw[-8:-4].tobytes(), "little")
+    footer, _ = _tstruct(raw, len(raw) - 8 - flen)
+    for ci_col, name in ((0, "v"), (1, "s")):
+        cc = footer[4][0][1][ci_col]
+        ci, _ = _tstruct(raw, cc[6])
+        oi, _ = _tstruct(raw, cc[4])
+        assert len(ci[1]) == len(oi[1]) >= 7  # pages
+        assert not any(ci[1])  # no all-null pages here
+        if name == "v":
+            mins = [int.from_bytes(m, "little", signed=True) for m in ci[2]]
+            maxs = [int.from_bytes(m, "little", signed=True) for m in ci[3]]
+            assert mins[0] == 0 and maxs[-1] == n - 1
+            assert mins == sorted(mins)
+        else:
+            assert sum(ci[5]) == len([1 for i in range(n) if i % 7 == 0])
+        rows_total = 0
+        for loc in oi[1]:
+            h = parquet_compat.read_page_header(raw, loc[1])
+            assert loc[2] == h.header_len + h.compressed_size
+            assert loc[3] == rows_total
+            rows_total += h.num_values
+        assert rows_total == n
+    # file remains readable by independent readers
+    assert pq.read_table(path).num_rows == n
