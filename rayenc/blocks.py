@@ -520,6 +520,9 @@ def encode_chunk(
     page_minmax = None
     if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE") and ranges:
         v = np.asarray(col.values)
+        if col.unsigned and v.dtype.kind == "i":
+            # unsigned columns: bounds in the unsigned domain (see stats.compute)
+            v = v.view(v.dtype.str.replace("i", "u"))
         page_minmax = [
             (v[a:b].min().item(), v[a:b].max().item()) for a, b in ranges
         ]
@@ -734,7 +737,7 @@ def _take_rows(col: PhysicalColumn, idx: np.ndarray) -> PhysicalColumn:
         new_data = data[_ranges(offsets[idx], lens)]
         return PhysicalColumn(col.name, col.ptype, (new_off, new_data))
     v = np.asarray(col.values)
-    return PhysicalColumn(col.name, col.ptype, v[idx])
+    return PhysicalColumn(col.name, col.ptype, v[idx], unsigned=col.unsigned)
 
 
 def decode_block(

@@ -650,6 +650,13 @@ def _value_bounds(col: PhysicalColumn, a: int, b: int):
         if v.dtype.kind == "f" and np.isnan(v).any():
             return None
         fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[col.ptype]
+        if col.unsigned and v.dtype.kind == "i":
+            # UINT logical types order TYPE_DEFINED_ORDER in the unsigned
+            # domain: take bounds on the unsigned view and pack the (same)
+            # bit pattern, else uint32 [1, 4294967295] records min=-1/max=5
+            # and readers prune matching row groups
+            v = v.view(v.dtype.str.replace("i", "u"))
+            fmt = fmt.upper()
         return struct.pack(fmt, v.min().item()), struct.pack(fmt, v.max().item()), True
     if col.ptype == "BOOLEAN":
         v = np.asarray(col.values, bool)[a:b]
@@ -772,6 +779,19 @@ def write_table(
     row_group_size: int | None = None,
 ) -> None:
     config = config or sel.EncodeConfig()
+    if getattr(config, "level_encoding", "RLE") == "BIT_PACKED":
+        # parquet-java reads deprecated BIT_PACKED levels big-endian
+        # (Encoding.java:155-158) but parquet-cpp/pyarrow/DuckDB read them
+        # LSB-first, so such files silently misdecode everywhere but
+        # parquet-java — warn loudly rather than produce them quietly
+        import warnings
+
+        warnings.warn(
+            "level_encoding=BIT_PACKED writes big-endian levels "
+            "(parquet-java semantics); parquet-cpp/pyarrow/DuckDB misread "
+            "these files — use only for parquet-java interop testing",
+            stacklevel=2,
+        )
     out = bytearray(MAGIC)
     row_groups: list[tuple[list[_Column], int]] = []
     if row_group_size is None or row_group_size >= table.num_rows:

@@ -539,8 +539,11 @@ def encode_grouped_job(
         p = ray.get(plan_ref)
         kv = batch.column(key).to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(kv, return_inverse=True)
-        bases = np.array([p[u][0] for u in uniq], np.int64)[inv]
-        nb = np.array([p[u][1] for u in uniq], np.int64)[inv]
+        # keys absent from the pass-1 plan (e.g. null key values, which
+        # np.unique folds to a sentinel the census never saw) fall back to
+        # bucket 0 rather than failing the job
+        bases = np.array([p.get(u, (0, 1))[0] for u in uniq], np.int64)[inv]
+        nb = np.array([p.get(u, (0, 1))[1] for u in uniq], np.int64)[inv]
         if salt_col and salt_col in batch.column_names:
             salt_arr = batch.column(salt_col)
             if not pa.types.is_string(salt_arr.type) and not pa.types.is_large_string(

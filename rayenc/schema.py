@@ -47,6 +47,10 @@ class PhysicalColumn:
     # fixed types: np.ndarray; BINARY: (offsets int64[n+1], data uint8)
     values: object
     null_mask: np.ndarray | None = None  # True where null (length = logical n)
+    # source arrow type was an unsigned integer: storage is the sign-wrapped
+    # bit pattern, so min/max for statistics must be taken in the unsigned
+    # domain (parquet UINT logical types order TYPE_DEFINED_ORDER unsigned)
+    unsigned: bool = False
 
     @property
     def num_values(self) -> int:
@@ -185,7 +189,12 @@ def shred(field_name: str, arr) -> list[PhysicalColumn]:
         dense = arr.drop_null() if arr.null_count else arr
         vals = dense.to_numpy(zero_copy_only=False).astype(bool)
         return [PhysicalColumn(field_name, "BOOLEAN", vals, null_mask)]
-    return [PhysicalColumn(field_name, ptype, _fixed_values(arr, ptype), null_mask)]
+    return [
+        PhysicalColumn(
+            field_name, ptype, _fixed_values(arr, ptype), null_mask,
+            unsigned=pa.types.is_unsigned_integer(t),
+        )
+    ]
 
 
 def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:

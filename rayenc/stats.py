@@ -166,7 +166,12 @@ def compute(col: PhysicalColumn) -> ChunkStats:
         is_sorted = bool(v[len(win) - 1] <= v[len(win)]) and bool(
             (np.diff(v[len(win) :: max(1, n // 1024)]) >= 0).all()
         )
-    mn, mx = v.min(), v.max()
+    # unsigned source columns are stored sign-wrapped; min/max bounds for
+    # skipping must be taken in the unsigned domain or a chunk holding
+    # uint32 4294967295 records min=-1 and wrongly skips (manifest analog of
+    # parquet UINT TYPE_DEFINED_ORDER)
+    vb = v.view(v.dtype.str.replace("i", "u")) if (col.unsigned and v.dtype.kind == "i") else v
+    mn, mx = vb.min(), vb.max()
     if v.dtype.kind == "f":
         mn, mx = float(mn), float(mx)
     else:
