@@ -797,6 +797,33 @@ def _parquet_write_roundtrip(sf_dir: str):
     return pq.read_table(out)
 
 
+def _parquet_encrypted_roundtrip(sf_dir: str):
+    """Write an AES-GCM modular-encrypted parquet file (encrypted footer +
+    per-column key on l_comment-like string col), read it back through OUR
+    decrypting reader — DuckDB oracles the plaintext fixture (it cannot open
+    the ciphertext; the crypto interop proof vs pyarrow lives in
+    tests/test_parquet_crypto.py)."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_crypto import FileDecryption, FileEncryption
+    from rayenc.parquet_read_enc import read_table_encrypted
+
+    table = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    fk, ck = b"0123456789abcdef", b"fedcba9876543210"
+    parquet_write.write_table(
+        table, out,
+        encryption=FileEncryption(
+            footer_key=fk, column_keys={"o_orderpriority": ck}
+        ),
+    )
+    got = read_table_encrypted(
+        out, FileDecryption(footer_key=fk, column_keys={"o_orderpriority": ck})
+    )
+    return got.cast(table.schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -826,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_page_conformance"] = _parquet_page_conformance
     q["conformance_read_embeddings"] = _conformance_read_embeddings
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
+    q["parquet_encrypted_roundtrip"] = _parquet_encrypted_roundtrip
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
     q["transcode_parquet_v2"] = _transcode_v2
@@ -909,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_page_conformance"] = "SELECT l_orderkey FROM lineitem"
     o["conformance_read_embeddings"] = "SELECT * FROM embeddings"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
+    o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
     o["transcode_parquet"] = "SELECT * FROM orders"
     o["transcode_parquet_snappy"] = "SELECT * FROM orders"
     o["transcode_parquet_v2"] = "SELECT * FROM orders"

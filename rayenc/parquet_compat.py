@@ -204,29 +204,54 @@ def read_column_chunk(path: str, column: str, row_group: int = 0,
         fh.seek(start)
         raw = np.frombuffer(fh.read(total), np.uint8)
 
-    from .codecs.bitpack import bit_width32
+    return _decode_page_stream(
+        _plain_page_iter(raw, cmeta.num_values, path, column),
+        cmeta.num_values, max_rep, max_def, ptype, type_length, codec,
+        raw_levels=raw_levels,
+    )
 
-    w_rep = bit_width32(max_rep)
-    w_def = bit_width32(max_def)
+
+def _plain_page_iter(raw, num_values, path="", column=""):
+    """Yield (PageHeader, body) pairs from an unencrypted page stream,
+    verifying page CRCs (ParquetFileWriter CRC semantics: CRC-32 over the
+    on-disk page body)."""
     pos = 0
-    remaining = cmeta.num_values
-    dictionary = None
-    out_parts = []
-    level_parts = []
-    rep_parts = []
+    remaining = num_values
     while remaining > 0 and pos < len(raw):
         h = read_page_header(raw, pos)
         body = raw[pos + h.header_len : pos + h.header_len + h.compressed_size]
         pos += h.header_len + h.compressed_size
         if h.crc is not None:
-            # PageChecksum verification (ParquetFileWriter CRC semantics:
-            # CRC-32 over the on-disk page body)
             import zlib
 
             if zlib.crc32(body.tobytes()) != (h.crc & 0xFFFFFFFF):
                 raise ValueError(
                     f"page CRC mismatch in {path!r} column {column!r}"
                 )
+        yield h, body
+        if h.type != DICTIONARY_PAGE:
+            remaining -= h.num_values
+
+
+def _decode_page_stream(
+    pages, num_values, max_rep, max_def, ptype, type_length, codec,
+    raw_levels: bool = False,
+):
+    """Decode a stream of (PageHeader, body) pairs — the shared half of
+    read_column_chunk, also fed by the modular-encryption page decryptor
+    (rayenc.parquet_read_enc), whose bodies arrive already decrypted."""
+    from .codecs.bitpack import bit_width32
+
+    w_rep = bit_width32(max_rep)
+    w_def = bit_width32(max_def)
+    remaining = num_values
+    dictionary = None
+    out_parts = []
+    level_parts = []
+    rep_parts = []
+    for h, body in pages:
+        if remaining <= 0:
+            break
         if codec is not None:
             if h.type == DATA_PAGE_V2:
                 if not h.v2_is_compressed:
@@ -410,6 +435,15 @@ def read_list_column(path: str, field_name: str, row_group: int = 0):
                           ].index(leaf))
     max_def = sc.max_definition_level
     vals, rep, deflev = read_column_chunk(path, leaf, row_group)
+    return assemble_list(vals, rep, deflev, arrow_field, max_def)
+
+
+def assemble_list(vals, rep, deflev, arrow_field, max_def):
+    """Rebuild a one-level list array from decoded dense values + levels
+    (shared by the plaintext and modular-encryption read paths)."""
+    import pyarrow as pa
+
+    t = arrow_field.type
     d_list = 1 if arrow_field.nullable else 0
     d_nonempty = d_list + 1
     n_rec = int((rep == 0).sum())
@@ -442,6 +476,40 @@ def read_list_column(path: str, field_name: str, row_group: int = 0):
     return out.cast(t)
 
 
+def assemble_flat(r, t):
+    """read_column_chunk result for a flat column + arrow type -> pa.Array
+    (nulls restored, logical type cast applied). Shared with the
+    modular-encryption read path."""
+    import pyarrow as pa
+
+    from .schema import _restore_nulls
+
+    mask = None
+    if isinstance(r, tuple) and len(r) == 2 and r[1].dtype == bool:
+        r, valid = r
+        mask = ~valid
+    if isinstance(r, tuple):  # BYTE_ARRAY
+        from .codecs.dictionary import binary_array
+
+        arr = binary_array(*r)
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            arr = arr.cast(pa.large_binary())
+    else:
+        v = np.asarray(r)
+        if v.ndim == 2 and v.shape[1] == 12 and pa.types.is_timestamp(t):
+            arr = pa.array(int96_to_timestamp_ns(v), pa.timestamp("ns"))
+        elif v.ndim == 2:
+            arr = pa.array([bytes(row) for row in v], pa.binary(v.shape[1]))
+        elif pa.types.is_temporal(t):
+            arr = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
+        elif pa.types.is_boolean(t):
+            arr = pa.array(v.astype(bool))
+        else:
+            arr = pa.array(v)
+    arr = _restore_nulls(arr, mask, arr.type)
+    return arr.cast(t)
+
+
 def read_table_conformance(path: str) -> "pa.Table":
     """Decode a whole parquet file (flat + one-level list columns, all row
     groups) with rayenc decoders only, returning a pa.Table equal to
@@ -468,32 +536,7 @@ def read_table_conformance(path: str) -> "pa.Table":
             if pa.types.is_map(t) or pa.types.is_decimal(t):
                 raise NotImplementedError(f"conformance read of {t}")
             r = read_column_chunk(path, field.name, rg)
-            mask = None
-            if isinstance(r, tuple) and len(r) == 2 and r[1].dtype == bool:
-                r, valid = r
-                mask = ~valid
-            if isinstance(r, tuple):  # BYTE_ARRAY
-                from .codecs.dictionary import binary_array
-
-                arr = binary_array(*r)
-                if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
-                    arr = arr.cast(pa.large_binary())
-            else:
-                v = np.asarray(r)
-                if v.ndim == 2 and v.shape[1] == 12 and pa.types.is_timestamp(t):
-                    arr = pa.array(int96_to_timestamp_ns(v), pa.timestamp("ns"))
-                elif v.ndim == 2:
-                    arr = pa.array(
-                        [bytes(row) for row in v], pa.binary(v.shape[1])
-                    )
-                elif pa.types.is_temporal(t):
-                    arr = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
-                elif pa.types.is_boolean(t):
-                    arr = pa.array(v.astype(bool))
-                else:
-                    arr = pa.array(v)
-            arr = _restore_nulls(arr, mask, arr.type)
-            cols.append(arr.cast(t))
+            cols.append(assemble_flat(r, t))
         parts.append(pa.Table.from_arrays(cols, schema=schema))
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 

@@ -1,0 +1,157 @@
+"""Parquet modular encryption (AES_GCM_V1) — write + read primitives.
+
+Implements the parquet-format encryption spec as realized by the reference:
+module AAD construction (`crypto/AesCipher.java:75-121`: fileAAD + module
+type byte + rg/column/page ordinals as LE shorts), the GCM ciphertext
+framing (`crypto/AesGcmEncryptor.java:53-90`: ``len(4 LE) | nonce(12) |
+ciphertext | tag(16)`` where len counts nonce+ct+tag), the ten module types
+(`crypto/ModuleCipherFactory.java:27-47`), and the two footer modes of
+`ParquetFileWriter.serializeFooter:2104-2171` (encrypted footer behind the
+``PARE`` magic with a plaintext FileCryptoMetaData prefix; plaintext footer
+with a 28-byte nonce+tag signature). The AES primitive is
+``cryptography``'s AESGCM; everything else is hand-rolled like the rest of
+the writer.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+
+NONCE_LEN = 12
+TAG_LEN = 16
+AAD_FILE_UNIQUE_LEN = 8
+SIZE_LEN = 4
+
+# ModuleCipherFactory.ModuleType values
+M_FOOTER = 0
+M_COLUMN_METADATA = 1
+M_DATA_PAGE = 2
+M_DICT_PAGE = 3
+M_DATA_PAGE_HEADER = 4
+M_DICT_PAGE_HEADER = 5
+M_COLUMN_INDEX = 6
+M_OFFSET_INDEX = 7
+M_BLOOM_HEADER = 8
+M_BLOOM_BITSET = 9
+
+MAGIC_ENCRYPTED = b"PARE"
+
+
+def _aesgcm(key: bytes):
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if len(key) not in (16, 24, 32):
+        raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")
+    return AESGCM(key)
+
+
+def module_aad(
+    file_aad: bytes, module_type: int, rg: int = -1, col: int = -1, page: int = -1
+) -> bytes:
+    """AAD suffix per AesCipher.createModuleAAD: footer gets no ordinals,
+    data pages/headers get all three, other modules get rg+column."""
+    if module_type == M_FOOTER:
+        return file_aad + bytes([module_type])
+    if rg < 0 or col < 0 or rg > 0x7FFF or col > 0x7FFF:
+        raise ValueError(f"bad ordinals rg={rg} col={col}")
+    out = file_aad + bytes([module_type]) + struct.pack("<hh", rg, col)
+    if module_type in (M_DATA_PAGE, M_DATA_PAGE_HEADER):
+        if page < 0 or page > 0x7FFF:
+            raise ValueError(f"bad page ordinal {page}")
+        out += struct.pack("<h", page)
+    return out
+
+
+def encrypt_module(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
+    """GCM module ciphertext: 4-byte LE length (nonce+ct+tag) | nonce | ct|tag."""
+    nonce = os.urandom(NONCE_LEN)
+    ct = _aesgcm(key).encrypt(nonce, bytes(plaintext), aad)
+    body = nonce + ct
+    return struct.pack("<i", len(body)) + body
+
+
+def decrypt_module(key: bytes, buf, offset: int, aad: bytes) -> tuple[bytes, int]:
+    """Decrypt one framed module at ``buf[offset:]``; returns (plaintext,
+    offset just past the module). Raises on tag mismatch (wrong key/AAD)."""
+    b = bytes(buf[offset : offset + SIZE_LEN])
+    (length,) = struct.unpack("<i", b)
+    start = offset + SIZE_LEN
+    body = bytes(buf[start : start + length])
+    nonce, ct = body[:NONCE_LEN], body[NONCE_LEN:]
+    return _aesgcm(key).decrypt(nonce, ct, aad), start + length
+
+
+def gcm_signature(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
+    """Plaintext-footer signature: nonce + GCM tag of the serialized footer
+    (serializeFooter:2140-2152 copies nonce then tag)."""
+    nonce = os.urandom(NONCE_LEN)
+    ct = _aesgcm(key).encrypt(nonce, bytes(plaintext), aad)
+    return nonce + ct[-TAG_LEN:]
+
+
+def verify_gcm_signature(
+    key: bytes, plaintext: bytes, signature: bytes, aad: bytes
+) -> bool:
+    nonce, tag = signature[:NONCE_LEN], signature[NONCE_LEN:]
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+    from cryptography.exceptions import InvalidTag
+
+    # re-encrypt with the recorded nonce and compare tags (GCM is
+    # deterministic given key/nonce/aad)
+    ct = AESGCM(key).encrypt(nonce, bytes(plaintext), aad)
+    return ct[-TAG_LEN:] == tag
+
+
+@dataclass
+class FileEncryption:
+    """Write-side encryption properties (FileEncryptionProperties.java
+    analog). ``column_keys`` maps dotted leaf paths to per-column keys;
+    every other column uses the footer key. ``plaintext_footer=True``
+    keeps the footer readable by legacy readers and appends a GCM
+    signature instead of encrypting it."""
+
+    footer_key: bytes
+    column_keys: dict[str, bytes] = field(default_factory=dict)
+    plaintext_footer: bool = False
+    aad_prefix: bytes | None = None
+    store_aad_prefix: bool = True
+    footer_key_metadata: bytes | None = None
+    column_key_metadata: dict[str, bytes] = field(default_factory=dict)
+
+    def __post_init__(self):
+        _aesgcm(self.footer_key)  # validate length
+        for k in self.column_keys.values():
+            _aesgcm(k)
+
+    def make_file_aad(self) -> tuple[bytes, bytes]:
+        """(aad_file_unique, file_aad)."""
+        unique = os.urandom(AAD_FILE_UNIQUE_LEN)
+        prefix = self.aad_prefix or b""
+        return unique, prefix + unique
+
+    def key_for(self, dotted_path: str) -> tuple[bytes, bool]:
+        """(key, uses_column_key) for one leaf column."""
+        k = self.column_keys.get(dotted_path)
+        if k is not None:
+            return k, True
+        return self.footer_key, False
+
+
+@dataclass
+class FileDecryption:
+    """Read-side keys (FileDecryptionProperties.java analog). ``aad_prefix``
+    must be supplied when the writer chose not to store it."""
+
+    footer_key: bytes | None = None
+    column_keys: dict[str, bytes] = field(default_factory=dict)
+    aad_prefix: bytes | None = None
+
+    def key_for(self, dotted_path: str) -> bytes:
+        k = self.column_keys.get(dotted_path)
+        if k is None:
+            k = self.footer_key
+        if k is None:
+            raise ValueError(f"no key available for column {dotted_path!r}")
+        return k

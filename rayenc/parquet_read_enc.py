@@ -1,0 +1,454 @@
+"""Read modular-encrypted parquet files with rayenc decoders.
+
+pyarrow's metadata API cannot open an encrypted footer without a KMS-backed
+CryptoFactory, so this module carries its own *full* thrift compact-protocol
+parser (the minimal one in parquet_compat keeps only ints/structs) and
+rebuilds the file metadata from bytes: FileCryptoMetaData + encrypted
+FileMetaData behind the ``PARE`` magic (`ParquetFileWriter.
+serializeFooter:2162-2170`), or a plaintext footer whose 28-byte GCM
+signature is verified (`:2127-2158`). Page streams are walked module by
+module (`InternalFileDecryptor.java` / `ModuleCipherFactory.java` AAD
+semantics: header and body are separate GCM modules; the page ordinal counts
+data pages only), decrypted, and handed to the shared
+``parquet_compat._decode_page_stream`` decoders.
+
+Key resolution: explicit keys on ``FileDecryption`` win; otherwise, if the
+file carries pyarrow/parquet-mr "key material" JSON key_metadata
+(``{"keyMaterialType":"PKMT1",...,"wrappedDEK":...}``) a ``key_unwrapper``
+callback can unwrap it — tests use this to read files pyarrow encrypted.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from . import parquet_crypto as pcrypt
+from .parquet_compat import (
+    PageHeader,
+    _decode_page_stream,
+    _plain_page_iter,
+    assemble_flat,
+    assemble_list,
+    read_page_header,
+)
+from .parquet_crypto import FileDecryption
+
+# --------------------------------------------------- full compact protocol
+
+
+def _uvarint(buf, i):
+    v = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _zigzag(v):
+    return (v >> 1) ^ -(v & 1)
+
+
+def _read_value(buf, i, ftype):
+    if ftype == 3:  # byte
+        v = buf[i] - 256 if buf[i] > 127 else buf[i]
+        return v, i + 1
+    if ftype in (4, 5, 6):  # i16/i32/i64 zigzag varints
+        v, i = _uvarint(buf, i)
+        return _zigzag(v), i
+    if ftype == 7:  # double
+        return struct.unpack_from("<d", buf, i)[0], i + 8
+    if ftype == 8:  # binary
+        n, i = _uvarint(buf, i)
+        return bytes(buf[i : i + n]), i + n
+    if ftype in (9, 10):  # list / set
+        head = buf[i]
+        i += 1
+        size = head >> 4
+        etype = head & 0x0F
+        if size == 15:
+            size, i = _uvarint(buf, i)
+        out = []
+        for _ in range(size):
+            v, i = _read_value(buf, i, etype)
+            out.append(v)
+        return out, i
+    if ftype == 11:  # map: varint size, then (ktype<<4|vtype), then pairs
+        size, i = _uvarint(buf, i)
+        out = {}
+        if size:
+            kv = buf[i]
+            i += 1
+            for _ in range(size):
+                k, i = _read_value(buf, i, kv >> 4)
+                v, i = _read_value(buf, i, kv & 0x0F)
+                out[k] = v
+        return out, i
+    if ftype == 12:
+        return _read_struct_full(buf, i)
+    raise NotImplementedError(f"thrift compact type {ftype}")
+
+
+def _read_struct_full(buf, i):
+    """Parse a compact-protocol struct keeping every field type
+    (bools/ints/doubles/binary/lists/structs) -> ({fid: value}, end)."""
+    fields = {}
+    last = 0
+    while True:
+        byte = buf[i]
+        i += 1
+        if byte == 0:
+            return fields, i
+        delta = byte >> 4
+        ftype = byte & 0x0F
+        if delta == 0:
+            z, i = _uvarint(buf, i)
+            fid = _zigzag(z)
+        else:
+            fid = last + delta
+        last = fid
+        if ftype == 1:
+            fields[fid] = True
+        elif ftype == 2:
+            fields[fid] = False
+        else:
+            fields[fid], i = _read_value(buf, i, ftype)
+    return fields, i
+
+
+# ------------------------------------------------------------ footer model
+
+_CODEC_NAME = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 6: "zstd", 7: "lz4_raw"}
+_PTYPE_NAME = {
+    0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
+    4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+
+class LeafInfo:
+    __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def")
+
+    def __init__(self, path, ptype, type_length, max_rep, max_def):
+        self.path = path
+        self.ptype = ptype
+        self.type_length = type_length
+        self.max_rep = max_rep
+        self.max_def = max_def
+
+    @property
+    def dotted(self):
+        return ".".join(self.path)
+
+
+def _walk_schema(elems):
+    """SchemaElement list -> LeafInfo per leaf (depth-first order).
+    repetition_type: 0 required, 1 optional, 2 repeated."""
+    leaves = []
+    pos = 1  # skip root
+
+    def walk(path, max_rep, max_def):
+        nonlocal pos
+        e = elems[pos]
+        pos += 1
+        rep = e.get(3, 0)
+        name = e[4].decode() if isinstance(e.get(4), bytes) else e.get(4, "")
+        if rep == 1:
+            max_def += 1
+        elif rep == 2:
+            max_rep += 1
+            max_def += 1
+        nchild = e.get(5, 0)
+        if nchild:
+            for _ in range(nchild):
+                walk(path + [name], max_rep, max_def)
+        else:
+            leaves.append(
+                LeafInfo(
+                    path + [name], _PTYPE_NAME[e[1]], e.get(2, 0), max_rep, max_def
+                )
+            )
+
+    root = elems[0]
+    for _ in range(root.get(5, 0)):
+        walk([], 0, 0)
+    return leaves
+
+
+def _unwrap_key_material(key_metadata: bytes) -> bytes | None:
+    """Unwrap parquet-mr/pyarrow internal key material when it is the
+    single-wrapped base64 form our test KMS produces; returns None when the
+    metadata isn't that shape (caller falls back to explicit keys)."""
+    import json
+
+    try:
+        km = json.loads(key_metadata)
+        if km.get("keyMaterialType") == "PKMT1" and not km.get("doubleWrapping"):
+            return base64.b64decode(km["wrappedDEK"])
+    except Exception:
+        return None
+    return None
+
+
+class EncryptedFile:
+    """Parsed (and, where needed, decrypted) metadata of one parquet file."""
+
+    def __init__(self, path: str, decryption: FileDecryption | None = None):
+        self.path = path
+        self.dec = decryption or FileDecryption()
+        with open(path, "rb") as f:
+            self.raw = f.read()
+        tail = self.raw[-8:]
+        (flen,) = struct.unpack("<i", tail[:4])
+        magic = tail[4:]
+        region = self.raw[len(self.raw) - 8 - flen : len(self.raw) - 8]
+        self.file_aad = b""
+        self.algorithm = None
+        if magic == pcrypt.MAGIC_ENCRYPTED:
+            crypto_md, end = _read_struct_full(region, 0)
+            self._load_algorithm(crypto_md[1])
+            key = self._footer_key(crypto_md.get(2))
+            footer_aad = pcrypt.module_aad(self.file_aad, pcrypt.M_FOOTER)
+            footer_bytes, _ = pcrypt.decrypt_module(key, region, end, footer_aad)
+            self.md, _ = _read_struct_full(footer_bytes, 0)
+            self.footer_key = key
+        elif magic == b"PAR1":
+            self.md, end = _read_struct_full(region, 0)
+            self.footer_key = None
+            if 8 in self.md:  # plaintext footer of an encrypted file
+                self._load_algorithm(self.md[8])
+                try:
+                    key = self._footer_key(self.md.get(9))
+                except ValueError:
+                    key = None  # metadata stays readable; columns won't be
+                self.footer_key = key
+                if key is not None:
+                    sig = region[end : end + 28]
+                    if len(sig) == 28 and not pcrypt.verify_gcm_signature(
+                        key, region[:end], sig,
+                        pcrypt.module_aad(self.file_aad, pcrypt.M_FOOTER),
+                    ):
+                        raise ValueError(f"footer signature verification failed: {path}")
+        else:
+            raise ValueError(f"not a parquet file (magic {magic!r}): {path}")
+        self.schema_elems = self.md[2]
+        self.leaves = _walk_schema(self.schema_elems)
+        self.num_rows = self.md.get(3, 0)
+        self.row_groups = self.md.get(4, [])
+        self.kv = {
+            e[1].decode(): e[2].decode()
+            for e in self.md.get(5, [])
+            if 1 in e and 2 in e
+        }
+
+    # -- keys / algorithm ---------------------------------------------------
+
+    def _load_algorithm(self, alg_union: dict) -> None:
+        if 1 not in alg_union:
+            raise NotImplementedError("only AES_GCM_V1 is supported")
+        gcm = alg_union[1]
+        self.algorithm = "AES_GCM_V1"
+        stored_prefix = gcm.get(1, b"")
+        supply = gcm.get(3, False)
+        prefix = self.dec.aad_prefix if (supply or not stored_prefix) else stored_prefix
+        self.file_aad = (prefix or b"") + gcm.get(2, b"")
+
+    def _footer_key(self, key_metadata) -> bytes:
+        if self.dec.footer_key is not None:
+            return self.dec.footer_key
+        if key_metadata:
+            k = _unwrap_key_material(key_metadata)
+            if k is not None:
+                return k
+        raise ValueError(f"no footer key available for {self.path}")
+
+    def _column_key(self, dotted: str, key_metadata) -> bytes:
+        k = self.dec.column_keys.get(dotted)
+        if k is not None:
+            return k
+        if key_metadata:
+            k = _unwrap_key_material(key_metadata)
+            if k is not None:
+                return k
+        if self.footer_key is not None:
+            return self.footer_key
+        raise ValueError(f"no key available for column {dotted!r}")
+
+    # -- schema -------------------------------------------------------------
+
+    def arrow_schema(self) -> pa.Schema:
+        b64 = self.kv.get("ARROW:schema")
+        if b64:
+            return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(b64)))
+        fields = []
+        for leaf in self.leaves:
+            if len(leaf.path) != 1:
+                raise NotImplementedError(
+                    "nested schema without ARROW:schema metadata"
+                )
+            t = {
+                "BOOLEAN": pa.bool_(), "INT32": pa.int32(), "INT64": pa.int64(),
+                "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
+                "BYTE_ARRAY": pa.binary(),
+                "FIXED_LEN_BYTE_ARRAY": pa.binary(leaf.type_length),
+                "INT96": pa.timestamp("ns"),
+            }[leaf.ptype]
+            fields.append(pa.field(leaf.path[0], t, leaf.max_def > 0))
+        return pa.schema(fields)
+
+    # -- chunks -------------------------------------------------------------
+
+    def chunk_meta(self, rg_ord: int, col_ord: int) -> dict:
+        """ColumnMetaData dict for one chunk, decrypting
+        encrypted_column_metadata when that is the only copy."""
+        cc = self.row_groups[rg_ord][1][col_ord]
+        crypto = cc.get(8)
+        md = cc.get(3)
+        if crypto is not None and 2 in crypto and cc.get(9):
+            dotted = self.leaves[col_ord].dotted
+            key = self._column_key(dotted, crypto[2].get(2))
+            aad = pcrypt.module_aad(
+                self.file_aad, pcrypt.M_COLUMN_METADATA, rg_ord, col_ord
+            )
+            plain, _ = pcrypt.decrypt_module(key, cc[9], 0, aad)
+            md, _ = _read_struct_full(plain, 0)
+        if md is None:
+            raise ValueError(f"no readable ColumnMetaData for column {col_ord}")
+        return md
+
+    def _chunk_key(self, rg_ord: int, col_ord: int) -> bytes | None:
+        """Key for the chunk's page modules, or None when unencrypted."""
+        cc = self.row_groups[rg_ord][1][col_ord]
+        crypto = cc.get(8)
+        if crypto is None:
+            return None
+        if 2 in crypto:
+            return self._column_key(self.leaves[col_ord].dotted, crypto[2].get(2))
+        if self.footer_key is None:
+            raise ValueError("footer key required for footer-key column")
+        return self.footer_key
+
+    def decode_leaf(self, rg_ord: int, col_ord: int, raw_levels: bool = False):
+        """Decode one leaf chunk with rayenc kernels (any encryption state)."""
+        leaf = self.leaves[col_ord]
+        md = self.chunk_meta(rg_ord, col_ord)
+        start = md.get(11, None)
+        if start is None or start < 0:
+            start = md[9]
+        has_dict = 11 in md and md[11] is not None and md[11] >= 0
+        total = md[7]
+        num_values = md[5]
+        raw = np.frombuffer(self.raw[start : start + total], np.uint8)
+        codec_name = _CODEC_NAME.get(md.get(4, 0))
+        if md.get(4, 0) not in _CODEC_NAME:
+            raise NotImplementedError(f"codec id {md.get(4)}")
+        codec = pa.Codec(codec_name) if codec_name else None
+        key = self._chunk_key(rg_ord, col_ord)
+        if key is None:
+            pages = _plain_page_iter(raw, num_values, self.path, leaf.dotted)
+        else:
+            pages = _encrypted_page_iter(
+                raw, key, self.file_aad, rg_ord, col_ord, num_values, has_dict
+            )
+        return _decode_page_stream(
+            pages, num_values, leaf.max_rep, leaf.max_def, leaf.ptype,
+            leaf.type_length, codec, raw_levels=raw_levels,
+        )
+
+
+def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict):
+    """Walk an encrypted chunk: each page is [header module][body module]
+    (V1/dict) or [header module][plaintext levels][values module] (V2).
+    AAD mismatches surface as InvalidTag — the GCM tag doubles as the
+    module-type/ordinal check."""
+    import zlib
+
+    pos = 0
+    remaining = num_values
+    page_ord = -1
+    expect_dict = has_dict
+    while remaining > 0 and pos < len(raw):
+        if expect_dict:
+            hdr_aad = pcrypt.module_aad(file_aad, pcrypt.M_DICT_PAGE_HEADER, rg, col)
+        else:
+            page_ord += 1
+            hdr_aad = pcrypt.module_aad(
+                file_aad, pcrypt.M_DATA_PAGE_HEADER, rg, col, page_ord
+            )
+        hdr_bytes, pos = pcrypt.decrypt_module(key, raw, pos, hdr_aad)
+        h = read_page_header(np.frombuffer(hdr_bytes, np.uint8), 0)
+        if h.type == 3:  # DATA_PAGE_V2: plaintext levels + encrypted values
+            lv = h.v2_rep_bytes + h.v2_def_bytes
+            levels = raw[pos : pos + lv]
+            body_start = pos
+            vals_pt, pos = pcrypt.decrypt_module(
+                key, raw,
+                pos + lv,
+                pcrypt.module_aad(file_aad, pcrypt.M_DATA_PAGE, rg, col, page_ord),
+            )
+            if h.crc is not None:
+                stored = raw[body_start:pos].tobytes()
+                if zlib.crc32(stored) != (h.crc & 0xFFFFFFFF):
+                    raise ValueError("encrypted page CRC mismatch")
+                h.crc = None
+            body = np.concatenate([levels, np.frombuffer(vals_pt, np.uint8)])
+        else:
+            mt = pcrypt.M_DICT_PAGE if expect_dict else pcrypt.M_DATA_PAGE
+            body_start = pos
+            body_pt, pos = pcrypt.decrypt_module(
+                key, raw, pos,
+                pcrypt.module_aad(
+                    file_aad, mt, rg, col, -1 if expect_dict else page_ord
+                ),
+            )
+            if h.crc is not None:
+                stored = raw[body_start:pos].tobytes()
+                if zlib.crc32(stored) != (h.crc & 0xFFFFFFFF):
+                    raise ValueError("encrypted page CRC mismatch")
+                h.crc = None
+            body = np.frombuffer(body_pt, np.uint8)
+        if expect_dict:
+            expect_dict = False
+            page_ord = -1  # dict page consumed no data-page ordinal
+        else:
+            remaining -= h.num_values
+        yield h, body
+
+
+def read_table_encrypted(
+    path: str, decryption: FileDecryption | None = None
+) -> pa.Table:
+    """Decode a (possibly encrypted) parquet file — flat and one-level-list
+    columns, all row groups — using rayenc decoders and our own footer
+    parser. The encrypted counterpart of
+    parquet_compat.read_table_conformance."""
+    f = EncryptedFile(path, decryption)
+    schema = f.arrow_schema()
+    leaf_by_root: dict[str, int] = {}
+    for ord_, leaf in enumerate(f.leaves):
+        leaf_by_root.setdefault(leaf.path[0], ord_)
+    parts = []
+    for rg_ord in range(len(f.row_groups)):
+        cols = []
+        for field in schema:
+            t = field.type
+            col_ord = leaf_by_root[field.name]
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                vals, rep, deflev = f.decode_leaf(rg_ord, col_ord)
+                cols.append(
+                    assemble_list(
+                        vals, rep, deflev, field, f.leaves[col_ord].max_def
+                    )
+                )
+                continue
+            if pa.types.is_struct(t) or pa.types.is_map(t):
+                raise NotImplementedError(f"encrypted read of {t}")
+            r = f.decode_leaf(rg_ord, col_ord)
+            cols.append(assemble_flat(r, t))
+        parts.append(pa.Table.from_arrays(cols, schema=schema))
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

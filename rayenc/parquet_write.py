@@ -23,6 +23,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from . import parquet_crypto as pcrypt
 from . import selector as sel
 from . import stats as stats_mod
 from .blocks import _plan_candidate, page_ranges
@@ -31,6 +32,36 @@ from .codecs.dictionary import dict_page_binary, dict_page_fixed, encode_ids
 from .schema import PhysicalColumn, shred
 
 MAGIC = b"PAR1"
+
+
+class _ChunkCrypto:
+    """Per-column-chunk encryption state: the module AADs share the row-group
+    and column ordinals; the page ordinal counts data pages only
+    (ColumnChunkPageWriteStore.java pageOrdinal semantics, starting at -1)."""
+
+    def __init__(self, key: bytes, file_aad: bytes, rg: int, col: int):
+        self.key = key
+        self.file_aad = file_aad
+        self.rg = rg
+        self.col = col
+        self.page_ord = -1
+
+    def next_page(self) -> None:
+        self.page_ord += 1
+
+    def _aad(self, mtype: int, paged: bool) -> bytes:
+        return pcrypt.module_aad(
+            self.file_aad, mtype, self.rg, self.col,
+            self.page_ord if paged else -1,
+        )
+
+    def header(self, hdr: bytes, dict_page: bool = False) -> bytes:
+        mt = pcrypt.M_DICT_PAGE_HEADER if dict_page else pcrypt.M_DATA_PAGE_HEADER
+        return pcrypt.encrypt_module(self.key, hdr, self._aad(mt, not dict_page))
+
+    def page(self, body: bytes, dict_page: bool = False) -> bytes:
+        mt = pcrypt.M_DICT_PAGE if dict_page else pcrypt.M_DATA_PAGE
+        return pcrypt.encrypt_module(self.key, body, self._aad(mt, not dict_page))
 
 
 def _converted_type(t: "pa.DataType"):
@@ -430,6 +461,11 @@ class _Column:
         self.rep_hist = None
         self.def_hist = None
         self.unenc_bytes = None
+        # modular-encryption state (set when the file is encrypted)
+        self.crypto_key = None
+        self.uses_col_key = False
+        self.rg_ord = None
+        self.col_ord = None
 
 
 def _levels_payload(levels: np.ndarray | None, width: int) -> bytes:
@@ -447,6 +483,7 @@ def _encode_column_pages(
     def_levels: np.ndarray | None = None,
     max_rep: int = 0,
     max_def: int = 0,
+    crypto: "_ChunkCrypto | None" = None,
 ) -> None:
     """Emit dictionary page (maybe) + data pages for one column chunk.
 
@@ -532,10 +569,17 @@ def _encode_column_pages(
         else:
             dict_payload = dict_page_fixed(dic, col.ptype)
         dict_comp = compress(dict_payload)
+        if crypto is not None:
+            # module encryption: compressed_page_size covers the ciphertext
+            # frame (ColumnChunkPageWriteStore.java:517-521 takes the size
+            # after encryption); CRC is over the stored (encrypted) bytes
+            dict_comp = crypto.page(dict_comp, dict_page=True)
         meta.dict_offset = len(out)
         hdr = dict_page_header(
             len(dic), len(dict_payload), len(dict_comp), crc=zlib.crc32(dict_comp)
         )
+        if crypto is not None:
+            hdr = crypto.header(hdr, dict_page=True)
         out += hdr
         out += dict_comp
         meta.page_stats[(2, ENC_PLAIN)] = meta.page_stats.get((2, ENC_PLAIN), 0) + 1
@@ -568,6 +612,11 @@ def _encode_column_pages(
                 def_b = rle_hybrid.encode(def_levels[sa:sb], bit_width32(max_def))
                 nnulls = int((def_levels[sa:sb] < max_def).sum())
             vals = compress(payload)
+            if crypto is not None:
+                # V2 levels stay plaintext before the encrypted values blob
+                # (ColumnChunkPageWriteStore.writePageV2:320-325)
+                crypto.next_page()
+                vals = crypto.page(vals)
             body = rep_b + def_b + vals
             hdr = data_page_header_v2(
                 nv, nnulls, nrows, enc_code,
@@ -594,11 +643,17 @@ def _encode_column_pages(
                     lv += _levels_payload(def_levels[sa:sb], bit_width32(max_def))
             raw = lv + payload
             body = compress(raw)
+            if crypto is not None:
+                # V1 pages encrypt levels+values as one module
+                crypto.next_page()
+                body = crypto.page(body)
             hdr = data_page_header(
                 nv, enc_code, len(raw), len(body), crc=zlib.crc32(body),
                 level_enc=ENC_BIT_PACKED if legacy else ENC_RLE,
             )
             unc_len = len(raw)
+        if crypto is not None:
+            hdr = crypto.header(hdr)
         if meta.data_offset is None:
             meta.data_offset = len(out)
         page_off = len(out)
@@ -699,9 +754,14 @@ def _leaf_statistics(meta: _Column, col: PhysicalColumn, leaf: _Leaf) -> None:
 
 
 def _write_row_group(
-    table: pa.Table, out: bytearray, config: sel.EncodeConfig
+    table: pa.Table,
+    out: bytearray,
+    config: sel.EncodeConfig,
+    file_crypto: "tuple[pcrypt.FileEncryption, bytes] | None" = None,
+    rg_ord: int = 0,
 ) -> list[_Column]:
     columns: list[_Column] = []
+    col_ord = 0
     for field in table.schema:
         for leaf in _dremel_leaves(field, table.column(field.name)):
             t = leaf.arr.type
@@ -715,14 +775,24 @@ def _write_row_group(
                 L = _decimal_flba_len(t.precision)
                 col.values = np.ascontiguousarray(be[:, be.shape[1] - L :])
             meta = _Column(leaf.path, col.ptype, leaf.max_rep, leaf.max_def)
+            crypto = None
+            if file_crypto is not None:
+                props, file_aad = file_crypto
+                key, uses_col_key = props.key_for(".".join(leaf.path))
+                crypto = _ChunkCrypto(key, file_aad, rg_ord, col_ord)
+                meta.crypto_key = key
+                meta.uses_col_key = uses_col_key
+                meta.rg_ord, meta.col_ord = rg_ord, col_ord
             if leaf.max_def == 0:
-                _encode_column_pages(col, out, meta, config)
+                _encode_column_pages(col, out, meta, config, crypto=crypto)
             else:
                 _encode_column_pages(
                     col, out, meta, config,
                     rep_levels=leaf.rep, def_levels=leaf.dfv,
                     max_rep=leaf.max_rep, max_def=leaf.max_def,
+                    crypto=crypto,
                 )
+            col_ord += 1
             if col.ptype == "FIXED_LEN_BYTE_ARRAY":
                 meta.type_length = int(np.asarray(col.values).shape[1])
             _leaf_statistics(meta, col, leaf)
@@ -777,6 +847,7 @@ def write_table(
     path: str,
     config: sel.EncodeConfig | None = None,
     row_group_size: int | None = None,
+    encryption: "pcrypt.FileEncryption | None" = None,
 ) -> None:
     config = config or sel.EncodeConfig()
     if getattr(config, "level_encoding", "RLE") == "BIT_PACKED":
@@ -792,7 +863,16 @@ def write_table(
             "these files — use only for parquet-java interop testing",
             stacklevel=2,
         )
-    out = bytearray(MAGIC)
+    crypto = None
+    if encryption is not None:
+        aad_unique, file_aad = encryption.make_file_aad()
+        crypto = (encryption, file_aad, aad_unique)
+    magic = (
+        pcrypt.MAGIC_ENCRYPTED
+        if encryption is not None and not encryption.plaintext_footer
+        else MAGIC
+    )
+    out = bytearray(magic)
     row_groups: list[tuple[list[_Column], int]] = []
     if row_group_size is None or row_group_size >= table.num_rows:
         slices = [table]
@@ -801,18 +881,34 @@ def write_table(
             table.slice(a, row_group_size)
             for a in range(0, table.num_rows, row_group_size)
         ]
-    for sl in slices:
-        cols = _write_row_group(sl, out, config)
+    for rg_ord, sl in enumerate(slices):
+        cols = _write_row_group(
+            sl, out, config,
+            file_crypto=(crypto[0], crypto[1]) if crypto else None,
+            rg_ord=rg_ord,
+        )
         row_groups.append((cols, sl.num_rows))
 
     # page-index structures (column index then offset index per chunk),
-    # between the last row group and the footer like ParquetFileWriter
+    # between the last row group and the footer like ParquetFileWriter;
+    # encrypted files wrap each as its own GCM module (types 6/7)
     for cols, _ in row_groups:
         for meta in cols:
             res = _page_indexes_bytes(meta)
             if res is None:
                 continue
             ci_b, oi_b = res
+            if meta.crypto_key is not None:
+                ci_b = pcrypt.encrypt_module(
+                    meta.crypto_key, ci_b,
+                    pcrypt.module_aad(crypto[1], pcrypt.M_COLUMN_INDEX,
+                                      meta.rg_ord, meta.col_ord),
+                )
+                oi_b = pcrypt.encrypt_module(
+                    meta.crypto_key, oi_b,
+                    pcrypt.module_aad(crypto[1], pcrypt.M_OFFSET_INDEX,
+                                      meta.rg_ord, meta.col_ord),
+                )
             meta.ci_offset = len(out)
             meta.ci_len = len(ci_b)
             out += ci_b
@@ -820,10 +916,35 @@ def write_table(
             meta.oi_len = len(oi_b)
             out += oi_b
 
-    footer = _file_metadata(table, row_groups)
-    out += footer
-    out += len(footer).to_bytes(4, "little")
-    out += MAGIC
+    footer = _file_metadata(table, row_groups, crypto=crypto)
+    if encryption is None:
+        out += footer
+        out += len(footer).to_bytes(4, "little")
+        out += MAGIC
+    elif encryption.plaintext_footer:
+        # signed plaintext footer: footer bytes + 28-byte nonce/tag signature
+        footer_aad = pcrypt.module_aad(crypto[1], pcrypt.M_FOOTER)
+        sig = pcrypt.gcm_signature(encryption.footer_key, footer, footer_aad)
+        out += footer
+        out += sig
+        out += (len(footer) + len(sig)).to_bytes(4, "little")
+        out += MAGIC
+    else:
+        # encrypted footer: plaintext FileCryptoMetaData, then the footer as
+        # a GCM module; combined length + PARE (serializeFooter:2162-2170)
+        cw = _W()
+        _emit_encryption_algorithm(cw, 1, encryption, crypto[2])
+        if encryption.footer_key_metadata:
+            cw.binary(2, encryption.footer_key_metadata)
+        crypto_md = cw.stop()
+        footer_aad = pcrypt.module_aad(crypto[1], pcrypt.M_FOOTER)
+        enc_footer = pcrypt.encrypt_module(
+            encryption.footer_key, footer, footer_aad
+        )
+        out += crypto_md
+        out += enc_footer
+        out += (len(crypto_md) + len(enc_footer)).to_bytes(4, "little")
+        out += pcrypt.MAGIC_ENCRYPTED
     with open(path, "wb") as f:
         f.write(out)
 
@@ -922,7 +1043,76 @@ def _schema_body(field: pa.Field) -> list[dict]:
     return [e]
 
 
-def _file_metadata(table: pa.Table, row_groups) -> bytes:
+def _emit_column_meta_fields(cc: _W, meta: _Column, redact: bool = False) -> None:
+    """ColumnMetaData fields (parquet.thrift), written into an open struct.
+    ``redact`` drops Statistics and PageEncodingStats — the plaintext copy
+    kept next to an encrypted column in plaintext-footer files
+    (ParquetMetadataConverter.java:687-692)."""
+    cc.i(1, _PARQUET_TYPE[meta.ptype])
+    cc.begin_list(2, 5, len(meta.encodings) + 1)
+    for enc in sorted(meta.encodings):
+        _wvarint(cc.out, _zigzag(enc))
+    _wvarint(cc.out, _zigzag(ENC_RLE))  # levels
+    cc.begin_list(3, 8, len(meta.path))
+    for part in meta.path:
+        _wvarint(cc.out, len(part.encode()))
+        cc.out += part.encode()
+    cc.i(4, meta.codec)
+    cc.i64(5, meta.num_values)
+    cc.i64(6, meta.total_unc)
+    cc.i64(7, meta.total_bytes)
+    cc.i64(9, meta.data_offset)
+    if meta.dict_offset is not None:
+        cc.i64(11, meta.dict_offset)
+    if not redact and (meta.min_bytes is not None or meta.null_count):
+        cc.begin_struct(12)  # Statistics
+        cc.i64(3, meta.null_count)
+        if meta.max_bytes is not None:
+            cc.binary(5, meta.max_bytes)
+            cc.binary(6, meta.min_bytes)
+            cc.boolean(7, meta.stats_exact)  # is_max_value_exact
+            cc.boolean(8, meta.stats_exact)  # is_min_value_exact
+        cc.end_struct()
+    if not redact and meta.page_stats:
+        cc.begin_list(13, 12, len(meta.page_stats))  # encoding_stats
+        for (pt, enc), cnt in sorted(meta.page_stats.items()):
+            pes = _W()
+            pes.i(1, pt)
+            pes.i(2, enc)
+            pes.i(3, cnt)
+            cc.out += pes.stop()
+    if (
+        meta.rep_hist is not None
+        or meta.def_hist is not None
+        or meta.unenc_bytes is not None
+    ):
+        cc.begin_struct(16)  # SizeStatistics
+        if meta.unenc_bytes is not None:
+            cc.i64(1, meta.unenc_bytes)
+        for fid, hist in ((2, meta.rep_hist), (3, meta.def_hist)):
+            if hist is not None:
+                cc.begin_list(fid, 6, len(hist))
+                for h in hist:
+                    _wvarint(cc.out, _zigzag(int(h)))
+        cc.end_struct()
+
+
+def _emit_encryption_algorithm(
+    w: _W, fid: int, props: "pcrypt.FileEncryption", aad_file_unique: bytes
+) -> None:
+    """EncryptionAlgorithm union (AES_GCM_V1 member only)."""
+    w.begin_struct(fid)
+    w.begin_struct(1)  # AesGcmV1
+    if props.aad_prefix is not None and props.store_aad_prefix:
+        w.binary(1, props.aad_prefix)
+    w.binary(2, aad_file_unique)
+    if props.aad_prefix is not None and not props.store_aad_prefix:
+        w.boolean(3, True)  # supply_aad_prefix
+    w.end_struct()
+    w.end_struct()
+
+
+def _file_metadata(table: pa.Table, row_groups, crypto=None) -> bytes:
     w = _W()
     w.i(1, 2)  # version
 
@@ -961,61 +1151,53 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
         for meta in columns:
             cc = _W()
             cc.i64(2, meta.start_offset)  # file_offset
-            cc.begin_struct(3)
-            cc.i(1, _PARQUET_TYPE[meta.ptype])
-            cc.begin_list(2, 5, len(meta.encodings) + 1)
-            for enc in sorted(meta.encodings):
-                _wvarint(cc.out, _zigzag(enc))
-            _wvarint(cc.out, _zigzag(ENC_RLE))  # levels
-            cc.begin_list(3, 8, len(meta.path))
-            for part in meta.path:
-                _wvarint(cc.out, len(part.encode()))
-                cc.out += part.encode()
-            cc.i(4, meta.codec)
-            cc.i64(5, meta.num_values)
-            cc.i64(6, meta.total_unc)
-            cc.i64(7, meta.total_bytes)
-            cc.i64(9, meta.data_offset)
-            if meta.dict_offset is not None:
-                cc.i64(11, meta.dict_offset)
-            _emit_13 = bool(meta.page_stats)
-            if meta.min_bytes is not None or meta.null_count:
-                cc.begin_struct(12)  # Statistics
-                cc.i64(3, meta.null_count)
-                if meta.max_bytes is not None:
-                    cc.binary(5, meta.max_bytes)
-                    cc.binary(6, meta.min_bytes)
-                    cc.boolean(7, meta.stats_exact)  # is_max_value_exact
-                    cc.boolean(8, meta.stats_exact)  # is_min_value_exact
+            # column-key columns (and every encrypted column when the footer
+            # is plaintext) carry their ColumnMetaData separately encrypted
+            # in field 9 (ParquetMetadataConverter.java:664-693); plaintext
+            # footers keep a redacted copy with stats stripped
+            encrypt_md = meta.crypto_key is not None and (
+                meta.uses_col_key or (crypto is not None and crypto[0].plaintext_footer)
+            )
+            if not encrypt_md:
+                cc.begin_struct(3)
+                _emit_column_meta_fields(cc, meta)
                 cc.end_struct()
-            if _emit_13:
-                cc.begin_list(13, 12, len(meta.page_stats))  # encoding_stats
-                for (pt, enc), cnt in sorted(meta.page_stats.items()):
-                    pes = _W()
-                    pes.i(1, pt)
-                    pes.i(2, enc)
-                    pes.i(3, cnt)
-                    cc.out += pes.stop()
-            if (
-                meta.rep_hist is not None
-                or meta.def_hist is not None
-                or meta.unenc_bytes is not None
-            ):
-                cc.begin_struct(16)  # SizeStatistics
-                if meta.unenc_bytes is not None:
-                    cc.i64(1, meta.unenc_bytes)
-                for fid, hist in ((2, meta.rep_hist), (3, meta.def_hist)):
-                    if hist is not None:
-                        cc.begin_list(fid, 6, len(hist))
-                        for h in hist:
-                            _wvarint(cc.out, _zigzag(int(h)))
+            elif crypto is not None and crypto[0].plaintext_footer:
+                cc.begin_struct(3)
+                _emit_column_meta_fields(cc, meta, redact=True)
                 cc.end_struct()
-            cc.end_struct()
             if meta.oi_offset is not None:
                 cc.i64(4, meta.oi_offset)
                 cc.i(5, meta.oi_len)
                 cc.i64(6, meta.ci_offset)
                 cc.i(7, meta.ci_len)
+            if meta.crypto_key is not None:
+                props, file_aad = crypto[0], crypto[1]
+                cc.begin_struct(8)  # ColumnCryptoMetaData union
+                if meta.uses_col_key:
+                    cc.begin_struct(2)  # ENCRYPTION_WITH_COLUMN_KEY
+                    cc.begin_list(1, 8, len(meta.path))
+                    for part in meta.path:
+                        _wvarint(cc.out, len(part.encode()))
+                        cc.out += part.encode()
+                    km = props.column_key_metadata.get(".".join(meta.path))
+                    if km:
+                        cc.binary(2, km)
+                    cc.end_struct()
+                else:
+                    cc.begin_struct(1)  # ENCRYPTION_WITH_FOOTER_KEY (empty)
+                    cc.end_struct()
+                cc.end_struct()
+                if encrypt_md:
+                    mw = _W()
+                    _emit_column_meta_fields(mw, meta)
+                    aad = pcrypt.module_aad(
+                        file_aad, pcrypt.M_COLUMN_METADATA,
+                        meta.rg_ord, meta.col_ord,
+                    )
+                    cc.binary(
+                        9, pcrypt.encrypt_module(meta.crypto_key, mw.stop(), aad)
+                    )
             rg.out += cc.stop()
         rg.i64(2, sum(m.total_unc for m in columns))  # spec: UNCOMPRESSED size
         rg.i64(3, rg_rows)
@@ -1039,4 +1221,11 @@ def _file_metadata(table: pa.Table, row_groups) -> bytes:
             co.begin_struct(1)  # TYPE_ORDER (empty struct)
             co.end_struct()
             w.out += co.stop()
+    if crypto is not None and crypto[0].plaintext_footer:
+        # plaintext-footer encrypted file: algorithm + signing-key metadata
+        # live in FileMetaData itself (serializeFooter:2127-2134)
+        props, _, aad_unique = crypto
+        _emit_encryption_algorithm(w, 8, props, aad_unique)
+        if props.footer_key_metadata:
+            w.binary(9, props.footer_key_metadata)
     return w.stop()
