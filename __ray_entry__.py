@@ -824,6 +824,59 @@ def _parquet_encrypted_roundtrip(sf_dir: str):
     return got.cast(table.schema)
 
 
+def _conformance_read_nested(sf_dir: str):
+    """Build a nested table (map / decimal / list<struct>) deterministically
+    from lineitem integers, write it with OUR parquet writer, read it back
+    with OUR whole-file conformance reader, and flatten for the SQL oracle
+    (read-what-we-write over the full nested envelope)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+    )
+    ok = src.column("l_orderkey").to_numpy()
+    ln = src.column("l_linenumber").to_numpy()
+    rf = src.column("l_returnflag").to_pylist()
+    ls = src.column("l_linestatus").to_pylist()
+    nested = pa.table(
+        {
+            "d": pa.array(
+                [__import__("decimal").Decimal(int(v)) for v in ln],
+                pa.decimal128(12, 2),
+            ),
+            "m": pa.array(
+                [[(k, int(v))] for k, v in zip(rf, ln)],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "lst": pa.array(
+                [[{"x": int(o), "y": s}] for o, s in zip(ok, ls)],
+                pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            ),
+        }
+    )
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(nested, out, row_group_size=20000)
+    got = read_table_conformance(out)
+    # flatten: every row has exactly one map entry and one list element
+    m = got.column("m").combine_chunks()
+    lst = got.column("lst").combine_chunks()
+    elem = lst.flatten()
+    return pa.table(
+        {
+            "d": got.column("d"),
+            "m_key": m.keys,
+            "m_val": m.items,
+            "x": elem.field("x"),
+            "y": elem.field("y"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -854,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conformance_read_embeddings"] = _conformance_read_embeddings
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["parquet_encrypted_roundtrip"] = _parquet_encrypted_roundtrip
+    q["conformance_read_nested"] = _conformance_read_nested
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
     q["transcode_parquet_v2"] = _transcode_v2
@@ -938,6 +992,11 @@ def oracle_sql() -> dict[str, str]:
     o["conformance_read_embeddings"] = "SELECT * FROM embeddings"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
+    o["conformance_read_nested"] = (
+        "SELECT CAST(l_linenumber AS DECIMAL(12,2)) AS d,"
+        " l_returnflag AS m_key, CAST(l_linenumber AS BIGINT) AS m_val,"
+        " l_orderkey AS x, l_linestatus AS y FROM lineitem"
+    )
     o["transcode_parquet"] = "SELECT * FROM orders"
     o["transcode_parquet_snappy"] = "SELECT * FROM orders"
     o["transcode_parquet_v2"] = "SELECT * FROM orders"

@@ -373,11 +373,7 @@ def _read_struct_column(path, field, row_group):
     children = []
     struct_mask = None
     for child in t:
-        if not (
-            pa.types.is_integer(child.type) or pa.types.is_floating(child.type)
-            or pa.types.is_string(child.type) or pa.types.is_large_string(child.type)
-            or pa.types.is_boolean(child.type) or pa.types.is_temporal(child.type)
-        ):
+        if pa.types.is_nested(child.type):
             raise NotImplementedError(f"struct child {child.type}")
         leaf = f"{field.name}.{child.name}"
         vals, rep, deflev = read_column_chunk(path, leaf, row_group, raw_levels=True)
@@ -387,18 +383,7 @@ def _read_struct_column(path, field, row_group):
         )
         if deflev is None:
             deflev = np.full(n, max_def, np.uint32)
-        if isinstance(vals, tuple):
-            dense = binary_array(*vals)
-            if not (pa.types.is_string(child.type) or pa.types.is_large_string(child.type)):
-                dense = dense.cast(pa.large_binary())
-        else:
-            v = np.asarray(vals)
-            if pa.types.is_temporal(child.type):
-                dense = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
-            elif pa.types.is_boolean(child.type):
-                dense = pa.array(v.astype(bool))
-            else:
-                dense = pa.array(v)
+        dense = _to_dense_arrow(vals, child.type)
         child_null = deflev < max_def
         arr = _restore_nulls(dense, child_null if child_null.any() else None, dense.type)
         children.append(arr.cast(child.type))
@@ -510,12 +495,171 @@ def assemble_flat(r, t):
     return arr.cast(t)
 
 
+def _decimal_dense(v: np.ndarray, t) -> "pa.Array":
+    """Dense decoded decimal storage -> pa.Decimal128Array. Parquet DECIMAL
+    rides on FLBA (big-endian two's complement, minimal width — our writer
+    and pyarrow) or INT32/INT64 unscaled (DuckDB for small precisions);
+    decimal128's buffer layout is 16-byte little-endian two's complement, so
+    the conversion is a byte reverse + sign extension."""
+    import pyarrow as pa
+
+    if t.precision > 38:
+        raise NotImplementedError("decimal256 conformance read")
+    if v.ndim == 2:  # FLBA rows, big-endian
+        n, L = v.shape
+        out = np.zeros((n, 16), np.uint8)
+        out[:, :L] = v[:, ::-1]
+        out[v[:, 0] >= 128, L:] = 0xFF
+    else:  # INT32/INT64 unscaled
+        n = len(v)
+        out = np.zeros((n, 16), np.uint8)
+        out[:, :8] = v.astype("<i8").view(np.uint8).reshape(n, 8)
+        out[v < 0, 8:] = 0xFF
+    return pa.Array.from_buffers(t, n, [None, pa.py_buffer(out.tobytes())])
+
+
+def _leaf_paths_under(meta, root: str) -> list[str]:
+    return [
+        meta.column(ci).path_in_schema
+        for ci in range(meta.num_columns)
+        if meta.column(ci).path_in_schema.split(".")[0] == root
+    ]
+
+
+def _scatter_dense(dense, elem_valid: np.ndarray, elem_t):
+    """Scatter dense leaf values over element slots (None where absent)."""
+    import pyarrow as pa
+
+    n_elem = len(elem_valid)
+    take = np.full(n_elem, -1, np.int64)
+    take[elem_valid] = np.arange(int(elem_valid.sum()))
+    return dense.take(pa.array(take, pa.int64(), mask=take < 0)).cast(elem_t)
+
+
+def _to_dense_arrow(vals, elem_t):
+    import pyarrow as pa
+
+    if isinstance(vals, tuple):
+        from .codecs.dictionary import binary_array
+
+        dense = binary_array(*vals)
+        if not (pa.types.is_string(elem_t) or pa.types.is_large_string(elem_t)):
+            dense = dense.cast(pa.large_binary())
+        return dense
+    v = np.asarray(vals)
+    if pa.types.is_decimal(elem_t):
+        return _decimal_dense(v, elem_t)
+    if v.ndim == 2:
+        return pa.array([bytes(row) for row in v], pa.binary(v.shape[1]))
+    if pa.types.is_boolean(elem_t):
+        return pa.array(v.astype(bool))
+    if pa.types.is_temporal(elem_t):
+        return pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
+    return pa.array(v)
+
+
+def _read_repeated_column(path: str, field, row_group: int, decoder=None):
+    """Assemble a one-repeated-level column — list<primitive>,
+    list<struct<primitive...>>, or map<primitive, primitive> — from each
+    leaf's rep/def levels (the 3-level LIST / MAP key_value shapes of the
+    parquet logical-type spec; assembly per RecordReaderImplementation.java
+    semantics, vectorized). ``decoder(leaf_path)`` returns
+    (vals, rep, def) — defaults to read_column_chunk on ``path``."""
+    import pyarrow as pa
+
+    t = field.type
+    is_map = pa.types.is_map(t)
+    if decoder is None:
+        f = pq.ParquetFile(path)
+        meta = f.metadata.row_group(row_group)
+        leaf_paths = _leaf_paths_under(meta, field.name)
+
+        def decoder(leaf):
+            return read_column_chunk(path, leaf, row_group, raw_levels=True)
+    else:
+        leaf_paths = decoder("__paths__")
+
+    d_list = 1 if field.nullable else 0
+    d_entry = d_list + 1
+    if is_map:
+        children = [
+            pa.field("key", t.key_type, False),
+            pa.field("value", t.item_type, True),
+        ]
+        elem_nullable = False
+    else:
+        elem_f = t.value_field
+        elem_nullable = elem_f.nullable
+        if pa.types.is_struct(elem_f.type):
+            children = list(elem_f.type)
+        else:
+            children = None  # primitive element
+
+    offsets = mask = elem_valid_struct = None
+    child_arrays = []
+    for k, leaf in enumerate(leaf_paths):
+        vals, rep, deflev = decoder(leaf)
+        if rep is None or deflev is None:
+            raise NotImplementedError(f"unexpected flat leaf {leaf}")
+        if offsets is None:
+            # entry structure is shared across leaves (Dremel invariant):
+            # compute offsets / null-list mask once, from the first leaf
+            n_rec = int((rep == 0).sum())
+            rec_id = np.cumsum(rep == 0) - 1
+            entry_slot = deflev >= d_entry
+            counts = np.bincount(rec_id[entry_slot], minlength=n_rec)
+            off = np.zeros(n_rec + 1, np.int64)
+            np.cumsum(counts, out=off[1:])
+            rec_first_def = deflev[rep == 0]
+            null_rec = rec_first_def < d_list if d_list else None
+            offsets = off
+            mask = null_rec
+        entry_slot = deflev >= d_entry
+        entry_def = deflev[entry_slot]
+        if children is None:
+            child_f = pa.field("element", t.value_type, elem_nullable)
+            leaf_max = d_entry + (1 if elem_nullable else 0)
+        else:
+            child_f = children[k]
+            leaf_max = d_entry + (1 if elem_nullable else 0) + (
+                1 if child_f.nullable else 0
+            )
+            if elem_nullable and elem_valid_struct is None:
+                elem_valid_struct = entry_def >= d_entry + 1
+            elif elem_nullable:
+                elem_valid_struct = elem_valid_struct | (entry_def >= d_entry + 1)
+        valid = entry_def >= leaf_max
+        dense = _to_dense_arrow(vals, child_f.type)
+        child_arrays.append(_scatter_dense(dense, valid, child_f.type))
+
+    import pyarrow as pa
+
+    off_arr = pa.array(
+        offsets, pa.int32() if is_map or pa.types.is_list(t) else pa.int64(),
+        mask=np.concatenate([mask, [False]]) if mask is not None else None,
+    )
+    if is_map:
+        return pa.MapArray.from_arrays(
+            off_arr.cast(pa.int32()), child_arrays[0], child_arrays[1]
+        ).cast(t)
+    if children is not None:
+        smask = None
+        if elem_nullable and elem_valid_struct is not None:
+            smask = pa.array(~elem_valid_struct)
+        elem = pa.StructArray.from_arrays(
+            child_arrays, [c.name for c in children], mask=smask
+        )
+        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+        return cls.from_arrays(off_arr, elem).cast(t)
+    cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+    return cls.from_arrays(off_arr, child_arrays[0]).cast(t)
+
+
 def read_table_conformance(path: str) -> "pa.Table":
-    """Decode a whole parquet file (flat + one-level list columns, all row
-    groups) with rayenc decoders only, returning a pa.Table equal to
-    pyarrow's read — the file-level conformance gate. Struct and decimal
-    columns are out of scope for this reader (the writer covers them; see
-    rayenc.parquet_write)."""
+    """Decode a whole parquet file — flat (incl. decimal), one-level list
+    (primitive or struct elements), map, and flat-struct columns, all row
+    groups — with rayenc decoders only, returning a pa.Table equal to
+    pyarrow's read: the file-level conformance gate."""
     import pyarrow as pa
 
     from .schema import _restore_nulls
@@ -528,14 +672,28 @@ def read_table_conformance(path: str) -> "pa.Table":
         for field in schema:
             t = field.type
             if pa.types.is_list(t) or pa.types.is_large_list(t):
-                cols.append(read_list_column(path, field.name, rg))
+                if pa.types.is_struct(t.value_type) or pa.types.is_decimal(
+                    t.value_type
+                ):
+                    cols.append(_read_repeated_column(path, field, rg))
+                else:
+                    cols.append(read_list_column(path, field.name, rg))
+                continue
+            if pa.types.is_map(t):
+                cols.append(_read_repeated_column(path, field, rg))
                 continue
             if pa.types.is_struct(t):
                 cols.append(_read_struct_column(path, field, rg))
                 continue
-            if pa.types.is_map(t) or pa.types.is_decimal(t):
-                raise NotImplementedError(f"conformance read of {t}")
             r = read_column_chunk(path, field.name, rg)
+            if pa.types.is_decimal(t):
+                maskv = None
+                if isinstance(r, tuple) and len(r) == 2 and r[1].dtype == bool:
+                    r, valid = r
+                    maskv = ~valid
+                arr = _decimal_dense(np.asarray(r), t)
+                cols.append(_restore_nulls(arr, maskv, t))
+                continue
             cols.append(assemble_flat(r, t))
         parts.append(pa.Table.from_arrays(cols, schema=schema))
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

@@ -410,3 +410,104 @@ def test_read_table_conformance_pyarrow_variants(comp, ver):
     want = pq.read_table(path)
     for c in want.column_names:
         assert got.column(c).combine_chunks().equals(want.column(c).combine_chunks()), c
+
+
+def _nested_fixture(n=4000, seed=7):
+    import decimal
+
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "m": pa.array(
+                [
+                    None
+                    if i % 7 == 0
+                    else [
+                        (f"k{j}", int(rng.integers(0, 100)))
+                        for j in range(int(rng.integers(0, 4)))
+                    ]
+                    for i in range(n)
+                ],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "d": pa.array(
+                [
+                    None
+                    if i % 11 == 0
+                    else decimal.Decimal(int(rng.integers(-(10**11), 10**11))) / 100
+                    for i in range(n)
+                ],
+                pa.decimal128(12, 2),
+            ),
+            "ls": pa.array(
+                [
+                    None
+                    if i % 13 == 0
+                    else [
+                        {
+                            "x": None if j % 3 == 0 else j,
+                            "y": None if j % 5 == 0 else f"s{j}",
+                        }
+                        for j in range(int(rng.integers(0, 3)))
+                    ]
+                    for i in range(n)
+                ],
+                pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            ),
+        }
+    )
+
+
+def test_conformance_map_decimal_list_struct_pyarrow():
+    t = _nested_fixture()
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path, row_group_size=1100)
+    got = parquet_compat.read_table_conformance(path)
+    assert got.cast(t.schema).equals(t)
+
+
+def test_conformance_map_decimal_list_struct_own_writer():
+    # read-what-we-write: our Dremel writer's nested output through our reader
+    from rayenc import parquet_write
+
+    t = _nested_fixture()
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(t, path, row_group_size=1500)
+    got = parquet_compat.read_table_conformance(path)
+    assert got.cast(t.schema).equals(t)
+
+
+def test_conformance_duckdb_decimal_storage():
+    # DuckDB stores DECIMAL(<=9) as INT32, (<=18) as INT64, wider as FLBA
+    import duckdb
+
+    path = tempfile.mktemp(suffix=".parquet")
+    duckdb.connect().execute(
+        "COPY (SELECT (i/100.0)::DECIMAL(9,2) AS d9,"
+        " (i*1000000/100.0)::DECIMAL(18,2) AS d18,"
+        " (i/100.0)::DECIMAL(30,4) AS d30 FROM range(-500,500) t(i))"
+        f" TO '{path}' (FORMAT PARQUET)"
+    )
+    got = parquet_compat.read_table_conformance(path)
+    assert got.equals(pq.read_table(path))
+
+
+def test_conformance_struct_with_decimal_child():
+    import decimal
+
+    t = pa.table(
+        {
+            "s": pa.array(
+                [
+                    None if i % 5 == 0 else
+                    {"a": decimal.Decimal(i) / 4 if i % 3 else None, "b": i}
+                    for i in range(1000)
+                ],
+                pa.struct([("a", pa.decimal128(10, 2)), ("b", pa.int64())]),
+            )
+        }
+    )
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path)
+    got = parquet_compat.read_table_conformance(path)
+    assert got.cast(t.schema).equals(t)
