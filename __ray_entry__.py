@@ -877,6 +877,29 @@ def _conformance_read_nested(sf_dir: str):
     )
 
 
+def _bloom_point_lookup(sf_dir: str):
+    """Write lineitem as parquet with split-block bloom filters on
+    l_orderkey (spec XXHASH/BLOCK, BloomFilterHeader + bitset referenced
+    from ColumnMetaData), then point-look-up the minimum order key using
+    the file blooms to skip row groups before decoding."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import bloom_might_contain, read_table_encrypted
+    from rayenc.selector import EncodeConfig
+
+    table = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    key = int(pc.min(table.column("l_orderkey")).as_py())
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    cfg = EncodeConfig(bloom_columns={"l_orderkey"})
+    parquet_write.write_table(table, out, cfg, row_group_size=10000)
+    verdicts = bloom_might_contain(out, "l_orderkey", key)
+    keep = [i for i, v in enumerate(verdicts) if v]
+    got = read_table_encrypted(out, row_groups=keep)
+    return got.filter(pc.equal(got.column("l_orderkey"), key)).cast(table.schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -908,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_write_roundtrip"] = _parquet_write_roundtrip
     q["parquet_encrypted_roundtrip"] = _parquet_encrypted_roundtrip
     q["conformance_read_nested"] = _conformance_read_nested
+    q["bloom_point_lookup"] = _bloom_point_lookup
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
     q["transcode_parquet_v2"] = _transcode_v2
@@ -992,6 +1016,10 @@ def oracle_sql() -> dict[str, str]:
     o["conformance_read_embeddings"] = "SELECT * FROM embeddings"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
+    o["bloom_point_lookup"] = (
+        "SELECT * FROM lineitem WHERE l_orderkey ="
+        " (SELECT MIN(l_orderkey) FROM lineitem)"
+    )
     o["conformance_read_nested"] = (
         "SELECT CAST(l_linenumber AS DECIMAL(12,2)) AS d,"
         " l_returnflag AS m_key, CAST(l_linenumber AS BIGINT) AS m_val,"

@@ -140,3 +140,84 @@ def value_hash(value) -> np.ndarray:
     if isinstance(value, float):
         return _hash64(np.array([value], np.float64).view(np.uint64))
     raise TypeError(type(value))
+
+
+# ------------------------------------------------ parquet-file (spec) blooms
+
+
+class SpecBloom(BloomFilter):
+    """Spec-exact split-block bloom for parquet FILES: block index is the
+    multiply-shift `((h >> 32) * numBlocks) >> 32` of
+    BlockSplitBloomFilter.java:244-263 (the container variant above keeps
+    its original modulo mapping for manifest compatibility), and hashes
+    must be XXH64(seed 0) over the value's plain encoding."""
+
+    def __init__(self, num_bytes: int):
+        # spec filters need not be power-of-two sized; only 32-byte blocks
+        assert num_bytes >= 32 and num_bytes % 32 == 0
+        self.words = np.zeros(num_bytes // 4, np.uint32)
+        self.num_blocks = num_bytes // 32
+
+    def _positions(self, hashes: np.ndarray):
+        h = np.ascontiguousarray(hashes, np.uint64)
+        with np.errstate(over="ignore"):
+            block = ((h >> np.uint64(32)) * np.uint64(self.num_blocks)) >> np.uint64(32)
+            lanes = (h[:, None] & np.uint64(0xFFFFFFFF)) * SALT[None, :]
+        bit = (lanes >> np.uint64(27)).astype(np.uint32) & np.uint32(31)
+        word_idx = (
+            block[:, None] * np.uint64(8) + np.arange(8, dtype=np.uint64)
+        ).astype(np.int64)
+        return word_idx, np.uint32(1) << bit
+
+    def bitset_bytes(self) -> bytes:
+        return self.words.tobytes()  # 32-bit LE words, spec layout
+
+    @classmethod
+    def from_bitset(cls, raw: bytes) -> "SpecBloom":
+        f = cls.__new__(cls)
+        f.words = np.frombuffer(raw, np.uint32).copy()
+        f.num_blocks = len(f.words) // 8
+        return f
+
+
+def spec_hashes_for_column(col) -> np.ndarray | None:
+    """XXH64(seed 0) of each value's PLAIN encoding — the file-spec bloom
+    hash (BlockSplitBloomFilter XXHASH)."""
+    from .codecs import xxh
+
+    if col.ptype == "BINARY":
+        offsets, data = col.values
+        return xxh.xxh64_bytes(offsets, data)
+    if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        return xxh.xxh64_fixed(np.asarray(col.values))
+    if col.ptype == "FIXED_LEN_BYTE_ARRAY":
+        v = np.asarray(col.values)
+        n, L = v.shape
+        offsets = np.arange(0, (n + 1) * L, L, dtype=np.int64)
+        return xxh.xxh64_bytes(offsets, v.reshape(-1))
+    return None
+
+
+def spec_value_hash(value, ptype: str) -> np.ndarray:
+    """XXH64 of one lookup value's plain encoding."""
+    from .codecs import xxh
+
+    if isinstance(value, str):
+        value = value.encode()
+    if isinstance(value, bytes):
+        return np.array([xxh.xxh64(value)], np.uint64)
+    dt = {
+        "INT32": np.int32, "INT64": np.int64,
+        "FLOAT": np.float32, "DOUBLE": np.float64,
+    }[ptype]
+    return np.array([xxh.xxh64(np.array([value], dt).tobytes())], np.uint64)
+
+
+def build_spec_bloom(col, ndv_hint: int | None = None, fpp: float = DEFAULT_FPP):
+    h = spec_hashes_for_column(col)
+    if h is None or len(h) == 0:
+        return None
+    ndv = ndv_hint or len(np.unique(h))
+    f = SpecBloom(optimal_bytes(ndv, fpp))
+    f.add_hashes(h)
+    return f

@@ -157,6 +157,106 @@ def cmd_column_sizes(args):
         print(f"{name:>24s} {s:>12d} B ({r / s:.2f}x vs raw)" if s else name)
 
 
+def _enc_file(args):
+    from .parquet_crypto import FileDecryption
+    from .parquet_read_enc import EncryptedFile
+
+    dec = None
+    if getattr(args, "key", None):
+        dec = FileDecryption(footer_key=bytes.fromhex(args.key))
+    return EncryptedFile(args.file, dec)
+
+
+def cmd_show_bloom(args):
+    """show-bloom-filter analog (ShowBloomFilterCommand.java): parse the
+    BloomFilterHeader+bitset of each chunk of a parquet FILE; with
+    --test-value, probe membership."""
+    from .parquet_read_enc import read_bloom_filter
+
+    f = _enc_file(args)
+    for rg in range(len(f.row_groups)):
+        for ci, leaf in enumerate(f.leaves):
+            if args.column and leaf.dotted != args.column:
+                continue
+            filt = read_bloom_filter(f, rg, ci)
+            if filt is None:
+                print(f"rg {rg} {leaf.dotted}: no bloom filter")
+                continue
+            nbytes = filt.words.nbytes
+            line = f"rg {rg} {leaf.dotted}: BLOCK/XXHASH {nbytes} bytes ({filt.num_blocks} blocks)"
+            if args.test_value is not None:
+                from .bloom import spec_value_hash
+
+                v = args.test_value
+                if leaf.ptype in ("INT32", "INT64"):
+                    v = int(v)
+                elif leaf.ptype in ("FLOAT", "DOUBLE"):
+                    v = float(v)
+                hit = bool(filt.might_contain_hashes(spec_value_hash(v, leaf.ptype))[0])
+                line += f" value={args.test_value!r} -> {'maybe' if hit else 'NO'}"
+            print(line)
+
+
+def cmd_show_column_index(args):
+    """show-column-index analog (ShowColumnIndexCommand.java): print the
+    ColumnIndex/OffsetIndex structures of a parquet FILE."""
+    from . import parquet_crypto as pcrypt
+    from .parquet_read_enc import _read_struct_full
+
+    f = _enc_file(args)
+    for rg in range(len(f.row_groups)):
+        for ci, leaf in enumerate(f.leaves):
+            if args.column and leaf.dotted != args.column:
+                continue
+            cc = f.row_groups[rg][1][ci]
+            if 6 not in cc:
+                print(f"rg {rg} {leaf.dotted}: no column index")
+                continue
+            key = f._chunk_key(rg, ci)
+            def grab(off, length, mtype):
+                region = f.raw[off : off + length]
+                if key is None:
+                    return _read_struct_full(region, 0)[0]
+                aad = pcrypt.module_aad(f.file_aad, mtype, rg, ci)
+                pt, _ = pcrypt.decrypt_module(key, region, 0, aad)
+                return _read_struct_full(pt, 0)[0]
+            cidx = grab(cc[6], cc[7], pcrypt.M_COLUMN_INDEX)
+            oidx = grab(cc[4], cc[5], pcrypt.M_OFFSET_INDEX)
+            nulls = cidx.get(1, [])
+            mins = cidx.get(2, [])
+            maxs = cidx.get(3, [])
+            locs = oidx.get(1, [])
+            print(f"rg {rg} {leaf.dotted}: {len(locs)} pages, boundary_order={cidx.get(4)}")
+            for p, loc in enumerate(locs):
+                mn = mins[p] if p < len(mins) else b""
+                mx = maxs[p] if p < len(maxs) else b""
+                print(
+                    f"  page {p}: offset={loc.get(1)} size={loc.get(2)}"
+                    f" first_row={loc.get(3)} null_page={nulls[p] if p < len(nulls) else '?'}"
+                    f" min={mn.hex() if isinstance(mn, bytes) else mn}"
+                    f" max={mx.hex() if isinstance(mx, bytes) else mx}"
+                )
+
+
+def cmd_show_size_stats(args):
+    """show-size-statistics analog (ShowSizeStatisticsCommand.java): print
+    SizeStatistics (unencoded bytes + rep/def level histograms) per chunk."""
+    f = _enc_file(args)
+    for rg in range(len(f.row_groups)):
+        for ci, leaf in enumerate(f.leaves):
+            if args.column and leaf.dotted != args.column:
+                continue
+            md = f.chunk_meta(rg, ci)
+            ss = md.get(16)
+            if ss is None:
+                print(f"rg {rg} {leaf.dotted}: no size statistics")
+                continue
+            print(
+                f"rg {rg} {leaf.dotted}: unencoded_byte_array_data_bytes={ss.get(1)}"
+                f" rep_hist={ss.get(2)} def_hist={ss.get(3)}"
+            )
+
+
 def cmd_rewrite(args):
     ray = _ray()
     from rayenc import rewrite
@@ -287,6 +387,19 @@ def main(argv=None):
                     help="page codec: snappy|gzip|zstd|brotli|lz4")
     tc.add_argument("--page-version", default="1.0", choices=["1.0", "2.0"])
     tc.set_defaults(fn=cmd_transcode)
+
+    for name, fn in (
+        ("show-bloom-filter", cmd_show_bloom),
+        ("show-column-index", cmd_show_column_index),
+        ("show-size-statistics", cmd_show_size_stats),
+    ):
+        sp = sub.add_parser(name)
+        sp.add_argument("file")
+        sp.add_argument("--column", default=None)
+        sp.add_argument("--key", default=None, help="footer key (hex) for encrypted files")
+        if name == "show-bloom-filter":
+            sp.add_argument("--test-value", default=None)
+        sp.set_defaults(fn=fn)
 
     v = sub.add_parser("verify")
     v.add_argument("inputs", nargs="+")

@@ -56,6 +56,8 @@ def _zigzag(v):
 
 
 def _read_value(buf, i, ftype):
+    if ftype in (1, 2):  # bool as a LIST element: one byte, 1=true
+        return buf[i] == 1, i + 1
     if ftype == 3:  # byte
         v = buf[i] - 256 if buf[i] > 127 else buf[i]
         return v, i + 1
@@ -420,20 +422,75 @@ def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict):
         yield h, body
 
 
+def read_bloom_filter(f: "EncryptedFile", rg_ord: int, col_ord: int):
+    """Parse the split-block bloom filter of one chunk from the file
+    (BloomFilterHeader + bitset; encrypted files wrap both as GCM modules
+    types 8/9 — serializeBloomFilters:2038-2100), or None when absent."""
+    from .bloom import SpecBloom
+
+    md = f.chunk_meta(rg_ord, col_ord)
+    off = md.get(14)
+    if off is None:
+        return None
+    key = f._chunk_key(rg_ord, col_ord)
+    if key is None:
+        hdr, end = _read_struct_full(f.raw, off)
+        num_bytes = hdr[1]
+        bitset = f.raw[end : end + num_bytes]
+    else:
+        hdr_pt, end = pcrypt.decrypt_module(
+            key, f.raw, off,
+            pcrypt.module_aad(f.file_aad, pcrypt.M_BLOOM_HEADER, rg_ord, col_ord),
+        )
+        hdr, _ = _read_struct_full(hdr_pt, 0)
+        num_bytes = hdr[1]
+        bitset, _ = pcrypt.decrypt_module(
+            key, f.raw, end,
+            pcrypt.module_aad(f.file_aad, pcrypt.M_BLOOM_BITSET, rg_ord, col_ord),
+        )
+    if 1 not in hdr.get(2, {1: {}}) or 1 not in hdr.get(3, {1: {}}):
+        raise NotImplementedError("non-XXHASH/BLOCK bloom filter")
+    if len(bitset) != num_bytes:
+        raise ValueError("bloom bitset truncated")
+    return SpecBloom.from_bitset(bytes(bitset))
+
+
+def bloom_might_contain(
+    path: str, column: str, value, decryption: FileDecryption | None = None
+) -> list[bool]:
+    """Per-row-group bloom verdicts for ``column == value`` (True = row
+    group may contain it). Row groups without a bloom return True."""
+    from .bloom import spec_value_hash
+
+    f = EncryptedFile(path, decryption)
+    col_ord = next(
+        i for i, leaf in enumerate(f.leaves) if leaf.dotted == column
+    )
+    ptype = f.leaves[col_ord].ptype
+    h = spec_value_hash(value, "INT64" if ptype == "INT96" else ptype)
+    out = []
+    for rg in range(len(f.row_groups)):
+        filt = read_bloom_filter(f, rg, col_ord)
+        out.append(True if filt is None else bool(filt.might_contain_hashes(h)[0]))
+    return out
+
+
 def read_table_encrypted(
-    path: str, decryption: FileDecryption | None = None
+    path: str,
+    decryption: FileDecryption | None = None,
+    row_groups: list[int] | None = None,
 ) -> pa.Table:
     """Decode a (possibly encrypted) parquet file — flat and one-level-list
-    columns, all row groups — using rayenc decoders and our own footer
-    parser. The encrypted counterpart of
-    parquet_compat.read_table_conformance."""
+    columns — using rayenc decoders and our own footer parser; pass
+    ``row_groups`` to read a subset (e.g. after bloom-filter skipping). The
+    encrypted counterpart of parquet_compat.read_table_conformance."""
     f = EncryptedFile(path, decryption)
     schema = f.arrow_schema()
     leaf_by_root: dict[str, int] = {}
     for ord_, leaf in enumerate(f.leaves):
         leaf_by_root.setdefault(leaf.path[0], ord_)
     parts = []
-    for rg_ord in range(len(f.row_groups)):
+    for rg_ord in row_groups if row_groups is not None else range(len(f.row_groups)):
         cols = []
         for field in schema:
             t = field.type
@@ -451,4 +508,6 @@ def read_table_encrypted(
             r = f.decode_leaf(rg_ord, col_ord)
             cols.append(assemble_flat(r, t))
         parts.append(pa.Table.from_arrays(cols, schema=schema))
+    if not parts:
+        return schema.empty_table()
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

@@ -466,6 +466,10 @@ class _Column:
         self.uses_col_key = False
         self.rg_ord = None
         self.col_ord = None
+        # split-block bloom (SpecBloom) pending serialization + its location
+        self.bloom = None
+        self.bloom_offset = None
+        self.bloom_len = None
 
 
 def _levels_payload(levels: np.ndarray | None, width: int) -> bytes:
@@ -796,8 +800,29 @@ def _write_row_group(
             if col.ptype == "FIXED_LEN_BYTE_ARRAY":
                 meta.type_length = int(np.asarray(col.values).shape[1])
             _leaf_statistics(meta, col, leaf)
+            dotted = ".".join(leaf.path)
+            if dotted in config.bloom_columns or leaf.path[0] in config.bloom_columns:
+                from . import bloom as bloom_mod
+
+                meta.bloom = bloom_mod.build_spec_bloom(
+                    col, fpp=getattr(config, "bloom_fpp", 0.01)
+                )
             columns.append(meta)
     return columns
+
+
+def _bloom_header_bytes(num_bytes: int) -> bytes:
+    """BloomFilterHeader (parquet.thrift): numBytes + XXHASH + BLOCK +
+    UNCOMPRESSED unions (Util.writeBloomFilterHeader / BlockSplitBloomFilter
+    serialization)."""
+    w = _W()
+    w.i(1, num_bytes)
+    for fid in (2, 3, 4):  # hash / algorithm / compression unions, member 1
+        w.begin_struct(fid)
+        w.begin_struct(1)
+        w.end_struct()
+        w.end_struct()
+    return w.stop()
 
 
 def _page_indexes_bytes(meta: _Column):
@@ -915,6 +940,30 @@ def write_table(
             meta.oi_offset = len(out)
             meta.oi_len = len(oi_b)
             out += oi_b
+
+    # bloom filters after the page indexes, before the footer
+    # (ParquetFileWriter.end:1878-1880 order; serializeBloomFilters:2038)
+    for cols, _ in row_groups:
+        for meta in cols:
+            if meta.bloom is None:
+                continue
+            bitset = meta.bloom.bitset_bytes()
+            hdr = _bloom_header_bytes(len(bitset))
+            if meta.crypto_key is not None:
+                hdr = pcrypt.encrypt_module(
+                    meta.crypto_key, hdr,
+                    pcrypt.module_aad(crypto[1], pcrypt.M_BLOOM_HEADER,
+                                      meta.rg_ord, meta.col_ord),
+                )
+                bitset = pcrypt.encrypt_module(
+                    meta.crypto_key, bitset,
+                    pcrypt.module_aad(crypto[1], pcrypt.M_BLOOM_BITSET,
+                                      meta.rg_ord, meta.col_ord),
+                )
+            meta.bloom_offset = len(out)
+            out += hdr
+            out += bitset
+            meta.bloom_len = len(out) - meta.bloom_offset
 
     footer = _file_metadata(table, row_groups, crypto=crypto)
     if encryption is None:
@@ -1081,6 +1130,9 @@ def _emit_column_meta_fields(cc: _W, meta: _Column, redact: bool = False) -> Non
             pes.i(2, enc)
             pes.i(3, cnt)
             cc.out += pes.stop()
+    if meta.bloom_offset is not None:
+        cc.i64(14, meta.bloom_offset)  # bloom_filter_offset
+        cc.i(15, meta.bloom_len)  # bloom_filter_length
     if (
         meta.rep_hist is not None
         or meta.def_hist is not None

@@ -1,0 +1,137 @@
+"""Split-block bloom filters in written parquet FILES: spec XXH64 hashing
+(public test vectors), multiply-shift block mapping, BloomFilterHeader +
+bitset serialization referenced from ColumnMetaData, and read-side probing —
+plain and encrypted (modules 8/9)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import parquet_write
+from rayenc.bloom import SpecBloom, build_spec_bloom, spec_value_hash
+from rayenc.codecs.xxh import xxh64, xxh64_bytes, xxh64_fixed
+from rayenc.parquet_crypto import FileDecryption, FileEncryption
+from rayenc.parquet_read_enc import (
+    EncryptedFile,
+    bloom_might_contain,
+    read_bloom_filter,
+    read_table_encrypted,
+)
+from rayenc.schema import shred
+from rayenc.selector import EncodeConfig
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_xxh64_published_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"Nobody inspects the spammish repetition") == 0xFBCEA83C8A378BF1
+
+
+def test_xxh64_batch_matches_scalar():
+    rng = np.random.default_rng(0)
+    strs = [
+        rng.integers(0, 256, int(L)).astype(np.uint8).tobytes()
+        for L in rng.integers(0, 100, 300)
+    ]
+    offs = np.zeros(len(strs) + 1, np.int64)
+    offs[1:] = np.cumsum([len(s) for s in strs])
+    data = np.frombuffer(b"".join(strs), np.uint8)
+    assert (xxh64_bytes(offs, data) == [xxh64(s) for s in strs]).all()
+    for dt in (np.int32, np.int64, np.float64):
+        v = rng.integers(-1000, 1000, 100).astype(dt)
+        assert (xxh64_fixed(v) == [xxh64(x.tobytes()) for x in v]).all()
+
+
+def test_spec_bloom_no_false_negatives():
+    col = shred("x", pa.array([f"doc{i}" for i in range(5000)]))[0]
+    f = build_spec_bloom(col)
+    for i in range(0, 5000, 97):
+        assert f.might_contain_hashes(spec_value_hash(f"doc{i}", "BINARY"))[0]
+    fp = sum(
+        bool(f.might_contain_hashes(spec_value_hash(f"no{i}", "BINARY"))[0])
+        for i in range(2000)
+    )
+    assert fp / 2000 < 0.05  # target fpp 1%
+
+
+def test_file_bloom_write_read_plain(tmp_path):
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "b.parquet")
+    cfg = EncodeConfig(bloom_columns={"l_orderkey", "l_returnflag"})
+    parquet_write.write_table(t, path, cfg, row_group_size=2000)
+    # file stays readable by an independent reader (fields are additive)
+    assert pq.read_table(path).cast(t.schema).equals(t)
+    f = EncryptedFile(path)
+    ords = {leaf.dotted: i for i, leaf in enumerate(f.leaves)}
+    filt = read_bloom_filter(f, 0, ords["l_orderkey"])
+    assert isinstance(filt, SpecBloom) and filt.num_blocks >= 1
+    assert read_bloom_filter(f, 0, ords["l_quantity"]) is None
+    ok = t.column("l_orderkey")
+    present, absent = int(pc.min(ok).as_py()), int(pc.max(ok).as_py()) + 10**9
+    assert any(bloom_might_contain(path, "l_orderkey", present))
+    assert not any(bloom_might_contain(path, "l_orderkey", absent))
+    assert all(bloom_might_contain(path, "l_returnflag", "A"))
+    assert not any(bloom_might_contain(path, "l_returnflag", "Z"))
+
+
+def test_file_bloom_encrypted(tmp_path):
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "b.parquet")
+    cfg = EncodeConfig(bloom_columns={"l_orderkey"})
+    fk = b"0123456789abcdef"
+    parquet_write.write_table(
+        t, path, cfg, row_group_size=2000,
+        encryption=FileEncryption(footer_key=fk),
+    )
+    dec = FileDecryption(footer_key=fk)
+    ok = t.column("l_orderkey")
+    present, absent = int(pc.min(ok).as_py()), int(pc.max(ok).as_py()) + 10**9
+    assert any(bloom_might_contain(path, "l_orderkey", present, dec))
+    assert not any(bloom_might_contain(path, "l_orderkey", absent, dec))
+
+
+def test_bloom_point_lookup_skips_row_groups(tmp_path):
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "b.parquet")
+    cfg = EncodeConfig(bloom_columns={"l_orderkey"})
+    parquet_write.write_table(t, path, cfg, row_group_size=1000)
+    key = int(pc.min(t.column("l_orderkey")).as_py())
+    verdicts = bloom_might_contain(path, "l_orderkey", key)
+    keep = [i for i, v in enumerate(verdicts) if v]
+    assert 0 < len(keep) < len(verdicts)  # some groups skipped
+    got = read_table_encrypted(path, row_groups=keep)
+    got = got.filter(pc.equal(got.column("l_orderkey"), key))
+    want = t.filter(pc.equal(t.column("l_orderkey"), key))
+    assert got.cast(want.schema).equals(want)
+
+
+def test_cli_inspection_commands(tmp_path, capsys):
+    from rayenc import cli
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "b.parquet")
+    cfg = EncodeConfig(bloom_columns={"l_orderkey"})
+    parquet_write.write_table(t, path, cfg, row_group_size=2000)
+
+    class A:
+        file = path
+        column = "l_orderkey"
+        key = None
+        test_value = "1"
+
+    cli.cmd_show_bloom(A())
+    out = capsys.readouterr().out
+    assert "BLOCK/XXHASH" in out and "maybe" in out
+    A.test_value = "999999999"
+    cli.cmd_show_bloom(A())
+    assert "NO" in capsys.readouterr().out
+    cli.cmd_show_column_index(A())
+    out = capsys.readouterr().out
+    assert "pages" in out and "min=" in out
+    cli.cmd_show_size_stats(A())
+    assert "def_hist" in capsys.readouterr().out
