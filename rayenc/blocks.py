@@ -567,6 +567,21 @@ def page_mask_for_predicate(entry: dict, predicate) -> list[bool] | None:
         lo, hi = p["min"], p["max"]
         keep = True
         for _, op, value in predicate:
+            if op == "in":
+                # keep the page when ANY member can fall inside its bounds
+                vals = [
+                    v.encode("utf-8").decode("latin-1") if isinstance(lo, str) and isinstance(v, str)
+                    else v
+                    for v in value
+                ]
+                cmp_ok = [
+                    v for v in vals
+                    if isinstance(v, str) == isinstance(lo, str)
+                ]
+                if cmp_ok and all(v < lo or v > hi for v in cmp_ok):
+                    keep = False
+                    break
+                continue
             if isinstance(lo, str):
                 if not isinstance(value, (str, bytes)):
                     continue

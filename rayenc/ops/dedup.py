@@ -91,59 +91,98 @@ def hash_id_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+# drop sets up to this many ids broadcast via ray.put (~tens of MB); larger
+# sets switch to a hash-partitioned anti-join so the driver never holds them
+DROP_BROADCAST_MAX = 2_000_000
+
+
+def remove_ids(
+    ds,
+    drop_ds,
+    id_col: str = "doc_id",
+    max_broadcast: int = DROP_BROADCAST_MAX,
+    join_partitions: int | None = None,
+):
+    """Remove every row of ``ds`` whose ``id_col`` appears in ``drop_ds``
+    (a single-column Dataset of ids).
+
+    Two regimes: a small drop set (the common <=10%-duplication case) pulls
+    to the driver once and broadcasts via ``ray.put`` into a vectorized
+    ``is_in`` anti-filter — no corpus shuffle. Above ``max_broadcast`` ids
+    (crawl-scale 50%+ duplication would put billions of ids on the driver)
+    it switches to a hash-partitioned LEFT ANTI join: the corpus shuffles
+    once by id hash, the driver holds nothing."""
+    import ray
+
+    drop_ds = drop_ds.materialize()
+    n_drop = drop_ds.count()
+    if n_drop == 0:
+        return ds
+    if n_drop <= max_broadcast:
+        parts = [ray.get(r) for r in drop_ds.to_arrow_refs()]
+        drop = pc.unique(
+            pa.concat_tables([p for p in parts if p.num_rows])
+            .column(id_col)
+            .combine_chunks()
+        )
+        drop_ref = ray.put(drop)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
+            return batch.filter(mask)
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    log.info(
+        "drop set has %d ids > max_broadcast=%d: using partitioned anti-join",
+        n_drop, max_broadcast,
+    )
+    nparts = join_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    return ds.join(drop_ds, "left_anti", nparts, on=(id_col,))
+
+
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast: int = DROP_BROADCAST_MAX,
+):
     """Keep one row (min id) per distinct text.
 
     Scale shape: the shuffle moves only (hash, id) pairs, never the
-    documents. Per hash group the non-minimum ids form the drop set, which is
-    proportional to the number of *duplicate* documents (usually a small
-    fraction of the corpus); it broadcasts once via ``ray.put`` into a
-    vectorized anti-filter over the original dataset.
+    documents. Per hash group the non-minimum ids form the drop set
+    (proportional to the number of *duplicate* documents), applied through
+    ``remove_ids`` — broadcast for the common small case, partitioned
+    anti-join above ``max_broadcast``.
 
     ``id_col`` is assumed to be a key (unique per row, the input_hint
     contract). Rows duplicated WITH the same id are additionally collapsed
     batch-locally, so whole-batch re-ingestions dedupe too; identical
     (id, text) rows split across different blocks are out of scope for an
     id-addressed drop set."""
-    import ray
 
     def losers(group: pa.Table) -> pa.Table:
         ids = group.column(id_col)
         keep = pc.not_equal(ids, pc.min(ids))
         return group.filter(keep).select([id_col])
 
-    drop_parts = [
-        ray.get(r)
-        for r in hash_id_pairs(ds, text_col, id_col)
+    drop_ds = (
+        hash_id_pairs(ds, text_col, id_col)
         .groupby("__h")
         .map_groups(losers, batch_format="pyarrow")
-        .to_arrow_refs()
-    ]
-    nonempty = [p for p in drop_parts if p.num_rows]
-    if nonempty:
-        drop_arr = pa.concat_tables(nonempty).column(id_col).combine_chunks()
-    else:
-        drop_arr = None
-    drop_ref = ray.put(drop_arr)
+    )
+    out = remove_ids(ds, drop_ds, id_col, max_broadcast=max_broadcast)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        out = batch
-        if d is not None:
-            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
-            out = batch.filter(mask)
-        # collapse same-id duplicates within the batch (re-ingested rows)
-        ids = out.column(id_col)
-        if out.num_rows and pc.count_distinct(ids).as_py() < out.num_rows:
-            import numpy as np
-
+    def collapse_same_id(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if batch.num_rows and pc.count_distinct(ids).as_py() < batch.num_rows:
             _, first = np.unique(
                 ids.to_numpy(zero_copy_only=False), return_index=True
             )
-            out = out.take(pa.array(np.sort(first)))
-        return out
+            batch = batch.take(pa.array(np.sort(first)))
+        return batch
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return out.map_batches(collapse_same_id, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ MinHash + LSH
@@ -211,6 +250,16 @@ def minhash_signatures(
     return sig
 
 
+def _sig_matrix(col, num_hashes: int) -> np.ndarray:
+    """fixed-size-binary signature column -> (n, num_hashes) uint64 view."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    w = num_hashes * 8
+    buf = np.frombuffer(col.buffers()[1], np.uint8)
+    start = col.offset * w
+    return buf[start : start + len(col) * w].view(np.uint64).reshape(-1, num_hashes)
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -220,16 +269,38 @@ def minhash_lsh_pairs(
     k: int = 5,
     threshold: float = 0.5,
     max_bucket: int = 64,
+    join_partitions: int | None = None,
 ):
-    """Candidate near-duplicate pairs via banding; pairs verified by the
-    signature-estimated Jaccard inside the bucket group. Returns a Dataset of
-    (id_a, id_b, est_jaccard) with id_a < id_b."""
-    rows = num_hashes // bands
+    """Candidate near-duplicate pairs via banding. Returns a Dataset of
+    (id_a, id_b, est_jaccard) with id_a < id_b.
 
+    Two-phase candidate generation keeps the LSH shuffle small: signatures
+    are computed ONCE into a materialized (id, sig) dataset (~0.5% of the
+    corpus — the object store spills if needed); the band exchange ships
+    only (bucket, id) rows (16 bytes/band instead of the full signature
+    replicated per band, a 16-32x shuffle-volume cut at bands=16); distinct
+    candidate pairs then hash-join back to the signature dataset to compute
+    the signature-estimated Jaccard."""
+    import ray
+
+    rows = num_hashes // bands
     sig_width = num_hashes * 8
 
     def sigs(batch: pa.Table):
         sig = minhash_signatures(batch.column(text_col), num_hashes, k)
+        n = len(sig)
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(sig_width), n, [None, pa.py_buffer(np.ascontiguousarray(sig))]
+        )
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids, "sig": sig_arr})
+
+    sigs_ds = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+
+    def band_rows(batch: pa.Table):
+        sig = _sig_matrix(batch.column("sig"), num_hashes)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         # band bucket key = mix(band_index, hash of the band's signature rows)
@@ -241,71 +312,68 @@ def minhash_lsh_pairs(
                 for r in range(rows):
                     acc = _mix64(acc ^ chunk[:, r])
                 band_keys[:, bnd] = _mix64(acc + np.uint64(bnd))
-        # signatures ship as one fixed-size-binary array built straight off
-        # the (n, num_hashes) matrix buffer — no per-row python loop
-        sig_arr = pa.Array.from_buffers(
-            pa.binary(sig_width), n, [None, pa.py_buffer(np.ascontiguousarray(sig))]
-        )
-        rep = pa.array(np.repeat(np.arange(n), bands))
         return pa.table(
             {
                 "bucket": pa.array(band_keys.reshape(-1).astype(np.int64)),
                 id_col: pa.array(np.repeat(ids, bands)),
-                "sig": sig_arr.take(rep),
             }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        uniq, first_idx = np.unique(ids, return_index=True)
-        if len(uniq) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        if len(uniq) > max_bucket:
+        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": ids[:0], "id_b": ids[:0]})
+        if len(ids) > max_bucket:
             # a hot bucket (boilerplate text) is truncated like a salted hot
             # key — never silently: the dropped count is the recall debt
             log.warning(
                 "minhash LSH bucket truncated: %d docs > max_bucket=%d "
                 "(%d docs not compared in this bucket)",
-                len(uniq), max_bucket, len(uniq) - max_bucket,
+                len(ids), max_bucket, len(ids) - max_bucket,
             )
-        take = first_idx[np.argsort(uniq)][:max_bucket]
-        sig_col = group.column("sig")
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
-        sub = sig_col.take(pa.array(take))
-        buf = np.frombuffer(sub.buffers()[1], np.uint8)
-        start = sub.offset * sig_width
-        sigs_np = (
-            buf[start : start + len(sub) * sig_width]
-            .view(np.uint64)
-            .reshape(len(sub), num_hashes)
-        )
-        sel_ids = ids[take]
-        m = len(take)
-        ia, ib = np.triu_indices(m, 1)
-        eq = (sigs_np[ia] == sigs_np[ib]).mean(axis=1)
-        keep = eq >= threshold
-        return pa.table(
-            {
-                "id_a": pa.array(np.minimum(sel_ids[ia], sel_ids[ib])[keep]),
-                "id_b": pa.array(np.maximum(sel_ids[ia], sel_ids[ib])[keep]),
-                "est_jaccard": pa.array(eq[keep]),
-            }
-        )
+        sel = ids[:max_bucket]
+        ia, ib = np.triu_indices(len(sel), 1)
+        return pa.table({"id_a": sel[ia], "id_b": sel[ib]})
 
-    pairs = (
-        ds.map_batches(sigs, batch_format="pyarrow")
+    cand = (
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
+        # a pair can surface once per matching band: make candidates distinct
+        # BEFORE the joins so each pair fetches its signatures once
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
 
-    # pairs can appear once per matching band: final tiny dedup shuffle
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    nparts = join_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8))
     )
+    j = cand.join(
+        sigs_ds, "inner", nparts, on=("id_a",), right_on=(id_col,),
+        left_suffix="", right_suffix="_a",
+    )
+    j = j.join(
+        sigs_ds, "inner", nparts, on=("id_b",), right_on=(id_col,),
+        left_suffix="", right_suffix="_b",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"id_a": batch.column("id_a"), "id_b": batch.column("id_b"),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        names = batch.column_names
+        a_col = "sig_a" if "sig_a" in names else "sig"
+        b_col = "sig_b"
+        A = _sig_matrix(batch.column(a_col), num_hashes)
+        B = _sig_matrix(batch.column(b_col), num_hashes)
+        eq = (A == B).mean(axis=1)
+        keep = eq >= threshold
+        out = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column("est_jaccard", pa.array(eq[keep]))
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 def connected_component_edges(pairs, id_a: str = "id_a", id_b: str = "id_b",
@@ -379,29 +447,16 @@ def minhash_dedup(
     """Full near-duplicate removal: LSH candidate pairs -> distributed
     connected components (hash-to-min label propagation over the pair
     Dataset — no driver-side union-find or pair materialization) -> keep the
-    minimum id of each cluster, drop the rest. Only the final drop set (one
-    id per *removed* document) is pulled to the driver and broadcast via
-    ``ray.put`` into a vectorized filter — the documents themselves never
-    shuffle."""
-    import ray
-
+    minimum id of each cluster, drop the rest via ``remove_ids`` (broadcast
+    for the common small drop set, hash-partitioned anti-join above the
+    threshold — the driver never holds a crawl-scale drop set)."""
+    max_broadcast = lsh_kwargs.pop("max_broadcast", DROP_BROADCAST_MAX)
     pairs = minhash_lsh_pairs(ds, text_col, id_col, threshold=threshold, **lsh_kwargs)
     edges = connected_component_edges(pairs)
-    drop_parts = [
-        ray.get(r) for r in edges.select_columns(["v"]).to_arrow_refs()
-    ]
-    drop_parts = [p for p in drop_parts if p.num_rows]
-    if not drop_parts:
-        return ds
-    drop = pc.unique(pa.concat_tables(drop_parts).column("v").combine_chunks())
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    drop_ds = edges.select_columns(["v"]).map_batches(
+        lambda b: b.rename_columns([id_col]), batch_format="pyarrow"
+    )
+    return remove_ids(ds, drop_ds, id_col, max_broadcast=max_broadcast)
 
 
 # ------------------------------------------------------------------- SimHash

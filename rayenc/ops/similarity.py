@@ -41,6 +41,47 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _distributed_topk(
+    block_results, query_ids: np.ndarray, k: int, id_col: str,
+    min_score: float | None = None,
+) -> pa.Table:
+    """Reduce per-block candidate tables (qi, id, score) to the global
+    top-k per query with a ``groupby(qi).map_groups`` shuffle — only the
+    final nq*k rows ever reach the driver (the round-2 driver-side
+    per-query merge loop was O(blocks*nq*k) driver rows)."""
+    qids = np.asarray(query_ids, np.int64)
+
+    def reduce_q(group: pa.Table) -> pa.Table:
+        qi = group.column("qi")[0].as_py()
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sc = group.column("score").to_numpy(zero_copy_only=False)
+        if min_score is not None:
+            keep = sc > min_score
+            ids, sc = ids[keep], sc[keep]
+        order = np.lexsort((ids, -sc))[:k]  # score desc, id asc tiebreak
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.full(len(order), qids[qi], np.int64)
+                ),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "neighbor_id": pa.array(ids[order].astype(np.int64)),
+            }
+        )
+
+    res = block_results.groupby("qi").map_groups(reduce_q, batch_format="pyarrow")
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(parts).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+
+
 def brute_force_topk(
     ds,
     queries: np.ndarray,
@@ -69,25 +110,8 @@ def brute_force_topk(
             }
         )
 
-    parts = [ray.get(r) for r in ds.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()]
-    allp = pa.concat_tables([p for p in parts if p.num_rows])
-    qi = allp.column("qi").to_numpy(zero_copy_only=False)
-    ids = allp.column(id_col).to_numpy(zero_copy_only=False)
-    sc = allp.column("score").to_numpy(zero_copy_only=False)
-    out_q, out_id, out_s, out_rank = [], [], [], []
-    for i in range(len(qn)):
-        sel = qi == i
-        order = np.lexsort((ids[sel], -sc[sel]))[:k]  # score desc, id asc tiebreak
-        out_q += [int(query_ids[i])] * len(order)
-        out_id += ids[sel][order].tolist()
-        out_s += sc[sel][order].tolist()
-        out_rank += list(range(1, len(order) + 1))
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_rank, pa.int64()),
-            "neighbor_id": pa.array(out_id, pa.int64()),
-        }
+    return _distributed_topk(
+        ds.map_batches(block_topk, batch_format="pyarrow"), query_ids, k, id_col
     )
 
 
@@ -169,22 +193,10 @@ def ivf_topk(
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in filtered.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
-    ]
-    allp = pa.concat_tables([p for p in parts if p.num_rows])
-    qi = allp.column("qi").to_numpy(zero_copy_only=False)
-    ids = allp.column(id_col).to_numpy(zero_copy_only=False)
-    sc = allp.column("score").to_numpy(zero_copy_only=False)
-    out = {"query_id": [], "rank": [], "neighbor_id": []}
-    for i in range(len(qn)):
-        sel = (qi == i) & (sc > -1.5)
-        order = np.lexsort((ids[sel], -sc[sel]))[:k]
-        out["query_id"] += [int(query_ids[i])] * len(order)
-        out["neighbor_id"] += ids[sel][order].tolist()
-        out["rank"] += list(range(1, len(order) + 1))
-    return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
+    return _distributed_topk(
+        filtered.map_batches(block_topk, batch_format="pyarrow"),
+        query_ids, k, id_col, min_score=-1.5,
+    )
 
 
 def build_ivf_index(
@@ -209,7 +221,8 @@ def build_ivf_index(
     assigned = ivf_assign(ds, centroids, vec_col)
     # on a multi-node cluster pass a shared filesystem path here; the
     # default node-local tmp dir only works single-node
-    staging = staging_dir or tempfile.mkdtemp(prefix="ivf-staging-", dir="/tmp")
+    from rayenc.pipeline import default_staging_dir
+    staging = default_staging_dir(staging_dir, "ivf-staging-")
     assigned.write_parquet(staging)
     paths = [
         os.path.join(staging, f)
@@ -241,13 +254,13 @@ def ivf_index_topk(
     qn = _normalize(np.asarray(queries, np.float32))
     cent = _normalize(centroids)
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
-    wanted = np.unique(probes)
-    probed = None
-    for c in wanted.tolist():
-        part = pipeline.decode_dataset(
-            index_dir, predicate=[("centroid", "==", int(c))]
-        )
-        probed = part if probed is None else probed.union(part)
+    wanted = [int(c) for c in np.unique(probes)]
+    # ONE decode over the whole probe set: the `in` predicate skips
+    # non-probed partitions from manifest min/max alone (no per-centroid
+    # dataset chain)
+    probed = pipeline.decode_dataset(
+        index_dir, predicate=[("centroid", "in", wanted)]
+    )
     q_ref = ray.put((qn, probes))
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -272,22 +285,10 @@ def ivf_index_topk(
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in probed.map_batches(block_topk, batch_format="pyarrow").to_arrow_refs()
-    ]
-    allp = pa.concat_tables([p for p in parts if p.num_rows])
-    qi = allp.column("qi").to_numpy(zero_copy_only=False)
-    ids = allp.column(id_col).to_numpy(zero_copy_only=False)
-    sc = allp.column("score").to_numpy(zero_copy_only=False)
-    out = {"query_id": [], "rank": [], "neighbor_id": []}
-    for i in range(len(qn)):
-        sel = (qi == i) & (sc > -1.5)
-        order = np.lexsort((ids[sel], -sc[sel]))[:k]
-        out["query_id"] += [int(query_ids[i])] * len(order)
-        out["neighbor_id"] += ids[sel][order].tolist()
-        out["rank"] += list(range(1, len(order) + 1))
-    return pa.table({k2: pa.array(v, pa.int64()) for k2, v in out.items()})
+    return _distributed_topk(
+        probed.map_batches(block_topk, batch_format="pyarrow"),
+        query_ids, k, id_col, min_score=-1.5,
+    )
 
 
 def cosine_near_dup_pairs(

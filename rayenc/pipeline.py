@@ -45,6 +45,24 @@ DEFAULT_TARGET_BLOCK_BYTES = 64 << 20  # raw bytes per encode partition
 # ------------------------------------------------------------------ planning
 
 
+def default_staging_dir(staging_dir: str | None, prefix: str) -> str:
+    """Resolve a staging directory, refusing the node-local /tmp default on
+    a multi-node cluster — a path only one node can see would silently
+    stage a fraction of the data. Pass a shared-filesystem path instead."""
+    if staging_dir is not None:
+        return staging_dir
+    import tempfile
+
+    alive = [n for n in ray.nodes() if n.get("Alive", False)]
+    if len(alive) > 1:
+        raise ValueError(
+            f"{len(alive)} alive nodes but no staging_dir given: the "
+            "node-local /tmp default is not visible to other nodes — pass "
+            "a shared filesystem path"
+        )
+    return tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+
+
 def plan_partitions(
     paths: list[str] | str,
     target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
@@ -184,16 +202,35 @@ class DecodeWorker:
             entry = chunks.get(col)
             if entry is None:
                 continue
-            if op == "==" and entry.get("bloom"):
+            if op in ("==", "in") and entry.get("bloom"):
                 from . import bloom
 
                 filt = bloom.BloomFilter.deserialize(entry["bloom"])
-                if not bool(filt.might_contain_hashes(bloom.value_hash(value))[0]):
+                vals = value if op == "in" else [value]
+                if not any(
+                    bool(filt.might_contain_hashes(bloom.value_hash(v))[0])
+                    for v in vals
+                ):
                     return True
             st = stats.get(col)
             if not st or st["min"] is None:
                 continue
             lo, hi = st["min"], st["max"]
+            if op == "in":
+                # skip only when EVERY member is outside the chunk's bounds
+                cmp = [
+                    v.encode("utf-8").decode("latin-1")
+                    if isinstance(lo, str) and isinstance(v, str) else v
+                    for v in value
+                ]
+                cmp = [
+                    v for v in cmp
+                    if isinstance(v, str) == isinstance(lo, str)
+                    and (not isinstance(lo, str) or st.get("stats_v", 1) >= 2)
+                ]
+                if cmp and all(v < lo or v > hi for v in cmp):
+                    return True
+                continue
             cmp_value = value
             if isinstance(lo, str):
                 # binary min/max are stored latin-1 (bytewise order preserved,
@@ -242,14 +279,17 @@ class DecodeWorker:
                 mask = None
                 for col, op, value in self.predicate:
                     c = table.column(col)
-                    m = {
-                        "==": pc.equal,
-                        "<": pc.less,
-                        "<=": pc.less_equal,
-                        ">": pc.greater,
-                        ">=": pc.greater_equal,
-                        "!=": pc.not_equal,
-                    }[op](c, pa.scalar(value))
+                    if op == "in":
+                        m = pc.is_in(c, value_set=pa.array(list(value)))
+                    else:
+                        m = {
+                            "==": pc.equal,
+                            "<": pc.less,
+                            "<=": pc.less_equal,
+                            ">": pc.greater,
+                            ">=": pc.greater_equal,
+                            "!=": pc.not_equal,
+                        }[op](c, pa.scalar(value))
                     mask = m if mask is None else pc.and_(mask, m)
                 table = table.filter(mask)
             if table.num_rows:
@@ -388,7 +428,7 @@ def encode_dataset_job(
     ``encode_job`` directly."""
     import tempfile
 
-    staging = staging_dir or tempfile.mkdtemp(prefix="rayenc-stage-", dir="/tmp")
+    staging = default_staging_dir(staging_dir, "rayenc-stage-")
     ds.write_parquet(staging)
     paths = [
         os.path.join(staging, f)

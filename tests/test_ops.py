@@ -299,3 +299,27 @@ def test_exact_dedup_same_id_reingestion(ray_session):
                   "text": pa.array(["x", "x", "y"])})
     out = dedup.exact_dedup(ray.data.from_arrow(t)).to_pandas()
     assert sorted(out.doc_id) == [1, 2]
+
+
+def test_exact_dedup_anti_join_path(docs_with_dups):
+    # force the partitioned LEFT ANTI join regime with a tiny broadcast cap
+    out = dedup.exact_dedup(docs_with_dups, max_broadcast=1).to_pandas()
+    assert len(out) == 510
+    assert not set(range(10_000, 10_020)) & set(out.doc_id)
+
+
+def test_minhash_dedup_anti_join_path(docs_with_dups):
+    out = dedup.minhash_dedup(
+        docs_with_dups, threshold=0.5, max_broadcast=1
+    ).to_pandas()
+    # all 20 exact dups removed; near-dups mostly removed
+    assert not set(range(10_000, 10_020)) & set(out.doc_id)
+    assert len(out) <= 510
+
+
+def test_remove_ids_empty_drop_set(docs_with_dups):
+    import ray.data
+
+    drop = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    out = dedup.remove_ids(docs_with_dups, drop).to_pandas()
+    assert len(out) == 530

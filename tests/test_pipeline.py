@@ -287,3 +287,40 @@ def test_encode_dataset_job(ray_session, tmp_path):
     want = table.sort_by("o_orderkey")
     for c in want.column_names:
         assert got.column(c).combine_chunks().equals(want.column(c).combine_chunks()), c
+
+
+def test_default_staging_dir_multi_node_raises(monkeypatch):
+    from rayenc import pipeline
+
+    monkeypatch.setattr(
+        pipeline.ray, "nodes",
+        lambda: [{"Alive": True}, {"Alive": True}, {"Alive": False}],
+    )
+    with pytest.raises(ValueError, match="staging_dir"):
+        pipeline.default_staging_dir(None, "x-")
+    # explicit path always accepted
+    assert pipeline.default_staging_dir("/shared/x", "x-") == "/shared/x"
+
+
+def test_decode_dataset_in_predicate(tmp_path):
+    from rayenc import pipeline
+
+    src = str(tmp_path / "src.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "s": pa.array([f"v{i:03d}" for i in range(100)]),
+        }
+    )
+    pq.write_table(t, src, row_group_size=10)
+    out = str(tmp_path / "enc")
+    pipeline.encode_job([src], out, target_block_bytes=1 << 12).materialize()
+    got = pipeline.decode_dataset(out, predicate=[("k", "in", [3, 55, 999])]).to_pandas()
+    assert sorted(got["k"].tolist()) == [3, 55]
+    got2 = pipeline.decode_dataset(
+        out, predicate=[("s", "in", ["v007", "v099", "nope"])]
+    ).to_pandas()
+    assert sorted(got2["s"].tolist()) == ["v007", "v099"]
+    # empty member set inside bounds of nothing -> no rows
+    got3 = pipeline.decode_dataset(out, predicate=[("k", "in", [1000, 2000])]).to_pandas()
+    assert len(got3) == 0
