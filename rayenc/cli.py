@@ -257,6 +257,19 @@ def cmd_show_size_stats(args):
             )
 
 
+def cmd_reencrypt(args):
+    """Rotate or strip parquet modular encryption (ParquetRewriter
+    re-encryption analog): --in-key decrypts, --out-key re-encrypts (omit
+    to write plaintext). Keys are hex."""
+    from .parquet_crypto import FileDecryption, FileEncryption
+    from .rewrite import reencrypt_parquet
+
+    dec = FileDecryption(footer_key=bytes.fromhex(args.in_key)) if args.in_key else None
+    enc = FileEncryption(footer_key=bytes.fromhex(args.out_key)) if args.out_key else None
+    reencrypt_parquet(args.file, args.out, dec, enc)
+    print(f"wrote {args.out} ({'encrypted' if enc else 'plaintext'})")
+
+
 def cmd_rewrite(args):
     ray = _ray()
     from rayenc import rewrite
@@ -400,6 +413,13 @@ def main(argv=None):
         if name == "show-bloom-filter":
             sp.add_argument("--test-value", default=None)
         sp.set_defaults(fn=fn)
+
+    re_ = sub.add_parser("reencrypt")
+    re_.add_argument("file")
+    re_.add_argument("-o", "--out", required=True)
+    re_.add_argument("--in-key", default=None, help="current footer key (hex)")
+    re_.add_argument("--out-key", default=None, help="new footer key (hex); omit for plaintext")
+    re_.set_defaults(fn=cmd_reencrypt)
 
     v = sub.add_parser("verify")
     v.add_argument("inputs", nargs="+")

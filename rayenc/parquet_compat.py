@@ -473,6 +473,9 @@ def assemble_flat(r, t):
     if isinstance(r, tuple) and len(r) == 2 and r[1].dtype == bool:
         r, valid = r
         mask = ~valid
+    if pa.types.is_decimal(t):
+        arr = _decimal_dense(np.asarray(r), t)
+        return _restore_nulls(arr, mask, t)
     if isinstance(r, tuple):  # BYTE_ARRAY
         from .codecs.dictionary import binary_array
 

@@ -495,6 +495,31 @@ def read_table_encrypted(
         for field in schema:
             t = field.type
             col_ord = leaf_by_root[field.name]
+            if pa.types.is_map(t) or (
+                (pa.types.is_list(t) or pa.types.is_large_list(t))
+                and (
+                    pa.types.is_struct(t.value_type)
+                    or pa.types.is_decimal(t.value_type)
+                )
+            ):
+                # maps / list<struct> via the shared one-repeated-level
+                # assembler, fed by our decrypting leaf decoder
+                from .parquet_compat import _read_repeated_column
+
+                under = [
+                    (i, leaf)
+                    for i, leaf in enumerate(f.leaves)
+                    if leaf.path[0] == field.name
+                ]
+                by_dotted = {leaf.dotted: i for i, leaf in under}
+
+                def decoder(leaf_path, _rg=rg_ord, _under=under, _by=by_dotted):
+                    if leaf_path == "__paths__":
+                        return [leaf.dotted for _, leaf in _under]
+                    return f.decode_leaf(_rg, _by[leaf_path], raw_levels=True)
+
+                cols.append(_read_repeated_column(None, field, rg_ord, decoder))
+                continue
             if pa.types.is_list(t) or pa.types.is_large_list(t):
                 vals, rep, deflev = f.decode_leaf(rg_ord, col_ord)
                 cols.append(
@@ -503,7 +528,7 @@ def read_table_encrypted(
                     )
                 )
                 continue
-            if pa.types.is_struct(t) or pa.types.is_map(t):
+            if pa.types.is_struct(t):
                 raise NotImplementedError(f"encrypted read of {t}")
             r = f.decode_leaf(rg_ord, col_ord)
             cols.append(assemble_flat(r, t))

@@ -446,13 +446,16 @@ def transcode_parquet_job(
     resume: bool = True,
     concurrency=None,
     target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+    encryption=None,
 ) -> "ray.data.Dataset":
     """Distributed parquet -> parquet re-encode using rayenc encoders: each
     partition becomes one parquet file written by rayenc.parquet_write (the
     reference's whole job — ParquetWriter at cluster scale). Output files are
     readable by any parquet reader; completed partitions are skipped on
     re-submit (presence of the final file marks completion — writes are
-    atomic via rename)."""
+    atomic via rename). ``encryption`` (a parquet_crypto.FileEncryption)
+    writes every output file modular-encrypted — the cluster-scale analog of
+    ParquetRewriter re-encryption."""
     descs = plan_partitions(paths, target_block_bytes)
     os.makedirs(out_dir, exist_ok=True)
     if resume:
@@ -481,7 +484,7 @@ def transcode_parquet_job(
             table = _read_fragment(desc)
             final = os.path.join(out_dir, f"part-{pid:06d}.parquet")
             tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-            parquet_write.write_table(table, tmp, config)
+            parquet_write.write_table(table, tmp, config, encryption=encryption)
             os.replace(tmp, final)
             rows.append(
                 {
@@ -653,6 +656,7 @@ def export_parquet_job(
     *,
     resume: bool = True,
     concurrency=None,
+    encryption=None,
 ) -> "ray.data.Dataset":
     """Distributed container -> parquet export: each renc partition decodes
     and re-writes as one standard parquet file through rayenc.parquet_write
@@ -690,7 +694,7 @@ def export_parquet_job(
             table = blocks_mod.decode_block(blob, manifest)
             final = os.path.join(out_dir, name.replace(".manifest.json", ".parquet"))
             tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-            parquet_write.write_table(table, tmp, config)
+            parquet_write.write_table(table, tmp, config, encryption=encryption)
             os.replace(tmp, final)
             rows.append({"manifest": name, "rows": table.num_rows,
                          "out_bytes": os.path.getsize(final)})

@@ -204,3 +204,24 @@ def rewrite_job(
     if concurrency is None:
         concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
     return ds.map_batches(do, batch_size=1, concurrency=min(concurrency, len(manifests)), num_cpus=1)
+
+
+def reencrypt_parquet(
+    path_in: str,
+    path_out: str,
+    decryption=None,
+    encryption=None,
+    config=None,
+):
+    """Single-file (re-)encryption rewrite: decode ``path_in`` (plaintext or
+    modular-encrypted, with ``decryption`` keys) through our readers and
+    re-write with ``encryption`` (None -> decrypt to plaintext) — the
+    ParquetRewriter re-encryption path
+    (`rewrite/ParquetRewriter.java:127` masks/keys swap). Row-group count
+    collapses to one (values are re-encoded, not page-copied)."""
+    from . import parquet_write
+    from .parquet_read_enc import read_table_encrypted
+
+    table = read_table_encrypted(path_in, decryption)
+    parquet_write.write_table(table, path_out, config, encryption=encryption)
+    return path_out

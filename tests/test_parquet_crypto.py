@@ -199,3 +199,91 @@ def test_pyarrow_decodes_our_encrypted(tmp_path):
     dprops = factory.file_decryption_properties(kms_cfg, pe.DecryptionConfiguration())
     got = pq.ParquetFile(path, decryption_properties=dprops).read()
     assert got.cast(t.schema).equals(t)
+
+
+def test_transcode_job_encrypted_output(tmp_path):
+    import ray
+
+    from rayenc import pipeline
+
+    out = str(tmp_path / "enc_out")
+    res = pipeline.transcode_parquet_job(
+        f"{SF}/nation.parquet", out,
+        encryption=FileEncryption(footer_key=FK),
+    ).to_pandas()
+    assert len(res) >= 1
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    t = pq.read_table(f"{SF}/nation.parquet")
+    got = pa.concat_tables(
+        [
+            read_table_encrypted(os.path.join(out, f), FileDecryption(footer_key=FK))
+            for f in sorted(files)
+        ]
+    )
+    assert got.cast(t.schema).sort_by("n_nationkey").equals(t.sort_by("n_nationkey"))
+    with pytest.raises(Exception):
+        pq.read_table(os.path.join(out, files[0]))
+
+
+def test_reencrypt_rotation_and_strip(tmp_path):
+    from rayenc.rewrite import reencrypt_parquet
+
+    t = pq.read_table(f"{SF}/region.parquet")
+    p1, p2, p3 = (str(tmp_path / f"r{i}.parquet") for i in (1, 2, 3))
+    parquet_write.write_table(t, p1, encryption=FileEncryption(footer_key=FK))
+    reencrypt_parquet(
+        p1, p2, FileDecryption(footer_key=FK), FileEncryption(footer_key=CK)
+    )
+    got = read_table_encrypted(p2, FileDecryption(footer_key=CK))
+    assert got.cast(t.schema).equals(t)
+    from cryptography.exceptions import InvalidTag
+
+    with pytest.raises((InvalidTag, ValueError)):
+        read_table_encrypted(p2, FileDecryption(footer_key=FK))
+    reencrypt_parquet(p2, p3, FileDecryption(footer_key=CK), None)
+    assert pq.read_table(p3).cast(t.schema).equals(t)
+
+
+def test_encrypted_nested_map_decimal_list_struct(tmp_path):
+    import decimal
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = pa.table(
+        {
+            "m": pa.array(
+                [
+                    None if i % 7 == 0 else
+                    [(f"k{j}", int(rng.integers(0, 50)))
+                     for j in range(int(rng.integers(0, 3)))]
+                    for i in range(n)
+                ],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "d": pa.array(
+                [
+                    None if i % 5 == 0 else
+                    decimal.Decimal(int(rng.integers(-(10**10), 10**10))) / 100
+                    for i in range(n)
+                ],
+                pa.decimal128(12, 2),
+            ),
+            "ls": pa.array(
+                [
+                    None if i % 9 == 0 else
+                    [{"x": None if j % 2 else j, "y": f"s{j}"}
+                     for j in range(int(rng.integers(0, 3)))]
+                    for i in range(n)
+                ],
+                pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            ),
+        }
+    )
+    path = str(tmp_path / "n.parquet")
+    parquet_write.write_table(
+        t, path, row_group_size=700, encryption=FileEncryption(footer_key=FK)
+    )
+    got = read_table_encrypted(path, FileDecryption(footer_key=FK))
+    assert got.cast(t.schema).equals(t)
