@@ -900,6 +900,43 @@ def _bloom_point_lookup(sf_dir: str):
     return got.filter(pc.equal(got.column("l_orderkey"), key)).cast(table.schema)
 
 
+def _variant_shred_events(sf_dir: str):
+    """Variant shredding (parquet-variant analog): pull the typed path $.k
+    out of the events.props JSON column into an int64 column across the
+    Dataset; DuckDB's json_extract oracles the typed values."""
+    import ray
+
+    from rayenc import variant as V
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    out = V.shred_variant_dataset(ds, "props", {"k": "int64"})
+    return out.map_batches(
+        lambda b: b.select(["event_id", "props$k"]), batch_format="pyarrow"
+    )
+
+
+def _variant_roundtrip_events(sf_dir: str):
+    """JSON -> variant binary (metadata dictionary + value encoding per the
+    public VariantEncoding.md spec) -> canonical JSON; DuckDB's json()
+    canonicalizer oracles the round trip."""
+    import ray
+
+    from rayenc import variant as V
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+
+    def rt(batch: pa.Table) -> pa.Table:
+        var = V.json_to_variant(batch.column("props"))
+        back = V.variant_to_json(var)
+        return pa.table({"event_id": batch.column("event_id"), "props": back})
+
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -932,6 +969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_encrypted_roundtrip"] = _parquet_encrypted_roundtrip
     q["conformance_read_nested"] = _conformance_read_nested
     q["bloom_point_lookup"] = _bloom_point_lookup
+    q["variant_shred_events"] = _variant_shred_events
+    q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
     q["transcode_parquet_v2"] = _transcode_v2
@@ -1016,6 +1055,13 @@ def oracle_sql() -> dict[str, str]:
     o["conformance_read_embeddings"] = "SELECT * FROM embeddings"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
+    o["variant_shred_events"] = (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT)"
+        " AS \"props$k\" FROM events"
+    )
+    o["variant_roundtrip_events"] = (
+        "SELECT event_id, json(props)::VARCHAR AS props FROM events"
+    )
     o["bloom_point_lookup"] = (
         "SELECT * FROM lineitem WHERE l_orderkey ="
         " (SELECT MIN(l_orderkey) FROM lineitem)"

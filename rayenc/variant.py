@@ -1,0 +1,365 @@
+"""Variant binary encoding + shredding (the parquet-variant module).
+
+Implements the public parquet Variant spec (parquet-format
+VariantEncoding.md / VariantShredding.md; reference implementation
+`parquet-variant/src/main/java/org/apache/parquet/variant/VariantUtil.java`,
+`VariantBuilder.java`, `VariantJsonParser.java`):
+
+- **metadata**: header byte (version=1 in low 4 bits, sorted-strings bit,
+  offset-size code), dictionary of distinct object keys (count, offsets,
+  utf-8 bytes).
+- **value**: header byte = basic_type (2 low bits: 0 primitive /
+  1 short-string / 2 object / 3 array) + type_info (6 high bits).
+  Primitives carry little-endian payloads; objects store field-id and
+  field-offset arrays into a concatenated child-value region.
+
+Shredding follows the VariantShredding.md model scoped to Arrow: a typed
+path is pulled out into its own column (``typed_value`` analog) and the
+residual object — minus the shredded keys — stays as a variant column, so
+``unshred`` reassembles the original value exactly. The Ray surface is
+``shred_variant_dataset`` / ``unshred`` ``map_batches`` stages over a JSON
+string column (the events.props shape).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+VERSION = 1
+
+# basic types (low 2 bits of the value header)
+B_PRIMITIVE = 0
+B_SHORT_STR = 1
+B_OBJECT = 2
+B_ARRAY = 3
+
+# primitive type_info values (VariantUtil.java constants; public spec)
+P_NULL = 0
+P_TRUE = 1
+P_FALSE = 2
+P_INT8 = 3
+P_INT16 = 4
+P_INT32 = 5
+P_INT64 = 6
+P_DOUBLE = 7
+P_STRING = 16
+
+
+def _offset_size(max_value: int) -> int:
+    for size in (1, 2, 3):
+        if max_value < (1 << (8 * size)):
+            return size
+    return 4
+
+
+def _pack_uint(v: int, size: int) -> bytes:
+    return int(v).to_bytes(size, "little")
+
+
+class Metadata:
+    """The key dictionary shared by every value of one variant column."""
+
+    def __init__(self, keys=()):
+        self.keys: list[str] = []
+        self.index: dict[str, int] = {}
+        for k in keys:
+            self.add(k)
+
+    def add(self, key: str) -> int:
+        i = self.index.get(key)
+        if i is None:
+            i = len(self.keys)
+            self.keys.append(key)
+            self.index[key] = i
+        return i
+
+    def to_bytes(self) -> bytes:
+        data = b"".join(k.encode() for k in self.keys)
+        offs = [0]
+        for k in self.keys:
+            offs.append(offs[-1] + len(k.encode()))
+        osz = _offset_size(max(offs[-1], len(self.keys)))
+        hdr = VERSION | ((osz - 1) << 6)  # version low nibble, offset size code
+        out = bytearray([hdr])
+        out += _pack_uint(len(self.keys), osz)
+        for o in offs:
+            out += _pack_uint(o, osz)
+        out += data
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "Metadata":
+        hdr = buf[0]
+        if hdr & 0x0F != VERSION:
+            raise ValueError(f"unsupported variant metadata version {hdr & 0x0F}")
+        osz = ((hdr >> 6) & 0x03) + 1
+        pos = 1
+        n = int.from_bytes(buf[pos : pos + osz], "little")
+        pos += osz
+        offs = [
+            int.from_bytes(buf[pos + i * osz : pos + (i + 1) * osz], "little")
+            for i in range(n + 1)
+        ]
+        pos += (n + 1) * osz
+        m = cls()
+        for i in range(n):
+            m.add(buf[pos + offs[i] : pos + offs[i + 1]].decode())
+        return m
+
+
+def encode_value(obj, meta: Metadata) -> bytes:
+    """Python JSON value -> variant value bytes (keys added to ``meta``)."""
+    if obj is None:
+        return bytes([(P_NULL << 2) | B_PRIMITIVE])
+    if obj is True:
+        return bytes([(P_TRUE << 2) | B_PRIMITIVE])
+    if obj is False:
+        return bytes([(P_FALSE << 2) | B_PRIMITIVE])
+    if isinstance(obj, int):
+        for p, fmt, lim in (
+            (P_INT8, "<b", 1 << 7), (P_INT16, "<h", 1 << 15), (P_INT32, "<i", 1 << 31)
+        ):
+            if -lim <= obj < lim:
+                return bytes([(p << 2) | B_PRIMITIVE]) + struct.pack(fmt, obj)
+        return bytes([(P_INT64 << 2) | B_PRIMITIVE]) + struct.pack("<q", obj)
+    if isinstance(obj, float):
+        return bytes([(P_DOUBLE << 2) | B_PRIMITIVE]) + struct.pack("<d", obj)
+    if isinstance(obj, str):
+        b = obj.encode()
+        if len(b) < 64:
+            return bytes([(len(b) << 2) | B_SHORT_STR]) + b
+        return (
+            bytes([(P_STRING << 2) | B_PRIMITIVE])
+            + struct.pack("<i", len(b))
+            + b
+        )
+    if isinstance(obj, dict):
+        items = [(meta.add(k), encode_value(v, meta)) for k, v in obj.items()]
+        items.sort(key=lambda kv: meta.keys[kv[0]])  # spec: fields key-sorted
+        n = len(items)
+        vals = b"".join(v for _, v in items)
+        fid_sz = _offset_size(max((i for i, _ in items), default=0))
+        offs = [0]
+        for _, v in items:
+            offs.append(offs[-1] + len(v))
+        off_sz = _offset_size(offs[-1])
+        is_large = 1 if n > 255 else 0
+        type_info = (is_large << 4) | ((fid_sz - 1) << 2) | (off_sz - 1)
+        out = bytearray([(type_info << 2) | B_OBJECT])
+        out += _pack_uint(n, 4 if is_large else 1)
+        for i, _ in items:
+            out += _pack_uint(i, fid_sz)
+        for o in offs:
+            out += _pack_uint(o, off_sz)
+        out += vals
+        return bytes(out)
+    if isinstance(obj, (list, tuple)):
+        vals = [encode_value(v, meta) for v in obj]
+        n = len(vals)
+        offs = [0]
+        for v in vals:
+            offs.append(offs[-1] + len(v))
+        off_sz = _offset_size(offs[-1])
+        is_large = 1 if n > 255 else 0
+        type_info = (is_large << 2) | (off_sz - 1)
+        out = bytearray([(type_info << 2) | B_ARRAY])
+        out += _pack_uint(n, 4 if is_large else 1)
+        for o in offs:
+            out += _pack_uint(o, off_sz)
+        out += b"".join(vals)
+        return bytes(out)
+    raise TypeError(f"cannot encode {type(obj)} as variant")
+
+
+def decode_value(buf: bytes, meta: Metadata, pos: int = 0):
+    """Variant value bytes -> python value (inverse of encode_value)."""
+    hdr = buf[pos]
+    basic = hdr & 0x03
+    info = hdr >> 2
+    pos += 1
+    if basic == B_PRIMITIVE:
+        if info == P_NULL:
+            return None
+        if info == P_TRUE:
+            return True
+        if info == P_FALSE:
+            return False
+        if info in (P_INT8, P_INT16, P_INT32, P_INT64):
+            size = {P_INT8: 1, P_INT16: 2, P_INT32: 4, P_INT64: 8}[info]
+            return int.from_bytes(buf[pos : pos + size], "little", signed=True)
+        if info == P_DOUBLE:
+            return struct.unpack_from("<d", buf, pos)[0]
+        if info == P_STRING:
+            (n,) = struct.unpack_from("<i", buf, pos)
+            return buf[pos + 4 : pos + 4 + n].decode()
+        raise NotImplementedError(f"variant primitive {info}")
+    if basic == B_SHORT_STR:
+        return buf[pos : pos + info].decode()
+    if basic == B_OBJECT:
+        is_large = (info >> 4) & 1
+        fid_sz = ((info >> 2) & 0x03) + 1
+        off_sz = (info & 0x03) + 1
+        n = int.from_bytes(buf[pos : pos + (4 if is_large else 1)], "little")
+        pos += 4 if is_large else 1
+        fids = [
+            int.from_bytes(buf[pos + i * fid_sz : pos + (i + 1) * fid_sz], "little")
+            for i in range(n)
+        ]
+        pos += n * fid_sz
+        offs = [
+            int.from_bytes(buf[pos + i * off_sz : pos + (i + 1) * off_sz], "little")
+            for i in range(n + 1)
+        ]
+        pos += (n + 1) * off_sz
+        return {
+            meta.keys[fids[i]]: decode_value(buf, meta, pos + offs[i])
+            for i in range(n)
+        }
+    # array
+    is_large = (info >> 2) & 1
+    off_sz = (info & 0x03) + 1
+    n = int.from_bytes(buf[pos : pos + (4 if is_large else 1)], "little")
+    pos += 4 if is_large else 1
+    offs = [
+        int.from_bytes(buf[pos + i * off_sz : pos + (i + 1) * off_sz], "little")
+        for i in range(n + 1)
+    ]
+    pos += (n + 1) * off_sz
+    return [decode_value(buf, meta, pos + offs[i]) for i in range(n)]
+
+
+# ------------------------------------------------------------ column surface
+
+
+def json_to_variant(col: pa.Array | pa.ChunkedArray) -> pa.StructArray:
+    """JSON string column -> struct<metadata: binary, value: binary> (the
+    parquet variant group layout). One shared metadata dictionary per batch
+    (VariantBuilder reuse semantics)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    meta = Metadata()
+    values = []
+    mask = []
+    for s in col.to_pylist():
+        if s is None:
+            values.append(None)
+            mask.append(True)
+            continue
+        values.append(encode_value(json.loads(s), meta))
+        mask.append(False)
+    mbytes = meta.to_bytes()
+    n = len(values)
+    return pa.StructArray.from_arrays(
+        [
+            pa.array([mbytes] * n, pa.binary()),
+            pa.array(values, pa.binary()),
+        ],
+        ["metadata", "value"],
+        mask=pa.array(mask) if any(mask) else None,
+    )
+
+
+def variant_to_json(col) -> pa.Array:
+    """struct<metadata, value> -> canonical JSON strings (sorted keys)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    meta_cache: dict[bytes, Metadata] = {}
+    mcol = col.field("metadata").to_pylist()
+    vcol = col.field("value").to_pylist()
+    for i in range(len(col)):
+        if not col.is_valid()[i].as_py():
+            out.append(None)
+            continue
+        mb = mcol[i]
+        meta = meta_cache.get(mb)
+        if meta is None:
+            meta = Metadata.from_bytes(mb)
+            meta_cache[mb] = meta
+        out.append(
+            json.dumps(decode_value(vcol[i], meta), sort_keys=True,
+                       separators=(",", ":"))
+        )
+    return pa.array(out, pa.string())
+
+
+_ARROW_OF = {"int64": pa.int64(), "double": pa.float64(), "string": pa.string(),
+             "bool": pa.bool_()}
+
+
+def shred_batch(
+    batch: pa.Table, col: str, paths: dict[str, str], keep_residual: bool = True
+) -> pa.Table:
+    """Shred JSON column ``col``: each ``paths`` entry ``{key: type}`` pulls
+    top-level key ``key`` into typed column ``{col}${key}`` (``typed_value``
+    of VariantShredding.md); the residual object (minus shredded keys) stays
+    as a variant struct column ``{col}$residual``."""
+    src = batch.column(col)
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    parsed = [None if s is None else json.loads(s) for s in src.to_pylist()]
+    out = batch.drop_columns([col])
+    for key, typ in paths.items():
+        vals = [
+            None if (d is None or not isinstance(d, dict)) else d.get(key)
+            for d in parsed
+        ]
+        if typ == "double":
+            vals = [None if v is None else float(v) for v in vals]
+        out = out.append_column(f"{col}${key}", pa.array(vals, _ARROW_OF[typ]))
+    if keep_residual:
+        meta = Metadata()
+        res = []
+        mask = []
+        for d in parsed:
+            if d is None:
+                res.append(None)
+                mask.append(True)
+                continue
+            rest = {k: v for k, v in d.items() if k not in paths} if isinstance(d, dict) else d
+            res.append(encode_value(rest, meta))
+            mask.append(False)
+        mbytes = meta.to_bytes()
+        resid = pa.StructArray.from_arrays(
+            [pa.array([mbytes] * len(res), pa.binary()), pa.array(res, pa.binary())],
+            ["metadata", "value"],
+            mask=pa.array(mask) if any(mask) else None,
+        )
+        out = out.append_column(f"{col}$residual", resid)
+    return out
+
+
+def unshred_batch(batch: pa.Table, col: str, paths: dict[str, str]) -> pa.Table:
+    """Inverse of shred_batch: rebuild the JSON column (canonical form —
+    sorted keys, no spaces) from typed columns + residual."""
+    resid = batch.column(f"{col}$residual")
+    if isinstance(resid, pa.ChunkedArray):
+        resid = resid.combine_chunks()
+    rest_json = variant_to_json(resid).to_pylist()
+    typed = {
+        key: batch.column(f"{col}${key}").to_pylist() for key in paths
+    }
+    out_vals = []
+    for i, rj in enumerate(rest_json):
+        if rj is None:
+            out_vals.append(None)
+            continue
+        d = json.loads(rj)
+        for key in paths:
+            v = typed[key][i]
+            if v is not None:
+                d[key] = v
+        out_vals.append(json.dumps(d, sort_keys=True, separators=(",", ":")))
+    drop = [f"{col}${k}" for k in paths] + [f"{col}$residual"]
+    return batch.drop_columns(drop).append_column(col, pa.array(out_vals, pa.string()))
+
+
+def shred_variant_dataset(ds, col: str, paths: dict[str, str]):
+    """Ray surface: shred a JSON string column across the Dataset."""
+    return ds.map_batches(
+        lambda b: shred_batch(b, col, paths), batch_format="pyarrow"
+    )
