@@ -937,6 +937,29 @@ def _variant_roundtrip_events(sf_dir: str):
     return ds.map_batches(rt, batch_format="pyarrow")
 
 
+def _merge_parquet_files(sf_dir: str):
+    """Split orders into three files, stitch them back into ONE parquet file
+    (one row group per input — ParquetRewriter merge shape) with our writer,
+    and read the result with pyarrow."""
+    import pyarrow.parquet as pq
+
+    from rayenc.rewrite import merge_parquet
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    third = max(1, t.num_rows // 3)
+    parts = [t.slice(0, third), t.slice(third, third), t.slice(2 * third)]
+    ins = []
+    for i, p in enumerate(parts):
+        path = tempfile.mktemp(suffix=f"-{i}.parquet", dir="/tmp")
+        pq.write_table(p, path)
+        ins.append(path)
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    merge_parquet(ins, out)
+    got = pq.read_table(out)
+    assert pq.ParquetFile(out).metadata.num_row_groups == 3
+    return got.cast(t.schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -969,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_encrypted_roundtrip"] = _parquet_encrypted_roundtrip
     q["conformance_read_nested"] = _conformance_read_nested
     q["bloom_point_lookup"] = _bloom_point_lookup
+    q["merge_parquet_files"] = _merge_parquet_files
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -1055,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
     o["conformance_read_embeddings"] = "SELECT * FROM embeddings"
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
+    o["merge_parquet_files"] = "SELECT * FROM orders"
     o["variant_shred_events"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT)"
         " AS \"props$k\" FROM events"

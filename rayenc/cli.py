@@ -257,6 +257,15 @@ def cmd_show_size_stats(args):
             )
 
 
+def cmd_merge(args):
+    """Merge parquet files into one (one row group per input) — the
+    ParquetRewriter multi-input stitch."""
+    from .rewrite import merge_parquet
+
+    merge_parquet(args.inputs, args.out)
+    print(f"merged {len(args.inputs)} files -> {args.out}")
+
+
 def cmd_reencrypt(args):
     """Rotate or strip parquet modular encryption (ParquetRewriter
     re-encryption analog): --in-key decrypts, --out-key re-encrypts (omit
@@ -413,6 +422,11 @@ def main(argv=None):
         if name == "show-bloom-filter":
             sp.add_argument("--test-value", default=None)
         sp.set_defaults(fn=fn)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("inputs", nargs="+")
+    mg.add_argument("-o", "--out", required=True)
+    mg.set_defaults(fn=cmd_merge)
 
     re_ = sub.add_parser("reencrypt")
     re_.add_argument("file")

@@ -888,6 +888,31 @@ def write_table(
             "these files — use only for parquet-java interop testing",
             stacklevel=2,
         )
+    if row_group_size is None or row_group_size >= table.num_rows:
+        slices = [table]
+    else:
+        slices = [
+            table.slice(a, row_group_size)
+            for a in range(0, table.num_rows, row_group_size)
+        ]
+    write_tables(slices, path, config, encryption)
+
+
+def write_tables(
+    slices: "list[pa.Table]",
+    path: str,
+    config: sel.EncodeConfig | None = None,
+    encryption: "pcrypt.FileEncryption | None" = None,
+) -> None:
+    """Write one parquet file with one row group per input table (all the
+    same schema) — the row-group stitching shape of
+    `rewrite/ParquetRewriter.java:99-127` merging multiple inputs."""
+    config = config or sel.EncodeConfig()
+    if not slices:
+        raise ValueError("write_tables needs at least one table")
+    if any(not s.schema.equals(slices[0].schema) for s in slices[1:]):
+        raise ValueError("all merged tables must share one schema")
+    table = slices[0] if len(slices) == 1 else pa.concat_tables(slices)
     crypto = None
     if encryption is not None:
         aad_unique, file_aad = encryption.make_file_aad()
@@ -899,13 +924,6 @@ def write_table(
     )
     out = bytearray(magic)
     row_groups: list[tuple[list[_Column], int]] = []
-    if row_group_size is None or row_group_size >= table.num_rows:
-        slices = [table]
-    else:
-        slices = [
-            table.slice(a, row_group_size)
-            for a in range(0, table.num_rows, row_group_size)
-        ]
     for rg_ord, sl in enumerate(slices):
         cols = _write_row_group(
             sl, out, config,

@@ -225,3 +225,25 @@ def reencrypt_parquet(
     table = read_table_encrypted(path_in, decryption)
     parquet_write.write_table(table, path_out, config, encryption=encryption)
     return path_out
+
+
+def merge_parquet(
+    paths_in: list[str],
+    path_out: str,
+    decryption=None,
+    encryption=None,
+    config=None,
+):
+    """Merge multiple parquet files into one output file, one row group per
+    input — the ParquetRewriter multi-input stitching shape
+    (`rewrite/ParquetRewriter.java:99-127`). Inputs may be plaintext or
+    modular-encrypted (``decryption``); the output re-encodes through our
+    writers and can re-encrypt (``encryption``)."""
+    from . import parquet_write
+    from .parquet_read_enc import read_table_encrypted
+
+    tables = [read_table_encrypted(p, decryption) for p in paths_in]
+    schema = tables[0].schema
+    tables = [t.cast(schema) for t in tables]
+    parquet_write.write_tables(tables, path_out, config, encryption)
+    return path_out

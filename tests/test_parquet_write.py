@@ -356,3 +356,40 @@ def test_column_and_offset_index_written(tmp_path):
         assert rows_total == n
     # file remains readable by independent readers
     assert pq.read_table(path).num_rows == n
+
+
+def test_write_tables_multi_rowgroup_merge(tmp_path):
+    from rayenc.rewrite import merge_parquet
+
+    t = pq.read_table(f"{SF}/orders.parquet")
+    ins = []
+    for i, p in enumerate([t.slice(0, 500), t.slice(500, 500), t.slice(1000)]):
+        path = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(p, path)
+        ins.append(path)
+    out = str(tmp_path / "merged.parquet")
+    merge_parquet(ins, out)
+    assert pq.ParquetFile(out).metadata.num_row_groups == 3
+    assert pq.read_table(out).cast(t.schema).equals(t)
+
+
+def test_merge_encrypted_inputs_and_output(tmp_path):
+    from rayenc.parquet_crypto import FileDecryption, FileEncryption
+    from rayenc.parquet_read_enc import read_table_encrypted
+    from rayenc.rewrite import merge_parquet
+
+    fk = b"0123456789abcdef"
+    t = pq.read_table(f"{SF}/region.parquet")
+    ins = []
+    for i, p in enumerate([t.slice(0, 2), t.slice(2)]):
+        path = str(tmp_path / f"e{i}.parquet")
+        parquet_write.write_table(p, path, encryption=FileEncryption(footer_key=fk))
+        ins.append(path)
+    out = str(tmp_path / "m.parquet")
+    merge_parquet(
+        ins, out,
+        decryption=FileDecryption(footer_key=fk),
+        encryption=FileEncryption(footer_key=fk),
+    )
+    got = read_table_encrypted(out, FileDecryption(footer_key=fk))
+    assert got.cast(t.schema).equals(t)
