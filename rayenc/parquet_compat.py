@@ -658,6 +658,127 @@ def _read_repeated_column(path: str, field, row_group: int, decoder=None):
     return cls.from_arrays(off_arr, child_arrays[0]).cast(t)
 
 
+def _count_leaves(t) -> int:
+    import pyarrow as pa
+
+    if pa.types.is_map(t):
+        return _count_leaves(t.key_type) + _count_leaves(t.item_type)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return _count_leaves(t.value_type)
+    if pa.types.is_struct(t):
+        return sum(_count_leaves(c.type) for c in t)
+    return 1
+
+
+def assemble_tree(field, leaves: list):
+    """General vectorized Dremel record assembly: rebuild one (arbitrarily
+    nested) arrow column from its leaves' (dense values, rep, def) triples,
+    in depth-first leaf order — the inverse of parquet_write._walk and the
+    RecordReaderImplementation.java state machine, done level-at-a-time
+    with numpy instead of per-record transitions.
+
+    ``leaves``: [(vals, rep:np|None, def:np|None), ...]. Levels follow the
+    writer's convention: a nullable node adds one def level; a list adds one
+    rep and one def level, with entry slots at def >= that level."""
+    import pyarrow as pa
+
+    def build(f, lvs, r, d):
+        t = f.type
+        if f.nullable:
+            d += 1
+        if pa.types.is_map(t) or pa.types.is_list(t) or pa.types.is_large_list(t):
+            is_map = pa.types.is_map(t)
+            rep0, def0 = lvs[0][1], lvs[0][2]
+            parent = rep0 <= r
+            n_rec = int(parent.sum())
+            r2, d2 = r + 1, d + 1
+            entry = def0 >= d2
+            rec_id = np.cumsum(parent) - 1
+            counts = np.bincount(rec_id[entry], minlength=n_rec)
+            offsets = np.zeros(n_rec + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            null_rec = None
+            if f.nullable:
+                first_def = def0[parent]
+                null_rec = first_def < d
+            sub = [
+                (vals, rp[entry], dv[entry]) for vals, rp, dv in lvs
+            ]
+            if is_map:
+                elem_f = pa.field(
+                    "entries",
+                    pa.struct(
+                        [pa.field("key", t.key_type, False),
+                         pa.field("value", t.item_type, True)]
+                    ),
+                    False,
+                )
+            else:
+                elem_f = pa.field(
+                    "element", t.value_type, t.value_field.nullable
+                )
+            child = build(elem_f, sub, r2, d2)
+            off_arr = pa.array(
+                offsets, pa.int64(),
+                mask=np.concatenate([null_rec, [False]])
+                if null_rec is not None and null_rec.any() else None,
+            )
+            if is_map:
+                out = pa.MapArray.from_arrays(
+                    off_arr.cast(pa.int32()), child.field(0), child.field(1)
+                )
+                if null_rec is not None and null_rec.any():
+                    # MapArray.from_arrays lacks a mask param: rebuild with
+                    # the validity from the (masked) offsets array
+                    out = pa.Array.from_buffers(
+                        out.type, len(out),
+                        [off_arr.cast(pa.int32()).buffers()[0],
+                         off_arr.cast(pa.int32()).buffers()[1]],
+                        children=[out.values],
+                    )
+                return out.cast(t)
+            cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
+            if pa.types.is_list(t):
+                off_arr = off_arr.cast(pa.int32())
+            return cls.from_arrays(off_arr, child).cast(t)
+        if pa.types.is_struct(t):
+            def0 = lvs[0][2]
+            smask = None
+            if f.nullable and def0 is not None:
+                invalid = def0 < d
+                smask = pa.array(invalid) if invalid.any() else None
+            arrays = []
+            pos = 0
+            for child_f in t:
+                k = _count_leaves(child_f.type)
+                arrays.append(build(child_f, lvs[pos : pos + k], r, d))
+                pos += k
+            return pa.StructArray.from_arrays(
+                arrays, [c.name for c in t], mask=smask
+            )
+        # primitive leaf
+        vals, rep0, def0 = lvs[0]
+        dense = _to_dense_arrow(vals, t)
+        if def0 is None:
+            return dense.cast(t)
+        valid = def0 == d
+        return _scatter_dense(dense, valid, t)
+
+    # normalize: nested leaves always carry levels; a leaf with neither is a
+    # flat REQUIRED column (primitive fast path). rep may be absent for flat
+    # OPTIONAL leaves — synthesize zeros so list math never sees None.
+    norm = []
+    for vals, rp, dv in leaves:
+        if dv is not None and rp is None:
+            rp = np.zeros(len(dv), np.int64)
+        norm.append(
+            (vals,
+             None if rp is None else np.asarray(rp),
+             None if dv is None else np.asarray(dv))
+        )
+    return build(field, norm, 0, 0)
+
+
 def read_table_conformance(path: str) -> "pa.Table":
     """Decode a whole parquet file — flat (incl. decimal), one-level list
     (primitive or struct elements), map, and flat-struct columns, all row
@@ -672,31 +793,19 @@ def read_table_conformance(path: str) -> "pa.Table":
     parts = []
     for rg in range(f.metadata.num_row_groups):
         cols = []
+        meta = f.metadata.row_group(rg)
         for field in schema:
             t = field.type
-            if pa.types.is_list(t) or pa.types.is_large_list(t):
-                if pa.types.is_struct(t.value_type) or pa.types.is_decimal(
-                    t.value_type
-                ):
-                    cols.append(_read_repeated_column(path, field, rg))
-                else:
-                    cols.append(read_list_column(path, field.name, rg))
-                continue
-            if pa.types.is_map(t):
-                cols.append(_read_repeated_column(path, field, rg))
-                continue
-            if pa.types.is_struct(t):
-                cols.append(_read_struct_column(path, field, rg))
+            if pa.types.is_nested(t):
+                # any nesting shape through the general Dremel assembler
+                leaf_paths = _leaf_paths_under(meta, field.name)
+                triples = [
+                    read_column_chunk(path, lp, rg, raw_levels=True)
+                    for lp in leaf_paths
+                ]
+                cols.append(assemble_tree(field, triples))
                 continue
             r = read_column_chunk(path, field.name, rg)
-            if pa.types.is_decimal(t):
-                maskv = None
-                if isinstance(r, tuple) and len(r) == 2 and r[1].dtype == bool:
-                    r, valid = r
-                    maskv = ~valid
-                arr = _decimal_dense(np.asarray(r), t)
-                cols.append(_restore_nulls(arr, maskv, t))
-                continue
             cols.append(assemble_flat(r, t))
         parts.append(pa.Table.from_arrays(cols, schema=schema))
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

@@ -495,41 +495,18 @@ def read_table_encrypted(
         for field in schema:
             t = field.type
             col_ord = leaf_by_root[field.name]
-            if pa.types.is_map(t) or (
-                (pa.types.is_list(t) or pa.types.is_large_list(t))
-                and (
-                    pa.types.is_struct(t.value_type)
-                    or pa.types.is_decimal(t.value_type)
-                )
-            ):
-                # maps / list<struct> via the shared one-repeated-level
-                # assembler, fed by our decrypting leaf decoder
-                from .parquet_compat import _read_repeated_column
+            if pa.types.is_nested(t):
+                # any nesting shape through the general Dremel assembler,
+                # fed by the decrypting leaf decoder
+                from .parquet_compat import assemble_tree
 
-                under = [
-                    (i, leaf)
+                triples = [
+                    f.decode_leaf(rg_ord, i, raw_levels=True)
                     for i, leaf in enumerate(f.leaves)
                     if leaf.path[0] == field.name
                 ]
-                by_dotted = {leaf.dotted: i for i, leaf in under}
-
-                def decoder(leaf_path, _rg=rg_ord, _under=under, _by=by_dotted):
-                    if leaf_path == "__paths__":
-                        return [leaf.dotted for _, leaf in _under]
-                    return f.decode_leaf(_rg, _by[leaf_path], raw_levels=True)
-
-                cols.append(_read_repeated_column(None, field, rg_ord, decoder))
+                cols.append(assemble_tree(field, triples))
                 continue
-            if pa.types.is_list(t) or pa.types.is_large_list(t):
-                vals, rep, deflev = f.decode_leaf(rg_ord, col_ord)
-                cols.append(
-                    assemble_list(
-                        vals, rep, deflev, field, f.leaves[col_ord].max_def
-                    )
-                )
-                continue
-            if pa.types.is_struct(t):
-                raise NotImplementedError(f"encrypted read of {t}")
             r = f.decode_leaf(rg_ord, col_ord)
             cols.append(assemble_flat(r, t))
         parts.append(pa.Table.from_arrays(cols, schema=schema))

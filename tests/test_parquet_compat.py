@@ -511,3 +511,89 @@ def test_conformance_struct_with_decimal_child():
     pq.write_table(t, path)
     got = parquet_compat.read_table_conformance(path)
     assert got.cast(t.schema).equals(t)
+
+
+def _deep_nested_fixture(n=3000, seed=11):
+    import decimal
+
+    rng = np.random.default_rng(seed)
+
+    def rlist(f, p_null=0.1, mx=3):
+        return [
+            None if rng.random() < p_null
+            else [f(j) for j in range(int(rng.integers(0, mx)))]
+            for _ in range(n)
+        ]
+
+    return pa.table(
+        {
+            "ll": pa.array(
+                rlist(lambda j: None if j % 4 == 0
+                      else [int(x) for x in rng.integers(0, 100, j)]),
+                pa.list_(pa.list_(pa.int64())),
+            ),
+            "sl": pa.array(
+                [
+                    None if i % 7 == 0 else
+                    {"name": f"n{i}",
+                     "vals": None if i % 5 == 0
+                     else [int(x) for x in rng.integers(0, 9, i % 4)]}
+                    for i in range(n)
+                ],
+                pa.struct([("name", pa.string()), ("vals", pa.list_(pa.int32()))]),
+            ),
+            "ss": pa.array(
+                [
+                    None if i % 11 == 0 else
+                    {"a": {"x": i, "y": None if i % 3 else f"y{i}"}, "b": float(i)}
+                    for i in range(n)
+                ],
+                pa.struct(
+                    [("a", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+                     ("b", pa.float64())]
+                ),
+            ),
+            "mv": pa.array(
+                [
+                    None if i % 13 == 0 else
+                    [(f"k{j}", {"q": j, "d": decimal.Decimal(j * 7) / 4})
+                     for j in range(i % 3)]
+                    for i in range(n)
+                ],
+                pa.map_(pa.string(),
+                        pa.struct([("q", pa.int64()), ("d", pa.decimal128(10, 2))])),
+            ),
+            "flat": pa.array(rng.integers(0, 1000, n)),
+        }
+    )
+
+
+@pytest.mark.parametrize("writer", ["pyarrow", "rayenc"])
+def test_general_dremel_assembly_deep_nesting(writer):
+    # two-level lists, list-in-struct, struct-in-struct, map-of-struct —
+    # every shape the writer emits must read back (read-what-we-write)
+    from rayenc import parquet_write
+
+    t = _deep_nested_fixture()
+    path = tempfile.mktemp(suffix=".parquet")
+    if writer == "pyarrow":
+        pq.write_table(t, path, row_group_size=1000)
+    else:
+        parquet_write.write_table(t, path, row_group_size=1000)
+    got = parquet_compat.read_table_conformance(path)
+    assert got.cast(t.schema).equals(t)
+
+
+def test_general_dremel_assembly_encrypted():
+    from rayenc import parquet_write
+    from rayenc.parquet_crypto import FileDecryption, FileEncryption
+    from rayenc.parquet_read_enc import read_table_encrypted
+
+    fk = b"0123456789abcdef"
+    t = _deep_nested_fixture(n=1200)
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(
+        t, path, row_group_size=500, encryption=FileEncryption(footer_key=fk)
+    )
+    got = read_table_encrypted(path, FileDecryption(footer_key=fk))
+    assert got.cast(t.schema).equals(t)
