@@ -960,6 +960,28 @@ def _merge_parquet_files(sf_dir: str):
     return got.cast(t.schema)
 
 
+def _pushdown_filter_parquet(sf_dir: str):
+    """ColumnIndex-driven page skipping on a parquet FILE: write lineitem
+    with small pages + page indexes via our writer, then read back through
+    read_table_filtered — pages whose min/max exclude the predicate are
+    never decoded (filter2/columnindex analog on files, not the container)."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig
+
+    table = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(
+        table, out, EncodeConfig(page_rows=2000), row_group_size=20000
+    )
+    got = read_table_filtered(
+        out, [("l_orderkey", "<", 500), ("l_quantity", ">=", 10.0)]
+    )
+    return got.cast(table.schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -993,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conformance_read_nested"] = _conformance_read_nested
     q["bloom_point_lookup"] = _bloom_point_lookup
     q["merge_parquet_files"] = _merge_parquet_files
+    q["pushdown_filter_parquet"] = _pushdown_filter_parquet
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -1080,6 +1103,9 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
     o["merge_parquet_files"] = "SELECT * FROM orders"
+    o["pushdown_filter_parquet"] = (
+        "SELECT * FROM lineitem WHERE l_orderkey < 500 AND l_quantity >= 10.0"
+    )
     o["variant_shred_events"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT)"
         " AS \"props$k\" FROM events"

@@ -422,6 +422,281 @@ def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict):
         yield h, body
 
 
+def _parse_index(f: "EncryptedFile", rg_ord: int, col_ord: int):
+    """(ColumnIndex dict, OffsetIndex dict) for one chunk, decrypting the
+    index modules (types 6/7) when the column is encrypted; None when the
+    file carries no page index."""
+    cc = f.row_groups[rg_ord][1][col_ord]
+    if 6 not in cc or 4 not in cc:
+        return None
+    key = f._chunk_key(rg_ord, col_ord)
+
+    def grab(off, length, mtype):
+        region = f.raw[off : off + length]
+        if key is None:
+            return _read_struct_full(region, 0)[0]
+        aad = pcrypt.module_aad(f.file_aad, mtype, rg_ord, col_ord)
+        pt, _ = pcrypt.decrypt_module(key, region, 0, aad)
+        return _read_struct_full(pt, 0)[0]
+
+    return (
+        grab(cc[6], cc[7], pcrypt.M_COLUMN_INDEX),
+        grab(cc[4], cc[5], pcrypt.M_OFFSET_INDEX),
+    )
+
+
+_MINMAX_FMT = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}
+
+
+def _page_bounds(cidx, leaf, unsigned_hint=False):
+    """Decode ColumnIndex min/max byte arrays into comparable values
+    (None per page when the page is all-null)."""
+    nulls = cidx.get(1, [])
+    mins, maxs = cidx.get(2, []), cidx.get(3, [])
+    fmt = _MINMAX_FMT.get(leaf.ptype)
+    out = []
+    for p in range(len(mins)):
+        if p < len(nulls) and nulls[p]:
+            out.append(None)
+            continue
+        if fmt is not None:
+            lo = struct.unpack(fmt, mins[p])[0]
+            hi = struct.unpack(fmt, maxs[p])[0]
+        else:  # BINARY: bytewise order; truncated max was incremented
+            lo, hi = bytes(mins[p]), bytes(maxs[p])
+        out.append((lo, hi))
+    return out
+
+
+def _page_keep_mask(bounds, op, value) -> list[bool]:
+    keep = []
+    for b in bounds:
+        if b is None:
+            keep.append(False)
+            continue
+        lo, hi = b
+        if isinstance(lo, bytes):
+            if isinstance(value, str):
+                value = value.encode()
+            if not isinstance(value, bytes):
+                keep.append(True)
+                continue
+        elif isinstance(value, (str, bytes)):
+            keep.append(True)
+            continue
+        keep.append(
+            not (
+                (op == "==" and (value < lo or value > hi))
+                or (op == "<" and lo >= value)
+                or (op == "<=" and lo > value)
+                or (op == ">" and hi <= value)
+                or (op == ">=" and hi < value)
+            )
+        )
+    return keep
+
+
+def _intersect_intervals(a, b):
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        lo = max(a[i][0], b[j][0])
+        hi = min(a[i][1], b[j][1])
+        if lo < hi:
+            out.append((lo, hi))
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return out
+
+
+def read_table_filtered(
+    path: str,
+    predicate: list,
+    columns: list[str] | None = None,
+    decryption: FileDecryption | None = None,
+) -> pa.Table:
+    """Predicate-pushdown read of a parquet FILE driven by OUR ColumnIndex /
+    OffsetIndex parsing (the filter2/columnindex page-skipping surface,
+    `internal/filter2/columnindex/ColumnIndexFilter.java` semantics): pages
+    whose min/max exclude every conjunct are never decoded; the surviving
+    row intervals intersect across predicate columns; the exact filter runs
+    after decode. Flat columns; plaintext or encrypted files."""
+    import pyarrow.compute as pc
+
+    f = EncryptedFile(path, decryption)
+    schema = f.arrow_schema()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    leaf_ord = {leaf.dotted: i for i, leaf in enumerate(f.leaves)}
+    parts = []
+    for rg_ord, rg in enumerate(f.row_groups):
+        rg_rows = rg.get(3)
+        intervals = [(0, rg_rows)]
+        idx_cache = {}
+        for col, op, value in predicate:
+            ci = leaf_ord[col]
+            parsed = _parse_index(f, rg_ord, ci)
+            if parsed is None:
+                continue
+            cidx, oidx = parsed
+            idx_cache[col] = parsed
+            locs = oidx.get(1, [])
+            firsts = [loc[3] for loc in locs] + [rg_rows]
+            bounds = _page_bounds(cidx, f.leaves[ci])
+            keep = _page_keep_mask(bounds, op, value)
+            col_iv = [
+                (firsts[p], firsts[p + 1]) for p, k in enumerate(keep) if k
+            ]
+            intervals = _intersect_intervals(intervals, col_iv)
+            if not intervals:
+                break
+        if not intervals:
+            continue
+        cols = []
+        for field in schema:
+            ci = leaf_ord[field.name]
+            if pa.types.is_nested(field.type):
+                raise NotImplementedError("filtered read of nested columns")
+            parsed = idx_cache.get(field.name) or _parse_index(f, rg_ord, ci)
+            if parsed is None:
+                r = f.decode_leaf(rg_ord, ci)
+                arr = assemble_flat(r, field.type)
+                picked = pa.concat_arrays(
+                    [arr.slice(a, b - a).combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr.slice(a, b - a) for a, b in intervals]
+                )
+                cols.append(picked)
+                continue
+            _, oidx = parsed
+            locs = oidx.get(1, [])
+            firsts = [loc[3] for loc in locs] + [rg_rows]
+            page_sel = [
+                p
+                for p in range(len(locs))
+                if _intersect_intervals(
+                    [(firsts[p], firsts[p + 1])], intervals
+                )
+            ]
+            arr = _decode_selected_pages(f, rg_ord, ci, locs, page_sel, field.type)
+            # map final intervals to local offsets within decoded pages
+            local = []
+            base = 0
+            for p in page_sel:
+                a, b = firsts[p], firsts[p + 1]
+                for lo, hi in _intersect_intervals([(a, b)], intervals):
+                    local.append((base + lo - a, hi - lo))
+                base += b - a
+            picked = pa.concat_arrays([arr.slice(s, n) for s, n in local])
+            cols.append(picked)
+        tbl = pa.Table.from_arrays(cols, schema=schema)
+        parts.append(tbl)
+    table = (
+        pa.concat_tables(parts)
+        if len(parts) > 1
+        else (parts[0] if parts else schema.empty_table())
+    )
+    mask = None
+    for col, op, value in predicate:
+        if col not in table.column_names:
+            continue
+        c = table.column(col)
+        m = {
+            "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal, "!=": pc.not_equal,
+        }[op](c, pa.scalar(value))
+        mask = m if mask is None else pc.and_(mask, m)
+    return table.filter(mask) if mask is not None else table
+
+
+def _decode_selected_pages(f, rg_ord, col_ord, locs, page_sel, arrow_t):
+    """Decode only the selected data pages of one flat chunk (dictionary
+    page always decoded first when present)."""
+    from .parquet_compat import _decode_page_stream
+
+    leaf = f.leaves[col_ord]
+    md = f.chunk_meta(rg_ord, col_ord)
+    codec_name = _CODEC_NAME.get(md.get(4, 0))
+    codec = pa.Codec(codec_name) if codec_name else None
+    key = f._chunk_key(rg_ord, col_ord)
+    dict_off = md.get(11)
+    has_dict = dict_off is not None and dict_off >= 0
+
+    def pages():
+        if has_dict:
+            pos = dict_off
+            if key is None:
+                h = read_page_header(np.frombuffer(f.raw[pos : pos + 65536], np.uint8), 0)
+                body = np.frombuffer(
+                    f.raw[pos + h.header_len : pos + h.header_len + h.compressed_size],
+                    np.uint8,
+                )
+                h.crc = None
+                yield h, body
+            else:
+                hdr_pt, end = pcrypt.decrypt_module(
+                    key, f.raw, pos,
+                    pcrypt.module_aad(f.file_aad, pcrypt.M_DICT_PAGE_HEADER,
+                                      rg_ord, col_ord),
+                )
+                h = read_page_header(np.frombuffer(hdr_pt, np.uint8), 0)
+                body_pt, _ = pcrypt.decrypt_module(
+                    key, f.raw, end,
+                    pcrypt.module_aad(f.file_aad, pcrypt.M_DICT_PAGE,
+                                      rg_ord, col_ord),
+                )
+                h.crc = None
+                yield h, np.frombuffer(body_pt, np.uint8)
+        for p in page_sel:
+            pos = locs[p][1]
+            if key is None:
+                h = read_page_header(
+                    np.frombuffer(f.raw[pos : pos + 65536], np.uint8), 0
+                )
+                body = np.frombuffer(
+                    f.raw[pos + h.header_len : pos + h.header_len + h.compressed_size],
+                    np.uint8,
+                )
+                h.crc = None
+                yield h, body
+            else:
+                hdr_pt, end = pcrypt.decrypt_module(
+                    key, f.raw, pos,
+                    pcrypt.module_aad(f.file_aad, pcrypt.M_DATA_PAGE_HEADER,
+                                      rg_ord, col_ord, p),
+                )
+                h = read_page_header(np.frombuffer(hdr_pt, np.uint8), 0)
+                if h.type == 3:
+                    lv = h.v2_rep_bytes + h.v2_def_bytes
+                    levels = f.raw[end : end + lv]
+                    vals_pt, _ = pcrypt.decrypt_module(
+                        key, f.raw, end + lv,
+                        pcrypt.module_aad(f.file_aad, pcrypt.M_DATA_PAGE,
+                                          rg_ord, col_ord, p),
+                    )
+                    body = np.concatenate(
+                        [np.frombuffer(levels, np.uint8),
+                         np.frombuffer(vals_pt, np.uint8)]
+                    )
+                else:
+                    body_pt, _ = pcrypt.decrypt_module(
+                        key, f.raw, end,
+                        pcrypt.module_aad(f.file_aad, pcrypt.M_DATA_PAGE,
+                                          rg_ord, col_ord, p),
+                    )
+                    body = np.frombuffer(body_pt, np.uint8)
+                h.crc = None
+                yield h, body
+
+    # num_values budget: selected page value counts are unknown before the
+    # headers are read; pass a large bound — the iterator is finite
+    r = _decode_page_stream(
+        pages(), 1 << 62, f.leaves[col_ord].max_rep, f.leaves[col_ord].max_def,
+        leaf.ptype, leaf.type_length, codec,
+    )
+    return assemble_flat(r, arrow_t)
+
+
 def read_bloom_filter(f: "EncryptedFile", rg_ord: int, col_ord: int):
     """Parse the split-block bloom filter of one chunk from the file
     (BloomFilterHeader + bitset; encrypted files wrap both as GCM modules

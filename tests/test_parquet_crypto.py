@@ -287,3 +287,63 @@ def test_encrypted_nested_map_decimal_list_struct(tmp_path):
     )
     got = read_table_encrypted(path, FileDecryption(footer_key=FK))
     assert got.cast(t.schema).equals(t)
+
+
+def test_read_table_filtered_page_skipping(tmp_path):
+    import pyarrow.compute as pc
+
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "f.parquet")
+    parquet_write.write_table(
+        t, path, EncodeConfig(page_rows=500), row_group_size=2000
+    )
+    pred = [("l_orderkey", "<", 40)]
+    got = read_table_filtered(path, pred)
+    want = t.filter(pc.less(t.column("l_orderkey"), 40))
+    ks = [(c, "ascending") for c in sorted(t.column_names)]
+    assert got.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+    # multi-column conjunction + column pruning
+    got2 = read_table_filtered(
+        path,
+        [("l_returnflag", "==", "R"), ("l_orderkey", ">=", 700)],
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    want2 = t.filter(
+        pc.and_(
+            pc.equal(t.column("l_returnflag"), "R"),
+            pc.greater_equal(t.column("l_orderkey"), 700),
+        )
+    ).select(["l_orderkey", "l_returnflag", "l_quantity"])
+    assert want2.num_rows > 0
+    ks2 = [(c, "ascending") for c in sorted(want2.column_names)]
+    assert got2.cast(want2.schema).sort_by(ks2).equals(want2.sort_by(ks2))
+
+
+def test_read_table_filtered_pyarrow_file_and_encrypted(tmp_path):
+    import pyarrow.compute as pc
+
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    ks = [(c, "ascending") for c in sorted(t.column_names)]
+    want = t.filter(pc.less(t.column("l_orderkey"), 40))
+    # pyarrow-written file with page indexes
+    p1 = str(tmp_path / "pa.parquet")
+    pq.write_table(t, p1, row_group_size=2000, write_page_index=True,
+                   data_page_size=8 << 10)
+    got = read_table_filtered(p1, [("l_orderkey", "<", 40)])
+    assert got.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+    # encrypted file: indexes + headers + pages all decrypt
+    p2 = str(tmp_path / "enc.parquet")
+    parquet_write.write_table(
+        t, p2, EncodeConfig(page_rows=500), row_group_size=2000,
+        encryption=FileEncryption(footer_key=FK),
+    )
+    got2 = read_table_filtered(
+        p2, [("l_orderkey", "<", 40)], decryption=FileDecryption(footer_key=FK)
+    )
+    assert got2.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
