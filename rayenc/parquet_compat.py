@@ -692,7 +692,10 @@ def assemble_tree(field, leaves: list):
             parent = rep0 <= r
             n_rec = int(parent.sum())
             r2, d2 = r + 1, d + 1
-            entry = def0 >= d2
+            keep = def0 >= d2  # slots inside surviving entries (any depth)
+            # an ENTRY at this level starts at rep <= r2; deeper slots
+            # (rep > r2) continue an entry's subtree and must not be counted
+            entry = keep & (rep0 <= r2)
             rec_id = np.cumsum(parent) - 1
             counts = np.bincount(rec_id[entry], minlength=n_rec)
             offsets = np.zeros(n_rec + 1, np.int64)
@@ -702,7 +705,7 @@ def assemble_tree(field, leaves: list):
                 first_def = def0[parent]
                 null_rec = first_def < d
             sub = [
-                (vals, rp[entry], dv[entry]) for vals, rp, dv in lvs
+                (vals, rp[keep], dv[keep]) for vals, rp, dv in lvs
             ]
             if is_map:
                 elem_f = pa.field(

@@ -161,3 +161,83 @@ def test_nested_parquet_write_property(arr):
     path = tempfile.mktemp(suffix=".parquet")
     parquet_write.write_table(t, path)
     assert pq.read_table(path).column("x").to_pylist() == arr.to_pylist()
+
+
+# ---------------------------------------------------------------- round 3
+
+json_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-(2**62), 2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=80),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=10), children, max_size=5),
+    ),
+    max_leaves=20,
+)
+
+
+@given(v=json_values)
+@settings(**SETTINGS)
+def test_variant_value_roundtrip_property(v):
+    from rayenc import variant as V
+
+    m = V.Metadata()
+    assert V.decode_value(V.encode_value(v, m), m) == v
+
+
+@given(data=st.lists(st.binary(max_size=120), max_size=60))
+@settings(**SETTINGS)
+def test_xxh64_batch_matches_scalar_property(data):
+    from rayenc.codecs.xxh import xxh64, xxh64_bytes
+
+    offs = np.zeros(len(data) + 1, np.int64)
+    offs[1:] = np.cumsum([len(s) for s in data])
+    flat = np.frombuffer(b"".join(data), np.uint8)
+    got = xxh64_bytes(offs, flat)
+    assert got.tolist() == [xxh64(s) for s in data]
+
+
+nested_rows = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.lists(st.one_of(st.none(), st.integers(-100, 100)), max_size=3),
+            ),
+            max_size=3,
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=nested_rows, extra=st.lists(st.one_of(st.none(), st.integers(0, 5)), max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_general_assembly_two_level_lists_property(rows, extra):
+    """write (our Dremel writer) -> read (assemble_tree) identity on random
+    list<list<int64>> shapes incl. empty/null at every level."""
+    import tempfile
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+
+    n = len(rows)
+    t = pa.table(
+        {
+            "ll": pa.array(rows, pa.list_(pa.list_(pa.int64()))),
+            "x": pa.array((extra + [0] * n)[:n], pa.int64()),
+        }
+    )
+    if n == 0:
+        return
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(t, path)
+    got = read_table_conformance(path)
+    assert got.cast(t.schema).equals(t)
