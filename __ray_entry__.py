@@ -403,10 +403,55 @@ def _multimodal(sf_dir: str):
 
     from rayenc.ops import multimodal
 
-    table = multimodal.synthesize_media_table(200, payload_bytes=1024)
+    # REAL PNG payloads through the pure-numpy codec (rayenc.ops.png)
+    table = multimodal.synthesize_media_table(200, fmt="png")
     return multimodal.media_pipeline(
         ray.data.from_arrow(table), target=8, concurrency=2, batch_size=32
     ).select_columns(["media_id"])
+
+
+def _multimodal_png_oracle(sf_dir: str):
+    """Real image decode with a SQL-checkable answer: each document gets a
+    constant-color PNG (value = n_chars % 256) encoded by our PNG writer;
+    the actor-pool stage decodes it with our PNG reader and the recovered
+    pixel value must equal n_chars % 256."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import multimodal, png
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    vals = (docs.column("n_chars").to_numpy() % 256).astype(np.uint8)
+    payloads = pa.array(
+        [png.encode(np.full((8, 8, 3), v, np.uint8)) for v in vals], pa.binary()
+    )
+    media = pa.table(
+        {
+            "media_id": docs.column("doc_id"),
+            "m": payloads,
+            "m_format": pa.array(["png"] * len(vals), pa.string()),
+            "m_w": pa.array(np.full(len(vals), 8, np.int32)),
+            "m_h": pa.array(np.full(len(vals), 8, np.int32)),
+        }
+    )
+    out = multimodal.media_pipeline(
+        ray.data.from_arrow(media), target=4, concurrency=2, batch_size=64
+    )
+
+    def recover(batch: pa.Table) -> pa.Table:
+        feats = batch.column("features")
+        first = pa.compute.list_element(feats, 0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("media_id"),
+                "pixel": pa.array(np.rint(first * 255.0).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(recover, batch_format="pyarrow")
 
 
 def _enc_rle_boolean(sf_dir: str):
@@ -1033,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_dedup_planted"] = _minhash_dedup_planted
     q["minhash_pairs_planted"] = _minhash_pairs_planted
     q["multimodal_features_documents"] = _multimodal_docs_oracle
+    q["multimodal_png_decode"] = _multimodal_png_oracle
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
     q["selector_report"] = _selector_report
@@ -1169,6 +1215,9 @@ def oracle_sql() -> dict[str, str]:
     o["multimodal_features_documents"] = (
         "SELECT doc_id AS media_id, CAST(192 AS BIGINT) AS n_features,"
         " n_chars % 256 AS feat_byte FROM documents"
+    )
+    o["multimodal_png_decode"] = (
+        "SELECT doc_id, n_chars % 256 AS pixel FROM documents"
     )
 
     # quality / language-id: the heuristics are plain regex counts, so the

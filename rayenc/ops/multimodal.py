@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata.
 
-The image/audio decode libraries are not available in this container, so the
-*decode kernels* are stubs (a clearly-marked ``NotImplementedError`` behind
-``strict=True``, or a deterministic fake that derives pixels from the payload
-hash) — but everything Ray-side is real and tested: the schema convention,
-the actor-pool stage shape (state built once in ``__init__``), batch sizing
-for large payloads, and the output layout.
+PNG payloads decode for REAL through the pure-numpy codec in
+``rayenc.ops.png`` (zlib is stdlib); jpeg/audio codecs are not in this
+container, so those formats stay clearly-marked stubs (raise behind
+``strict=True``, deterministic fake otherwise). Everything Ray-side is real
+and tested: the schema convention, the actor-pool stage shape (state built
+once in ``__init__``), batch sizing for large payloads, and the output
+layout.
 
 Schema convention for a media column ``m``:
     m:        binary           (encoded payload)
@@ -19,17 +20,36 @@ import numpy as np
 import pyarrow as pa
 
 
-def synthesize_media_table(rows: int, seed: int = 0, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table for tests/benchmarks."""
+def synthesize_media_table(
+    rows: int, seed: int = 0, payload_bytes: int = 4096, fmt: str = "fake"
+) -> pa.Table:
+    """Deterministic media table. ``fmt="png"`` emits REAL PNG payloads
+    (encoded by rayenc.ops.png) with pixels derived from the row seed, so
+    the decode stage exercises a genuine image codec end to end."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, payload_bytes).astype(np.uint8).tobytes() for _ in range(rows)]
+    if fmt == "png":
+        from . import png as png_mod
+
+        ws = rng.integers(16, 65, rows).astype(np.int32)
+        hs = rng.integers(16, 65, rows).astype(np.int32)
+        payloads = []
+        for i in range(rows):
+            img = rng.integers(0, 256, (int(hs[i]), int(ws[i]), 3)).astype(np.uint8)
+            payloads.append(png_mod.encode(img))
+    else:
+        payloads = [
+            rng.integers(0, 256, payload_bytes).astype(np.uint8).tobytes()
+            for _ in range(rows)
+        ]
+        ws = rng.integers(16, 65, rows).astype(np.int32)
+        hs = rng.integers(16, 65, rows).astype(np.int32)
     return pa.table(
         {
             "media_id": pa.array(np.arange(rows), pa.int64()),
             "m": pa.array(payloads, pa.binary()),
-            "m_format": pa.array(["fake"] * rows, pa.string()),
-            "m_w": pa.array(rng.integers(16, 65, rows), pa.int32()),
-            "m_h": pa.array(rng.integers(16, 65, rows), pa.int32()),
+            "m_format": pa.array([fmt] * rows, pa.string()),
+            "m_w": pa.array(ws, pa.int32()),
+            "m_h": pa.array(hs, pa.int32()),
         }
     )
 
@@ -48,11 +68,19 @@ class ImageDecodeStage:
         self.strict = strict
         self._resample_grid = np.linspace(0.0, 1.0, target)
 
-    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+    def _decode(self, payload: bytes, w: int, h: int, fmt: str = "fake") -> np.ndarray:
+        if fmt == "png":
+            from . import png as png_mod
+
+            img = png_mod.decode(payload)
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+            return img[:, :, :3]
         if self.strict:
             raise NotImplementedError(
-                "image decode requires pillow/libjpeg, not present in this "
-                "container; run with strict=False for the deterministic fake"
+                f"decode of {fmt!r} requires pillow/libjpeg, not present in "
+                "this container; PNG decodes natively, other formats need "
+                "strict=False for the deterministic fake"
             )
         # deterministic fake: pixels derived from payload bytes
         raw = np.frombuffer(payload, np.uint8)
@@ -70,9 +98,10 @@ class ImageDecodeStage:
         payloads = batch.column("m").to_pylist()
         ws = batch.column("m_w").to_numpy(zero_copy_only=False)
         hs = batch.column("m_h").to_numpy(zero_copy_only=False)
+        fmts = batch.column("m_format").to_pylist()
         feats = np.empty((len(payloads), self.target * self.target * 3), np.float32)
         for i, p in enumerate(payloads):
-            img = self._resize(self._decode(p, int(ws[i]), int(hs[i])))
+            img = self._resize(self._decode(p, int(ws[i]), int(hs[i]), fmts[i]))
             feats[i] = img.reshape(-1).astype(np.float32) / 255.0
         flat = pa.array(feats.reshape(-1))
         offsets = pa.array(
