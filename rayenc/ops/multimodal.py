@@ -116,17 +116,35 @@ class ImageDecodeStage:
 
 
 class AudioFrameSampleStage:
-    """Actor-pool stage: frame-sample an audio payload (stubbed decode)."""
+    """Actor-pool stage: frame-sample an audio payload. WAV (RIFF/PCM16)
+    decodes for real through rayenc.ops.png.decode_wav; other formats stay
+    a deterministic fake (or raise with strict=True)."""
 
     def __init__(self, frames: int = 8, strict: bool = False):
         self.frames = frames
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("audio decode libs not present")
+        fmts = (
+            batch.column("m_format").to_pylist()
+            if "m_format" in batch.column_names
+            else ["fake"] * batch.num_rows
+        )
         out_rows = []
-        for payload in batch.column("m").to_pylist():
+        for payload, fmt in zip(batch.column("m").to_pylist(), fmts):
+            if fmt == "wav":
+                from . import png as media_codecs
+
+                samples, _rate = media_codecs.decode_wav(payload)
+                mono = samples.mean(axis=1)
+                idx = np.linspace(0, len(mono) - 1, self.frames).astype(np.int64)
+                out_rows.append(mono[idx].astype(np.float32))
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    f"audio decode of {fmt!r} needs native codecs; WAV "
+                    "decodes natively"
+                )
             raw = np.frombuffer(payload, np.uint8).astype(np.float32)
             idx = np.linspace(0, len(raw) - 1, self.frames).astype(np.int64)
             out_rows.append(raw[idx] / 255.0)

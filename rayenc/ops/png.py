@@ -119,3 +119,51 @@ def decode(data: bytes) -> np.ndarray:
         out[y] = cur
         prev = cur
     return out.reshape(h, w, c)
+
+
+# ------------------------------------------------------------------- WAV
+# (kept in this module: both are the pure-python media codecs backing the
+# multimodal stages; RIFF/PCM is the public WAVE format)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono PCM16 samples (int16 or float in [-1, 1]) -> WAV bytes."""
+    s = np.asarray(samples)
+    if s.dtype.kind == "f":
+        s = np.clip(s, -1.0, 1.0)
+        s = (s * 32767.0).astype("<i2")
+    else:
+        s = s.astype("<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float32 samples in [-1, 1] shaped (n, channels), rate).
+    PCM 16-bit only (format tag 1)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = None
+    samples = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(f"WAV format {fmt_tag}/{bits}bit")
+        elif tag == b"data":
+            samples = np.frombuffer(body, "<i2")
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    out = (samples.astype(np.float32) / 32768.0).reshape(-1, channels)
+    return out, rate

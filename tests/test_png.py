@@ -92,3 +92,36 @@ def test_strict_still_raises_for_unsupported():
     stage = multimodal.ImageDecodeStage(target=4, strict=True)
     with pytest.raises(NotImplementedError):
         stage._decode(b"\xff\xd8jpegdata", 8, 8, "jpeg")
+
+
+def test_wav_roundtrip_and_audio_stage():
+    from rayenc.ops.png import decode_wav, encode_wav
+
+    rng = np.random.default_rng(0)
+    s = rng.integers(-32768, 32768, 5000).astype(np.int16)
+    b = encode_wav(s, 8000)
+    got, rate = decode_wav(b)
+    assert rate == 8000 and got.shape == (5000, 1)
+    assert np.array_equal((got[:, 0] * 32768.0).astype(np.int16), s)
+    # constant-amplitude wav recovers its value through the strict stage
+    const = encode_wav(np.full(1000, 0.5, np.float32), 16000)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "m": pa.array([const], pa.binary()),
+            "m_format": pa.array(["wav"]),
+        }
+    )
+    stage = multimodal.AudioFrameSampleStage(frames=4, strict=True)
+    frames = stage(t).column("frames")[0].as_py()
+    assert all(abs(f - 0.5) < 1e-3 for f in frames)
+    with pytest.raises(NotImplementedError):
+        stage(
+            pa.table(
+                {
+                    "media_id": pa.array([1], pa.int64()),
+                    "m": pa.array([b"mp3data"], pa.binary()),
+                    "m_format": pa.array(["mp3"]),
+                }
+            )
+        )
