@@ -359,42 +359,6 @@ def int96_to_timestamp_ns(vals: np.ndarray) -> np.ndarray:
     return (julian - 2440588) * 86_400_000_000_000 + nanos
 
 
-def _read_struct_column(path, field, row_group):
-    """Assemble a flat struct column (primitive children) from each leaf's
-    multi-level definition levels: def >= 1 -> struct present, def == max_def
-    -> child value present."""
-    import pyarrow as pa
-
-    from .codecs.dictionary import binary_array
-    from .schema import _restore_nulls
-
-    t = field.type
-    d_struct = 1 if field.nullable else 0
-    children = []
-    struct_mask = None
-    for child in t:
-        if pa.types.is_nested(child.type):
-            raise NotImplementedError(f"struct child {child.type}")
-        leaf = f"{field.name}.{child.name}"
-        vals, rep, deflev = read_column_chunk(path, leaf, row_group, raw_levels=True)
-        max_def = d_struct + (1 if child.nullable else 0)
-        n = len(deflev) if deflev is not None else (
-            len(vals[0]) - 1 if isinstance(vals, tuple) else len(vals)
-        )
-        if deflev is None:
-            deflev = np.full(n, max_def, np.uint32)
-        dense = _to_dense_arrow(vals, child.type)
-        child_null = deflev < max_def
-        arr = _restore_nulls(dense, child_null if child_null.any() else None, dense.type)
-        children.append(arr.cast(child.type))
-        if d_struct:
-            struct_mask = pa.array(deflev < d_struct)
-    out = pa.StructArray.from_arrays(children, [c.name for c in t], mask=struct_mask)
-    if out.type != t:
-        out = pa.Array.from_buffers(t, len(out), out.buffers()[:1], children=children)
-    return out
-
-
 def read_list_column(path: str, field_name: str, row_group: int = 0):
     """Decode a one-level list column (the 3-level LIST shape of
     `parquet-arrow/.../schema/List3Levels.java`) from real rep/def levels
@@ -559,103 +523,6 @@ def _to_dense_arrow(vals, elem_t):
     if pa.types.is_temporal(elem_t):
         return pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
     return pa.array(v)
-
-
-def _read_repeated_column(path: str, field, row_group: int, decoder=None):
-    """Assemble a one-repeated-level column — list<primitive>,
-    list<struct<primitive...>>, or map<primitive, primitive> — from each
-    leaf's rep/def levels (the 3-level LIST / MAP key_value shapes of the
-    parquet logical-type spec; assembly per RecordReaderImplementation.java
-    semantics, vectorized). ``decoder(leaf_path)`` returns
-    (vals, rep, def) — defaults to read_column_chunk on ``path``."""
-    import pyarrow as pa
-
-    t = field.type
-    is_map = pa.types.is_map(t)
-    if decoder is None:
-        f = pq.ParquetFile(path)
-        meta = f.metadata.row_group(row_group)
-        leaf_paths = _leaf_paths_under(meta, field.name)
-
-        def decoder(leaf):
-            return read_column_chunk(path, leaf, row_group, raw_levels=True)
-    else:
-        leaf_paths = decoder("__paths__")
-
-    d_list = 1 if field.nullable else 0
-    d_entry = d_list + 1
-    if is_map:
-        children = [
-            pa.field("key", t.key_type, False),
-            pa.field("value", t.item_type, True),
-        ]
-        elem_nullable = False
-    else:
-        elem_f = t.value_field
-        elem_nullable = elem_f.nullable
-        if pa.types.is_struct(elem_f.type):
-            children = list(elem_f.type)
-        else:
-            children = None  # primitive element
-
-    offsets = mask = elem_valid_struct = None
-    child_arrays = []
-    for k, leaf in enumerate(leaf_paths):
-        vals, rep, deflev = decoder(leaf)
-        if rep is None or deflev is None:
-            raise NotImplementedError(f"unexpected flat leaf {leaf}")
-        if offsets is None:
-            # entry structure is shared across leaves (Dremel invariant):
-            # compute offsets / null-list mask once, from the first leaf
-            n_rec = int((rep == 0).sum())
-            rec_id = np.cumsum(rep == 0) - 1
-            entry_slot = deflev >= d_entry
-            counts = np.bincount(rec_id[entry_slot], minlength=n_rec)
-            off = np.zeros(n_rec + 1, np.int64)
-            np.cumsum(counts, out=off[1:])
-            rec_first_def = deflev[rep == 0]
-            null_rec = rec_first_def < d_list if d_list else None
-            offsets = off
-            mask = null_rec
-        entry_slot = deflev >= d_entry
-        entry_def = deflev[entry_slot]
-        if children is None:
-            child_f = pa.field("element", t.value_type, elem_nullable)
-            leaf_max = d_entry + (1 if elem_nullable else 0)
-        else:
-            child_f = children[k]
-            leaf_max = d_entry + (1 if elem_nullable else 0) + (
-                1 if child_f.nullable else 0
-            )
-            if elem_nullable and elem_valid_struct is None:
-                elem_valid_struct = entry_def >= d_entry + 1
-            elif elem_nullable:
-                elem_valid_struct = elem_valid_struct | (entry_def >= d_entry + 1)
-        valid = entry_def >= leaf_max
-        dense = _to_dense_arrow(vals, child_f.type)
-        child_arrays.append(_scatter_dense(dense, valid, child_f.type))
-
-    import pyarrow as pa
-
-    off_arr = pa.array(
-        offsets, pa.int32() if is_map or pa.types.is_list(t) else pa.int64(),
-        mask=np.concatenate([mask, [False]]) if mask is not None else None,
-    )
-    if is_map:
-        return pa.MapArray.from_arrays(
-            off_arr.cast(pa.int32()), child_arrays[0], child_arrays[1]
-        ).cast(t)
-    if children is not None:
-        smask = None
-        if elem_nullable and elem_valid_struct is not None:
-            smask = pa.array(~elem_valid_struct)
-        elem = pa.StructArray.from_arrays(
-            child_arrays, [c.name for c in children], mask=smask
-        )
-        cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
-        return cls.from_arrays(off_arr, elem).cast(t)
-    cls = pa.LargeListArray if pa.types.is_large_list(t) else pa.ListArray
-    return cls.from_arrays(off_arr, child_arrays[0]).cast(t)
 
 
 def _count_leaves(t) -> int:

@@ -28,11 +28,9 @@ import pyarrow as pa
 
 from . import parquet_crypto as pcrypt
 from .parquet_compat import (
-    PageHeader,
     _decode_page_stream,
     _plain_page_iter,
     assemble_flat,
-    assemble_list,
     read_page_header,
 )
 from .parquet_crypto import FileDecryption
