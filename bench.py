@@ -146,6 +146,55 @@ def run_bench(num_cpus: int) -> dict:
 SCALING_CPUS = (1, 4, 8, 32)
 
 
+def _run_child(cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=900,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            return json.loads(lines[-1])
+        sys.stderr.write(
+            f"scaling child (cpus={cpus}, attempt {attempt}) produced no "
+            f"result; stderr tail:\n{out.stderr[-2000:]}\n"
+        )
+    raise RuntimeError(f"scaling child failed twice at cpus={cpus}")
+
+
+def run_scaling_pairs(reps: int = 3) -> dict:
+    """Noise-robust N->4N evidence: run the (1 cpu, 4 cpu) pair back-to-back
+    ``reps`` times and report the median efficiency. The host's memory
+    subsystem drifts on multi-minute scales (BASELINE.md 'Host
+    characteristics'), so adjacent pairs bound the drift each efficiency
+    sample sees; the all-sizes sweep in run_scaling cannot."""
+    effs = []
+    samples = []
+    for _ in range(reps):
+        r1 = _run_child(1)
+        r4 = _run_child(4)
+        e = r4["encode_tokens_per_sec"] / (4 * r1["encode_tokens_per_sec"])
+        effs.append(e)
+        samples.append(
+            {"tp1": r1["encode_tokens_per_sec"], "tp4": r4["encode_tokens_per_sec"], "eff": e}
+        )
+    effs_sorted = sorted(effs)
+    median = effs_sorted[len(effs_sorted) // 2]
+    report = {
+        "metric": "scaling efficiency 1->4 cpus (median of adjacent pairs)",
+        "value": median,
+        "unit": "ratio",
+        "efficiency_1_to_4_median": median,
+        "efficiency_samples": effs,
+        "pairs": samples,
+        "sf": sf_name(SF_DIR),
+    }
+    print(json.dumps(report))
+    return report
+
+
 def run_scaling() -> dict:
     """Same job at N and 4N CPUs in fresh processes -> scaling efficiency.
 
@@ -303,6 +352,9 @@ def run_micro() -> dict:
 def main() -> None:
     if "--micro" in sys.argv:
         print(json.dumps(run_micro()))
+        return
+    if "--scaling-pairs" in sys.argv:
+        run_scaling_pairs()
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -531,6 +531,25 @@ def read_table_filtered(
     parts = []
     for rg_ord, rg in enumerate(f.row_groups):
         rg_rows = rg.get(3)
+        # bloom filters veto whole row groups for equality conjuncts before
+        # any page-index work (BloomFilterReader + ColumnIndexFilter compose
+        # the same way in the reference read path)
+        skip_rg = False
+        for col, op, value in predicate:
+            if op != "==":
+                continue
+            ci = leaf_ord[col]
+            filt = read_bloom_filter(f, rg_ord, ci)
+            if filt is None:
+                continue
+            from .bloom import spec_value_hash
+
+            h = spec_value_hash(value, f.leaves[ci].ptype)
+            if not bool(filt.might_contain_hashes(h)[0]):
+                skip_rg = True
+                break
+        if skip_rg:
+            continue
         intervals = [(0, rg_rows)]
         idx_cache = {}
         for col, op, value in predicate:

@@ -135,3 +135,21 @@ def test_cli_inspection_commands(tmp_path, capsys):
     assert "pages" in out and "min=" in out
     cli.cmd_show_size_stats(A())
     assert "def_hist" in capsys.readouterr().out
+
+
+def test_filtered_read_composes_bloom_and_page_index(tmp_path):
+    from rayenc.parquet_read_enc import read_table_filtered
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "b.parquet")
+    cfg = EncodeConfig(bloom_columns={"l_orderkey"}, page_rows=500)
+    parquet_write.write_table(t, path, cfg, row_group_size=1000)
+    key = int(pc.min(t.column("l_orderkey")).as_py())
+    got = read_table_filtered(path, [("l_orderkey", "==", key)])
+    want = t.filter(pc.equal(t.column("l_orderkey"), key))
+    ks = [(c, "ascending") for c in sorted(t.column_names)]
+    assert got.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+    # absent key: blooms veto every row group -> empty result, right schema
+    absent = int(pc.max(t.column("l_orderkey")).as_py()) + 10**9
+    got2 = read_table_filtered(path, [("l_orderkey", "==", absent)])
+    assert got2.num_rows == 0 and got2.schema.names == t.schema.names
