@@ -467,6 +467,10 @@ def _page_bounds(cidx, leaf, unsigned_hint=False):
 
 
 def _page_keep_mask(bounds, op, value) -> list[bool]:
+    if op == "in":
+        # keep a page when ANY member may fall inside its bounds
+        masks = [_page_keep_mask(bounds, "==", v) for v in value]
+        return [any(col) for col in zip(*masks)] if masks else [False] * len(bounds)
     keep = []
     for b in bounds:
         if b is None:
@@ -618,10 +622,13 @@ def read_table_filtered(
         if col not in table.column_names:
             continue
         c = table.column(col)
-        m = {
-            "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
-            ">": pc.greater, ">=": pc.greater_equal, "!=": pc.not_equal,
-        }[op](c, pa.scalar(value))
+        if op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(value)))
+        else:
+            m = {
+                "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+                ">": pc.greater, ">=": pc.greater_equal, "!=": pc.not_equal,
+            }[op](c, pa.scalar(value))
         mask = m if mask is None else pc.and_(mask, m)
     return table.filter(mask) if mask is not None else table
 

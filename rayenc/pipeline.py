@@ -753,3 +753,76 @@ def verify_roundtrip(paths: list[str] | str, out_dir: str, key: str | None = Non
         "equal": got.equals(want),
         "rows": got.num_rows,
     }
+
+
+def encode_encrypted_parquet_job(
+    paths: list[str] | str,
+    out_dir: str,
+    decryption,
+    config: EncodeConfig | None = None,
+    *,
+    resume: bool = True,
+    concurrency: int | tuple | None = None,
+) -> "ray.data.Dataset":
+    """Encode modular-encrypted parquet inputs into the renc container: the
+    data-lake ingestion path where sources carry AES-GCM encryption
+    (rayenc.parquet_crypto.FileDecryption supplies the keys). Partitions are
+    planned from OUR footer parser (pyarrow cannot open a PARE footer
+    without a KMS factory), one partition per row group, decoded through
+    read_table_encrypted and encoded with the same atomic blob+manifest
+    resume contract as encode_job."""
+    from .parquet_read_enc import EncryptedFile
+
+    if isinstance(paths, str):
+        paths = [paths]
+    descs: list[dict] = []
+    for path in sorted(paths):
+        f = EncryptedFile(path, decryption)
+        for rg in range(len(f.row_groups)):
+            descs.append({"path": path, "rg": rg})
+    for pid, d in enumerate(descs):
+        d["pid"] = pid
+    if resume:
+        done = completed_pids(out_dir)
+        descs = [d for d in descs if d["pid"] not in done]
+    if not descs:
+        return ray.data.from_items([])
+    os.makedirs(out_dir, exist_ok=True)
+
+    def task(batch: dict) -> dict:
+        from .memtune import tune_process_memory
+        from .parquet_read_enc import read_table_encrypted
+
+        tune_process_memory()
+        rows = []
+        for k in range(len(batch["pid"])):
+            pid = int(batch["pid"][k])
+            path = str(batch["path"][k])
+            rg = int(batch["rg"][k])
+            t0 = time.perf_counter()
+            table = read_table_encrypted(path, decryption, row_groups=[rg])
+            blob, manifest = blocks.encode_block(table, config)
+            manifest["lineage"] = {"path": path, "row_groups": [rg],
+                                   "row_start": -1, "row_count": -1}
+            manifest["pid"] = pid
+            blob_name = f"part-{pid:06d}.renc"
+            _atomic_write(os.path.join(out_dir, blob_name), blob)
+            manifest["blob"] = blob_name
+            _atomic_write(
+                os.path.join(out_dir, f"part-{pid:06d}.manifest.json"),
+                json.dumps(manifest).encode(),
+            )
+            rows.append(
+                {"pid": pid, "rows": table.num_rows, "blob_bytes": len(blob),
+                 "seconds": time.perf_counter() - t0}
+            )
+        return {k2: np.array([r[k2] for r in rows]) for k2 in rows[0]}
+
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    ds = ray.data.from_items(descs)
+    return ds.map_batches(
+        task, batch_size=1,
+        concurrency=min(concurrency, len(descs)) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )

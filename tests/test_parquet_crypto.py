@@ -347,3 +347,49 @@ def test_read_table_filtered_pyarrow_file_and_encrypted(tmp_path):
         p2, [("l_orderkey", "<", 40)], decryption=FileDecryption(footer_key=FK)
     )
     assert got2.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+
+
+def test_encode_encrypted_parquet_job(tmp_path, ray_session):
+    """Data-lake ingestion: encrypted parquet sources -> renc container."""
+    from rayenc import pipeline
+
+    t = pq.read_table(f"{SF}/orders.parquet")
+    srcs = []
+    for i, sl in enumerate([t.slice(0, 700), t.slice(700)]):
+        p = str(tmp_path / f"enc{i}.parquet")
+        parquet_write.write_table(
+            sl, p, row_group_size=400, encryption=FileEncryption(footer_key=FK)
+        )
+        srcs.append(p)
+    out = str(tmp_path / "container")
+    res = pipeline.encode_encrypted_parquet_job(
+        srcs, out, FileDecryption(footer_key=FK)
+    ).to_pandas()
+    assert res["rows"].sum() == t.num_rows
+    got = pipeline.decode_dataset(out).to_pandas().sort_values("o_orderkey")
+    want = t.to_pandas().sort_values("o_orderkey")
+    assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
+    assert (got["o_totalprice"].to_numpy() == want["o_totalprice"].to_numpy()).all()
+    # resume: nothing left to do
+    res2 = pipeline.encode_encrypted_parquet_job(
+        srcs, out, FileDecryption(footer_key=FK)
+    )
+    assert res2.count() == 0
+
+
+def test_read_table_filtered_in_predicate(tmp_path):
+    import pyarrow.compute as pc
+
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "f.parquet")
+    parquet_write.write_table(t, path, EncodeConfig(page_rows=500), row_group_size=2000)
+    got = read_table_filtered(path, [("l_orderkey", "in", [1, 40, 999999])])
+    want = t.filter(
+        pc.is_in(t.column("l_orderkey"),
+                 value_set=pa.array([1, 40, 999999], pa.int64()))
+    )
+    ks = [(c, "ascending") for c in sorted(t.column_names)]
+    assert got.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
