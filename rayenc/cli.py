@@ -308,6 +308,10 @@ def cmd_reencrypt(args):
     print(f"wrote {args.out} ({'encrypted' if enc else 'plaintext'})")
 
 
+def _parse_renames(pairs):
+    return dict(p.split("=", 1) for p in pairs) if pairs else None
+
+
 def cmd_rewrite(args):
     ray = _ray()
     from rayenc import rewrite
@@ -321,6 +325,7 @@ def cmd_rewrite(args):
         drop_columns=args.drop,
         mask_columns=args.mask,
         compression=compression,
+        rename_columns=_parse_renames(getattr(args, "rename", None)),
     ).to_pandas()
     print(
         f"rewrote {len(df)} partitions: {int(df.in_bytes.sum())} -> "
@@ -423,6 +428,8 @@ def main(argv=None):
     r.add_argument("--drop", action="append", default=[])
     r.add_argument("--mask", action="append", default=[])
     r.add_argument("--compress", default=None)
+    r.add_argument("--rename", action="append", default=[],
+                   help="old=new (repeatable)")
     r.set_defaults(fn=cmd_rewrite)
 
     cv = sub.add_parser("convert-csv")

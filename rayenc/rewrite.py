@@ -104,14 +104,25 @@ def rewrite_partition(
     mask_columns: set[str] | None = None,
     compression: str | None = "__keep__",
     config: EncodeConfig | None = None,
+    rename_columns: dict | None = None,
 ) -> tuple[bytes, dict]:
     drop_columns = drop_columns or set()
     mask_columns = mask_columns or set()
+    rename_columns = rename_columns or {}
     config = config or EncodeConfig()
 
     schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(manifest["schema"])))
-    keep_fields = [f for f in schema if f.name not in drop_columns]
+    keep_fields = [
+        pa.field(rename_columns.get(f.name, f.name), f.type, f.nullable)
+        for f in schema
+        if f.name not in drop_columns
+    ]
     new_schema = pa.schema(keep_fields)
+
+    def _rename_chunk_name(name: str) -> str:
+        # physical stream names are "<top>" or "<top>#suffix..."
+        top, sep, rest = name.partition("#")
+        return rename_columns.get(top, top) + sep + rest
 
     out = io.BytesIO()
     out.write(blocks.MAGIC)
@@ -153,6 +164,17 @@ def rewrite_partition(
             new_chunks.append(
                 _recompress_chunk(entry, blob, out, old_codec, new_codec, compression)
             )
+    if rename_columns:
+        # chunk stream names (and alias references) follow the new field
+        # names; ParquetRewriter rename analog — values are never touched
+        renamed = []
+        for e in new_chunks:
+            e = dict(e)
+            e["name"] = _rename_chunk_name(e["name"])
+            if e.get("alias"):
+                e["alias"] = _rename_chunk_name(e["alias"])
+            renamed.append(e)
+        new_chunks = renamed
     new_manifest = dict(manifest)
     new_manifest["schema"] = new_schema.serialize().to_pybytes().hex()
     new_manifest["chunks"] = new_chunks
@@ -168,6 +190,7 @@ def rewrite_job(
     mask_columns: list[str] | None = None,
     compression: str | None = "__keep__",
     concurrency=None,
+    rename_columns: dict | None = None,
 ):
     """Ray job: rewrite every partition of a container."""
     os.makedirs(out_dir, exist_ok=True)
@@ -188,6 +211,7 @@ def rewrite_job(
                 set(drop_columns or []),
                 set(mask_columns or []),
                 compression,
+                rename_columns=rename_columns,
             )
             _atomic_write(os.path.join(out_dir, manifest["blob"]), new_blob)
             _atomic_write(

@@ -218,3 +218,23 @@ def test_multicolumn_page_skipping_block_level():
     a = np.array(exact.column("a").to_pylist())
     b = np.array(exact.column("b").to_pylist())
     assert np.array_equal(b, (a * 7) % 1000)
+
+
+def test_rewrite_rename_columns(ray_session, tmp_path):
+    from rayenc import blocks, pipeline, rewrite
+
+    src = f"{SF}/nation.parquet"
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    pipeline.encode_job([src], in_dir).materialize()
+    rewrite.rewrite_job(
+        in_dir, out_dir,
+        drop_columns=["n_regionkey"],
+        rename_columns={"n_name": "nation_name"},
+    ).to_pandas()
+    got = pipeline.decode_dataset(out_dir).to_pandas()
+    assert sorted(got.columns) == ["n_nationkey", "nation_name"]
+    want = pq.read_table(src).to_pandas()
+    got = got.sort_values("n_nationkey").reset_index(drop=True)
+    want = want.sort_values("n_nationkey").reset_index(drop=True)
+    assert (got["nation_name"] == want["n_name"]).all()
