@@ -45,7 +45,7 @@ class SymbolTable:
 
     __slots__ = (
         "symbols", "_by_len", "_lengths_desc", "_fb_lenmask", "_one", "_two",
-        "_long_by_prefix",
+        "_long_by_prefix", "_has_long2",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -94,6 +94,7 @@ class SymbolTable:
             if len(s) >= 3:
                 by_prefix[s[0] | (s[1] << 8)].append((code, s))
         self._long_by_prefix = None
+        self._has_long2 = None
         if all(len(v) <= 2 for v in by_prefix.values()):
             tiers = []
             for slot in range(2):
@@ -101,14 +102,17 @@ class SymbolTable:
                 lkey = np.zeros(1 << 16, np.uint64)
                 llen = np.zeros(1 << 16, np.uint8)
                 tiers.append((lcode, lkey, llen))
+            has_long = np.zeros(1 << 16, bool)
             for pfx, entries in by_prefix.items():
                 entries.sort(key=lambda cs: -len(cs[1]))  # longest in slot 0
+                has_long[pfx] = True
                 for slot, (code, s) in enumerate(entries):
                     lcode, lkey, llen = tiers[slot]
                     lcode[pfx] = code
                     lkey[pfx] = _pack_key(s)
                     llen[pfx] = len(s)
             self._long_by_prefix = tiers
+            self._has_long2 = has_long
 
     def serialize(self) -> bytes:
         out = bytearray([len(self.symbols)])
@@ -163,13 +167,24 @@ def _match_prefix_unique(table: SymbolTable, data, g8, pos_end):
     mlen = np.zeros(n, np.uint8)
     mcode = np.zeros(n, np.int16)
     rest = np.ones(n, bool)
-    for lcode_t, lkey_t, llen_t in table._long_by_prefix:
-        llen = llen_t[g2]
-        hit = rest & (llen > 0) & (llen <= slack)
-        hit &= (g8 & _LEN_MASKS[llen]) == lkey_t[g2]
-        mlen[hit] = llen[hit]
-        mcode[hit] = lcode_t[g2[hit]]
-        rest &= ~hit
+    # the >=3-byte tier probes run only on the subset of positions whose
+    # 2-byte prefix owns a long symbol (typically a small minority) —
+    # full-array work stays one bool gather
+    lp = np.flatnonzero(table._has_long2[g2] & (slack >= 3))
+    if len(lp):
+        g2l = g2[lp]
+        g8l = g8[lp]
+        slackl = slack[lp]
+        restl = np.ones(len(lp), bool)
+        for lcode_t, lkey_t, llen_t in table._long_by_prefix:
+            llen = llen_t[g2l]
+            hit = restl & (llen > 0) & (llen <= slackl)
+            hit &= (g8l & _LEN_MASKS[llen]) == lkey_t[g2l]
+            hp = lp[hit]
+            mlen[hp] = llen[hit]
+            mcode[hp] = lcode_t[g2l[hit]]
+            restl &= ~hit
+        rest[lp] = restl
     two = table._two[g2]
     two_hit = rest & (two >= 0) & (slack >= 2)
     mlen[two_hit] = 2
@@ -182,13 +197,30 @@ def _match_prefix_unique(table: SymbolTable, data, g8, pos_end):
     return mlen, mcode.astype(np.uint16)
 
 
+_MATCH_CHUNK = 1 << 17  # positions per block: ~15 live arrays stay L2/L3-hot
+
+
 def _match(table: SymbolTable, data: np.ndarray, pos_end: np.ndarray):
     """Per position: (longest symbol length or 0, code of that symbol).
 
     Prefix-unique tables (all trained tables) take the single-probe fast
-    path; arbitrary tables fall back to the longest-first per-length loop
-    with a first-byte prefilter + 16-bit fingerprint before each search."""
+    path, processed in cache-sized blocks — the probe sequence is ~18
+    full-array passes, so blocking turns a memory-bandwidth-bound sweep
+    into an L2-resident one (2x on this host). Arbitrary tables fall back
+    to the longest-first per-length loop with a first-byte prefilter +
+    16-bit fingerprint before each search."""
     n = len(data)
+    if table._long_by_prefix is not None and n > _MATCH_CHUNK + MAX_SYMBOL_LEN:
+        mlen = np.empty(n, np.uint8)
+        mcode = np.empty(n, np.uint16)
+        for a in range(0, n, _MATCH_CHUNK):
+            b = min(a + _MATCH_CHUNK, n)
+            ov = min(b + MAX_SYMBOL_LEN - 1, n)  # lookahead for the grams
+            sub = np.ascontiguousarray(data[a:ov])
+            ml, mc = _match(table, sub, pos_end[a:ov] - a)
+            mlen[a:b] = ml[: b - a]
+            mcode[a:b] = mc[: b - a]
+        return mlen, mcode
     # one contiguous pass builds the 8-byte gram at every position; each
     # length's gram is then just a mask of it
     d64 = data.astype(np.uint64)
