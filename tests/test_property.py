@@ -241,3 +241,44 @@ def test_general_assembly_two_level_lists_property(rows, extra):
     parquet_write.write_table(t, path)
     got = read_table_conformance(path)
     assert got.cast(t.schema).equals(t)
+
+
+flat_tables = st.integers(1, 60).flatmap(
+    lambda n: st.tuples(
+        st.lists(st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                 min_size=n, max_size=n),
+        st.lists(st.one_of(st.none(), st.text(max_size=20)),
+                 min_size=n, max_size=n),
+        st.lists(st.floats(allow_nan=False, allow_infinity=False, width=64),
+                 min_size=n, max_size=n),
+    )
+)
+
+
+@given(cols=flat_tables)
+@settings(max_examples=20, deadline=None)
+def test_encrypted_roundtrip_property(cols):
+    """write_table(encryption) -> read_table_encrypted identity on random
+    flat tables with nulls (hypothesis searches degenerate shapes: all-null
+    columns, empty strings, single rows)."""
+    import tempfile
+
+    from rayenc import parquet_write
+    from rayenc.parquet_crypto import FileDecryption, FileEncryption
+    from rayenc.parquet_read_enc import read_table_encrypted
+
+    ints, strs, floats = cols
+    t = pa.table(
+        {
+            "i": pa.array(ints, pa.int64()),
+            "s": pa.array(strs, pa.string()),
+            "f": pa.array(floats, pa.float64()),
+        }
+    )
+    path = tempfile.mktemp(suffix=".parquet")
+    fk = b"0123456789abcdef"
+    parquet_write.write_table(
+        t, path, row_group_size=16, encryption=FileEncryption(footer_key=fk)
+    )
+    got = read_table_encrypted(path, FileDecryption(footer_key=fk))
+    assert got.cast(t.schema).equals(t)
