@@ -597,3 +597,20 @@ def test_general_dremel_assembly_encrypted():
     )
     got = read_table_encrypted(path, FileDecryption(footer_key=fk))
     assert got.cast(t.schema).equals(t)
+
+
+def test_dictionary_fallback_mixed_pages():
+    # pyarrow overflows its dictionary mid-chunk and falls back to PLAIN
+    # pages after the RLE_DICTIONARY ones (DictionaryValuesWriter fallback
+    # semantics) — the page walk must dispatch per-page encoding
+    rng = np.random.default_rng(0)
+    vals = [f"value-{i:08d}-{rng.integers(0, 10**9)}" for i in range(50_000)]
+    t = pa.table({"s": pa.array(vals)})
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(
+        t, path, use_dictionary=True, dictionary_pagesize_limit=4096,
+        data_page_size=16 << 10, row_group_size=25_000,
+    )
+    encodings = pq.ParquetFile(path).metadata.row_group(0).column(0).encodings
+    assert "PLAIN" in encodings and "RLE_DICTIONARY" in encodings
+    assert parquet_compat.read_table_conformance(path).equals(t)
