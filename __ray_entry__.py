@@ -1027,6 +1027,39 @@ def _pushdown_filter_parquet(sf_dir: str):
     return got.cast(table.schema)
 
 
+def _chunk_documents(sf_dir: str):
+    """Fixed-size character chunking of every document (context-window prep)
+    across the Dataset; DuckDB reproduces the chunks with substr +
+    generate_series."""
+    import ray
+
+    from rayenc.ops import text as text_ops
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda b: text_ops.chunk_documents(b, size=256), batch_format="pyarrow"
+    )
+
+
+def _pack_sequences_q(sf_dir: str):
+    """Greedy within-batch sequence packing of the synthetic tokenized table
+    (rows-only: pack boundaries depend on partition layout; the invariants —
+    token conservation, packs <= budget — are asserted in pytest)."""
+    import ray
+
+    from rayenc import data
+    from rayenc.ops import text as text_ops
+
+    path = data.cached_parquet(5000, mean_tokens=80.0)
+    ds = ray.data.read_parquet(path, columns=["tokens"])
+    return ds.map_batches(
+        lambda b: text_ops.pack_sequences(b, context_len=2048),
+        batch_format="pyarrow",
+    ).select_columns(["pack_id", "n_docs"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -1079,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_pairs_planted"] = _minhash_pairs_planted
     q["multimodal_features_documents"] = _multimodal_docs_oracle
     q["multimodal_png_decode"] = _multimodal_png_oracle
+    q["chunk_documents_256"] = _chunk_documents
     # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
     q["selector_report"] = _selector_report
@@ -1089,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores_documents"] = _quality
     q["language_id_documents"] = _langid
     q["multimodal_pipeline"] = _multimodal
+    q["pack_sequences"] = _pack_sequences_q
     return q
 
 
@@ -1218,6 +1253,14 @@ def oracle_sql() -> dict[str, str]:
     )
     o["multimodal_png_decode"] = (
         "SELECT doc_id, n_chars % 256 AS pixel FROM documents"
+    )
+    o["chunk_documents_256"] = (
+        "SELECT d.doc_id, gs.k AS chunk_idx,"
+        " substr(d.text, (gs.k - 1) * 256 + 1, 256) AS chunk"
+        " FROM documents d, LATERAL ("
+        "   SELECT UNNEST(generate_series(1,"
+        "     GREATEST(1, CAST(ceil(length(d.text) / 256.0) AS BIGINT)))) AS k"
+        " ) gs"
     )
 
     # quality / language-id: the heuristics are plain regex counts, so the

@@ -100,3 +100,99 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fingerprint": pa.array(h.view(np.int64)),
         }
     )
+
+
+def chunk_documents(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 256) -> pa.Table:
+    """Split each document into fixed-size character chunks (the
+    context-window chunking step of a training-data pipeline), fully
+    vectorized: one pyarrow slice per chunk ordinal instead of per-row
+    python. Output rows: (id, chunk_idx, chunk) in document order."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    nchunks = np.maximum(1, -(-nchars // size))  # empty docs keep one chunk
+    ids = batch.column(id_col)
+    rep = pa.array(np.repeat(np.arange(len(nchunks)), nchunks))
+    starts = np.concatenate([np.arange(k) for k in nchunks]) if len(nchunks) else np.zeros(0, np.int64)
+    max_k = int(nchunks.max()) if len(nchunks) else 0
+    # per-ordinal vectorized slice: ordinal k covers every doc with >k
+    # chunks; the concatenated ordinal-major arrays reorder to
+    # (doc, ordinal) with one permutation take
+    parts = []
+    doc_keys = []
+    ord_keys = []
+    for k in range(max_k):
+        sel = np.flatnonzero(nchunks > k)
+        parts.append(
+            pc.utf8_slice_codeunits(
+                texts.take(pa.array(sel)), k * size, (k + 1) * size
+            )
+        )
+        doc_keys.append(sel)
+        ord_keys.append(np.full(len(sel), k, np.int64))
+    if parts:
+        allc = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+        dk = np.concatenate(doc_keys)
+        ok = np.concatenate(ord_keys)
+        perm = np.lexsort((ok, dk))
+        chunks = allc.take(pa.array(perm))
+    else:
+        chunks = pa.array([], pa.string())
+    return pa.table(
+        {
+            id_col: ids.take(rep),
+            "chunk_idx": pa.array(starts + 1, pa.int64()),  # 1-based like SQL
+            "chunk": chunks,
+        }
+    )
+
+
+def pack_sequences(batch: pa.Table, tokens_col: str = "tokens",
+                   context_len: int = 2048) -> pa.Table:
+    """Greedy first-fit packing of token arrays into fixed-budget training
+    sequences WITHIN the batch (cross-partition packing would need a
+    shuffle; per-partition packing is the standard scale trade). Documents
+    longer than the budget are split. Output: (pack_id, tokens, n_docs)
+    with sum(len(tokens)) conserved and every pack <= context_len."""
+    toks = batch.column(tokens_col)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values.to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    packs = []  # list of (start, stop) runs into values per pack
+    cur = []
+    budget = context_len
+    for i in range(len(lens)):
+        a, b = offsets[i], offsets[i + 1]
+        while b - a > 0:
+            take = min(b - a, budget)
+            cur.append((a, a + take))
+            a += take
+            budget -= take
+            if budget == 0:
+                packs.append(cur)
+                cur = []
+                budget = context_len
+    if cur:
+        packs.append(cur)
+    out_vals = np.concatenate(
+        [values[a:b] for p in packs for a, b in p]
+    ) if packs else np.zeros(0, values.dtype)
+    pack_lens = np.array([sum(b - a for a, b in p) for p in packs], np.int64)
+    out_off = np.zeros(len(packs) + 1, np.int64)
+    np.cumsum(pack_lens, out=out_off[1:])
+    return pa.table(
+        {
+            "pack_id": pa.array(np.arange(len(packs), dtype=np.int64)),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(out_off, pa.int32()).cast(pa.int32()),
+                pa.array(out_vals),
+            ),
+            "n_docs": pa.array(
+                np.array([len(p) for p in packs], np.int64)
+            ),
+        }
+    )

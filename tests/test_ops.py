@@ -323,3 +323,48 @@ def test_remove_ids_empty_drop_set(docs_with_dups):
     drop = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
     out = dedup.remove_ids(docs_with_dups, drop).to_pandas()
     assert len(out) == 530
+
+
+def test_chunk_documents_matches_python_reference():
+    import pyarrow.parquet as pq
+
+    from rayenc.ops import text as T
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = T.chunk_documents(docs, size=256)
+    want = []
+    for did, t in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        n = max(1, -(-len(t) // 256))
+        for k in range(n):
+            want.append((did, k + 1, t[k * 256 : (k + 1) * 256]))
+    got = list(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("chunk_idx").to_pylist(),
+            out.column("chunk").to_pylist(),
+        )
+    )
+    assert got == want
+
+
+def test_pack_sequences_invariants():
+    from rayenc.ops import text as T
+
+    rng = np.random.default_rng(0)
+    lens = rng.integers(1, 4000, 200)
+    toks = pa.table(
+        {"tokens": pa.array([list(range(int(n))) for n in lens], pa.list_(pa.int32()))}
+    )
+    p = T.pack_sequences(toks, context_len=1024)
+    out_lens = [len(x) for x in p.column("tokens").to_pylist()]
+    assert sum(out_lens) == int(lens.sum())  # token conservation
+    assert all(l <= 1024 for l in out_lens)
+    assert all(l == 1024 for l in out_lens[:-1])  # greedy fills every pack
+    # concatenated values preserve document order
+    flat_in = [v for n in lens for v in range(int(n))]
+    flat_out = [v for x in p.column("tokens").to_pylist() for v in x]
+    assert flat_in == flat_out
