@@ -518,6 +518,7 @@ def read_table_filtered(
     predicate: list,
     columns: list[str] | None = None,
     decryption: FileDecryption | None = None,
+    row_groups: list[int] | None = None,
 ) -> pa.Table:
     """Predicate-pushdown read of a parquet FILE driven by OUR ColumnIndex /
     OffsetIndex parsing (the filter2/columnindex page-skipping surface,
@@ -533,7 +534,12 @@ def read_table_filtered(
         schema = pa.schema([schema.field(c) for c in columns])
     leaf_ord = {leaf.dotted: i for i, leaf in enumerate(f.leaves)}
     parts = []
-    for rg_ord, rg in enumerate(f.row_groups):
+    rg_iter = (
+        [(i, f.row_groups[i]) for i in row_groups]
+        if row_groups is not None
+        else list(enumerate(f.row_groups))
+    )
+    for rg_ord, rg in rg_iter:
         rg_rows = rg.get(3)
         # bloom filters veto whole row groups for equality conjuncts before
         # any page-index work (BloomFilterReader + ColumnIndexFilter compose
@@ -577,9 +583,25 @@ def read_table_filtered(
             continue
         cols = []
         for field in schema:
-            ci = leaf_ord[field.name]
             if pa.types.is_nested(field.type):
-                raise NotImplementedError("filtered read of nested columns")
+                # nested SELECTED columns (predicates stay flat): decode the
+                # whole chunk set via the general assembler, slice record
+                # intervals — page skipping still applies to the flat
+                # predicate columns driving `intervals`
+                from .parquet_compat import assemble_tree
+
+                triples = [
+                    f.decode_leaf(rg_ord, i, raw_levels=True)
+                    for i, leaf in enumerate(f.leaves)
+                    if leaf.path[0] == field.name
+                ]
+                arr = assemble_tree(field, triples)
+                picked = pa.concat_arrays(
+                    [arr.slice(a, b - a) for a, b in intervals]
+                )
+                cols.append(picked)
+                continue
+            ci = leaf_ord[field.name]
             parsed = idx_cache.get(field.name) or _parse_index(f, rg_ord, ci)
             if parsed is None:
                 r = f.decode_leaf(rg_ord, ci)

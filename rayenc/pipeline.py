@@ -826,3 +826,50 @@ def encode_encrypted_parquet_job(
         concurrency=min(concurrency, len(descs)) if isinstance(concurrency, int) else concurrency,
         num_cpus=1,
     )
+
+
+def read_parquet_filtered(
+    paths: list[str] | str,
+    predicate: list,
+    columns: list[str] | None = None,
+    decryption=None,
+    concurrency: int | tuple | None = None,
+) -> "ray.data.Dataset":
+    """Distributed predicate-pushdown read of parquet FILES driven by OUR
+    index structures: one task per (file, row group) runs
+    parquet_read_enc.read_table_filtered — bloom row-group vetoes +
+    ColumnIndex page skipping + exact filtering all happen inside the task,
+    so only surviving rows enter the object store. Works on plaintext and
+    modular-encrypted files (pass parquet_crypto.FileDecryption)."""
+    from .parquet_read_enc import EncryptedFile
+
+    if isinstance(paths, str):
+        paths = [paths]
+    descs = []
+    for path in sorted(paths):
+        f = EncryptedFile(path, decryption)
+        for rg in range(len(f.row_groups)):
+            descs.append({"path": path, "rg": rg})
+    if not descs:
+        return ray.data.from_items([])
+
+    def task(batch: dict):
+        from .memtune import tune_process_memory
+        from .parquet_read_enc import read_table_filtered
+
+        tune_process_memory()
+        for k in range(len(batch["path"])):
+            table = read_table_filtered(
+                str(batch["path"][k]), predicate, columns=columns,
+                decryption=decryption, row_groups=[int(batch["rg"][k])],
+            )
+            if table.num_rows:
+                yield table
+
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    return ray.data.from_items(descs).map_batches(
+        task, batch_size=1,
+        concurrency=min(concurrency, len(descs)) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )

@@ -393,3 +393,59 @@ def test_read_table_filtered_in_predicate(tmp_path):
     )
     ks = [(c, "ascending") for c in sorted(t.column_names)]
     assert got.cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+
+
+def test_filtered_read_nested_selected_columns(tmp_path):
+    import pyarrow.compute as pc
+
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig
+
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array(list(range(n)), pa.int64()),
+            "tags": pa.array(
+                [[f"t{i % 5}", f"u{i % 3}"] for i in range(n)],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    path = str(tmp_path / "n.parquet")
+    parquet_write.write_table(t, path, EncodeConfig(page_rows=200), row_group_size=500)
+    got = read_table_filtered(path, [("k", "<", 120)])
+    want = t.filter(pc.less(t.column("k"), 120))
+    assert got.cast(want.schema).sort_by("k").equals(want.sort_by("k"))
+
+
+def test_read_parquet_filtered_distributed(tmp_path, ray_session):
+    import pyarrow.compute as pc
+
+    from rayenc import pipeline
+    from rayenc.selector import EncodeConfig
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "d.parquet")
+    parquet_write.write_table(
+        t, path,
+        EncodeConfig(page_rows=500, bloom_columns={"l_orderkey"}),
+        row_group_size=2000,
+    )
+    import ray
+
+    ds = pipeline.read_parquet_filtered(path, [("l_orderkey", "<", 40)])
+    got = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    want = t.filter(pc.less(t.column("l_orderkey"), 40))
+    ks = [(c, "ascending") for c in sorted(t.column_names)]
+    assert got.combine_chunks().cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+    # encrypted distributed variant
+    p2 = str(tmp_path / "de.parquet")
+    parquet_write.write_table(
+        t, p2, EncodeConfig(page_rows=500), row_group_size=2000,
+        encryption=FileEncryption(footer_key=FK),
+    )
+    ds2 = pipeline.read_parquet_filtered(
+        p2, [("l_orderkey", "<", 40)], decryption=FileDecryption(footer_key=FK)
+    )
+    got2 = pa.concat_tables([ray.get(r) for r in ds2.to_arrow_refs()])
+    assert got2.combine_chunks().cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
