@@ -1021,10 +1021,14 @@ def _pushdown_filter_parquet(sf_dir: str):
     parquet_write.write_table(
         table, out, EncodeConfig(page_rows=2000), row_group_size=20000
     )
-    got = read_table_filtered(
+    from rayenc import pipeline
+
+    ds = pipeline.read_parquet_filtered(
         out, [("l_orderkey", "<", 500), ("l_quantity", ">=", 10.0)]
     )
-    return got.cast(table.schema)
+    return ds.map_batches(
+        lambda b: b.cast(table.schema), batch_format="pyarrow"
+    )
 
 
 def _chunk_documents(sf_dir: str):

@@ -449,3 +449,28 @@ def test_read_parquet_filtered_distributed(tmp_path, ray_session):
     )
     got2 = pa.concat_tables([ray.get(r) for r in ds2.to_arrow_refs()])
     assert got2.combine_chunks().cast(want.schema).sort_by(ks).equals(want.sort_by(ks))
+
+
+def test_encrypted_nested_stress_300k(tmp_path):
+    """Volume check: 300k rows of nested lists through encrypted write+read,
+    bit-lossless (the round-2 1M-row plaintext stress, encrypted)."""
+    rng = np.random.default_rng(5)
+    n = 300_000
+    lens = rng.integers(0, 6, n)
+    vals = rng.integers(0, 10**6, int(lens.sum())).astype(np.int64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "l": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(vals)
+            ),
+        }
+    )
+    path = str(tmp_path / "big.parquet")
+    parquet_write.write_table(
+        t, path, row_group_size=100_000, encryption=FileEncryption(footer_key=FK)
+    )
+    got = read_table_encrypted(path, FileDecryption(footer_key=FK))
+    assert got.cast(t.schema).equals(t)

@@ -282,3 +282,45 @@ def test_encrypted_roundtrip_property(cols):
     )
     got = read_table_encrypted(path, FileDecryption(footer_key=fk))
     assert got.cast(t.schema).equals(t)
+
+
+struct_list_rows = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"x": st.one_of(st.none(), st.integers(-50, 50)),
+                     "y": st.one_of(st.none(), st.text(max_size=6))}
+                ),
+            ),
+            max_size=3,
+        ),
+    ),
+    max_size=30,
+)
+
+
+@given(rows=struct_list_rows)
+@settings(max_examples=25, deadline=None)
+def test_general_assembly_list_of_struct_property(rows):
+    import tempfile
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+
+    if not rows:
+        return
+    t = pa.table(
+        {
+            "ls": pa.array(
+                rows, pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+            ),
+            "k": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    path = tempfile.mktemp(suffix=".parquet")
+    parquet_write.write_table(t, path)
+    got = read_table_conformance(path)
+    assert got.cast(t.schema).equals(t)
