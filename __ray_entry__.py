@@ -1064,6 +1064,49 @@ def _pack_sequences_q(sf_dir: str):
     ).select_columns(["pack_id", "n_docs"])
 
 
+def _simhash_pairs_planted(sf_dir: str):
+    """SimHash banding with a known answer: exact copies have hamming
+    distance 0, so every planted pair (and nothing else — the base texts are
+    pairwise dissimilar) appears at max_hamming=0."""
+    from rayenc.ops import dedup
+
+    pairs = dedup.simhash_near_dups(_planted_dup_docs(sf_dir), max_hamming=0)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    return pairs.map_batches(norm, batch_format="pyarrow")
+
+
+def _ngram_jaccard_planted(sf_dir: str):
+    """Exact k-shingle Jaccard on the planted pairs: copies score exactly
+    1.0, so the recovered (id_a, id_b) set equals the planted mapping."""
+    import ray
+
+    from rayenc.ops import dedup
+
+    ds = _planted_dup_docs(sf_dir)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in ds.to_arrow_refs()]
+    )
+    base = tbl.filter(pa.compute.less(tbl.column("doc_id"), 1_000_000))
+    dup = tbl.filter(pa.compute.greater_equal(tbl.column("doc_id"), 1_000_000))
+    base = base.sort_by("doc_id")
+    dup = dup.sort_by("doc_id")
+    j = dedup.ngram_jaccard(
+        base.column("text").to_pylist(), dup.column("text").to_pylist()
+    )
+    keep = j >= 0.999
+    return pa.table(
+        {
+            "id_a": pa.array(
+                base.column("doc_id").to_numpy()[keep], pa.int64()
+            ),
+            "id_b": pa.array(dup.column("doc_id").to_numpy()[keep], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -1114,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["minhash_dedup_planted"] = _minhash_dedup_planted
     q["minhash_pairs_planted"] = _minhash_pairs_planted
+    q["simhash_pairs_planted"] = _simhash_pairs_planted
+    q["ngram_jaccard_planted"] = _ngram_jaccard_planted
     q["multimodal_features_documents"] = _multimodal_docs_oracle
     q["multimodal_png_decode"] = _multimodal_png_oracle
     q["chunk_documents_256"] = _chunk_documents
@@ -1250,6 +1295,12 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_pairs_planted"] = (
         "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,"
         " CAST(1.0 AS DOUBLE) AS est_jaccard FROM documents"
+    )
+    o["simhash_pairs_planted"] = (
+        "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+    )
+    o["ngram_jaccard_planted"] = (
+        "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
     )
     o["multimodal_features_documents"] = (
         "SELECT doc_id AS media_id, CAST(192 AS BIGINT) AS n_features,"
