@@ -13,8 +13,17 @@ verify jobs.
     python -m rayenc.cli pages   DIR [--column c]
     python -m rayenc.cli column-sizes DIR
     python -m rayenc.cli rewrite DIR -o OUT [--drop col ...] [--mask col ...]
-                                 [--compress zstd|none]
+                                 [--compress zstd|none] [--rename old=new]
     python -m rayenc.cli verify  IN.parquet... --dir DIR
+
+Parquet FILE inspection / surgery (all take --key HEX for encrypted files):
+
+    python -m rayenc.cli file-meta FILE.parquet
+    python -m rayenc.cli show-bloom-filter FILE --column c [--test-value v]
+    python -m rayenc.cli show-column-index FILE [--column c]
+    python -m rayenc.cli show-size-statistics FILE [--column c]
+    python -m rayenc.cli merge A.parquet B.parquet -o OUT.parquet
+    python -m rayenc.cli reencrypt FILE -o OUT [--in-key HEX] [--out-key HEX]
 
 CLI entry points own their Ray session (guarded init), per the driver
 contract.
