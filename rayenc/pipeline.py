@@ -546,12 +546,28 @@ def encode_grouped_job(
     os.makedirs(out_dir, exist_ok=True)
     config = config or EncodeConfig()
 
+    def _fill_key_nulls(colk):
+        """Null key values break Ray Data's groupby sort (None vs str
+        compare) — both passes normalize them to the same sentinel so null
+        rows co-locate as one ordinary group."""
+        if colk.null_count:
+            import pyarrow.compute as _pc
+
+            sentinel = (
+                "\x00<null>"
+                if pa.types.is_string(colk.type)
+                or pa.types.is_large_string(colk.type)
+                else -(1 << 62)
+            )
+            return _pc.fill_null(colk, sentinel)
+        return colk
+
     # pass 1: per-key payload sizes (partial aggregate inside map_batches,
     # then a tiny shuffle of one row per key per batch)
     def partial_sizes(batch: pa.Table) -> pa.Table:
         vb = _grouped_value_bytes(batch)
         t = pa.table(
-            {key: batch.column(key), "vbytes": pa.array(vb)}
+            {key: _fill_key_nulls(batch.column(key)), "vbytes": pa.array(vb)}
         )
         agg = t.group_by([key]).aggregate([("vbytes", "sum")])
         return agg.rename_columns([key, "vbytes"])
@@ -580,7 +596,9 @@ def encode_grouped_job(
         from .ops.dedup import hash_strings
 
         p = ray.get(plan_ref)
-        kv = batch.column(key).to_numpy(zero_copy_only=False)
+        # same sentinel normalization as pass 1, so null keys find their
+        # planned buckets (np.unique also cannot sort None-mixed arrays)
+        kv = _fill_key_nulls(batch.column(key)).to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(kv, return_inverse=True)
         # keys absent from the pass-1 plan (e.g. null key values, which
         # np.unique folds to a sentinel the census never saw) fall back to

@@ -79,3 +79,51 @@ def test_parquet_footer_stats_unsigned(tmp_path):
     dset = pads.dataset(path, format="parquet")
     got = dset.to_table(filter=pc.field("u32") == 4294967295)
     assert got.num_rows == 1
+
+
+def test_bit_packed_write_warns():
+    import warnings
+
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.selector import EncodeConfig
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".parquet")
+    cfg = EncodeConfig()
+    cfg.level_encoding = "BIT_PACKED"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parquet_write.write_table(t, path, cfg)
+    assert any("BIT_PACKED" in str(x.message) for x in w)
+
+
+def test_grouped_encode_tolerates_null_keys(tmp_path):
+    import ray.data
+
+    from rayenc import pipeline
+
+    src = str(tmp_path / "s.parquet")
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(100)]),
+            "tokens": pa.array([[i, i + 1] for i in range(100)], pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 100, pa.int32()),
+            "source": pa.array(
+                [None if i % 7 == 0 else f"s{i % 3}" for i in range(100)]
+            ),
+        }
+    )
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    # a null key value must fall back to a bucket, not KeyError the job
+    pipeline.encode_grouped_job(
+        [src], out, key="source", salt_col=None, max_block_rows=1000
+    ).materialize()
+    got = pipeline.decode_dataset(out).to_pandas()
+    assert len(got) == 100
+    # nulls survive the grouped encode untouched (sentinel is shuffle-only)
+    assert got["source"].isna().sum() == sum(1 for i in range(100) if i % 7 == 0)
