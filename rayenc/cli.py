@@ -205,6 +205,68 @@ def cmd_file_meta(args):
             )
 
 
+def cmd_show_dictionary(args):
+    """ShowDictionaryCommand analog: decode and print the dictionary page
+    of one column chunk of a parquet FILE (plaintext or encrypted)."""
+    import numpy as np
+
+    from .parquet_compat import _decode_plain, read_page_header
+    from .parquet_read_enc import _encrypted_page_iter
+    from . import parquet_crypto as pcrypt
+    import pyarrow as pa
+
+    f = _enc_file(args)
+    for rg in range(len(f.row_groups)):
+        for ci, leaf in enumerate(f.leaves):
+            if args.column and leaf.dotted != args.column:
+                continue
+            md = f.chunk_meta(rg, ci)
+            dict_off = md.get(11)
+            if dict_off is None or dict_off < 0:
+                print(f"rg {rg} {leaf.dotted}: no dictionary page")
+                continue
+            key = f._chunk_key(rg, ci)
+            if key is None:
+                h = read_page_header(
+                    np.frombuffer(f.raw[dict_off : dict_off + 65536], np.uint8), 0
+                )
+                body = np.frombuffer(
+                    f.raw[dict_off + h.header_len : dict_off + h.header_len + h.compressed_size],
+                    np.uint8,
+                )
+            else:
+                hdr_pt, end = pcrypt.decrypt_module(
+                    key, f.raw, dict_off,
+                    pcrypt.module_aad(f.file_aad, pcrypt.M_DICT_PAGE_HEADER, rg, ci),
+                )
+                h = read_page_header(np.frombuffer(hdr_pt, np.uint8), 0)
+                body_pt, _ = pcrypt.decrypt_module(
+                    key, f.raw, end,
+                    pcrypt.module_aad(f.file_aad, pcrypt.M_DICT_PAGE, rg, ci),
+                )
+                body = np.frombuffer(body_pt, np.uint8)
+            codec_id = md.get(4, 0)
+            if codec_id:
+                from .parquet_read_enc import _CODEC_NAME
+
+                codec = pa.Codec(_CODEC_NAME[codec_id])
+                body = np.frombuffer(
+                    codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
+                )
+            vals = _decode_plain(body, h.num_values, leaf.ptype, leaf.type_length)
+            if isinstance(vals, tuple):
+                offs, dat = vals
+                shown = [
+                    bytes(dat[offs[i] : offs[i + 1]]).decode("utf-8", "replace")
+                    for i in range(min(h.num_values, args.n))
+                ]
+            else:
+                shown = np.asarray(vals)[: args.n].tolist()
+            print(f"rg {rg} {leaf.dotted}: {h.num_values} dictionary entries")
+            for i, v in enumerate(shown):
+                print(f"  [{i}] {v!r}")
+
+
 def cmd_show_bloom(args):
     """show-bloom-filter analog (ShowBloomFilterCommand.java): parse the
     BloomFilterHeader+bitset of each chunk of a parquet FILE; with
@@ -457,6 +519,7 @@ def main(argv=None):
 
     for name, fn in (
         ("file-meta", cmd_file_meta),
+        ("show-dictionary", cmd_show_dictionary),
         ("show-bloom-filter", cmd_show_bloom),
         ("show-column-index", cmd_show_column_index),
         ("show-size-statistics", cmd_show_size_stats),
@@ -467,6 +530,8 @@ def main(argv=None):
         sp.add_argument("--key", default=None, help="footer key (hex) for encrypted files")
         if name == "show-bloom-filter":
             sp.add_argument("--test-value", default=None)
+        if name == "show-dictionary":
+            sp.add_argument("-n", type=int, default=20)
         sp.set_defaults(fn=fn)
 
     mg = sub.add_parser("merge")

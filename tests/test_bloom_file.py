@@ -153,3 +153,21 @@ def test_filtered_read_composes_bloom_and_page_index(tmp_path):
     absent = int(pc.max(t.column("l_orderkey")).as_py()) + 10**9
     got2 = read_table_filtered(path, [("l_orderkey", "==", absent)])
     assert got2.num_rows == 0 and got2.schema.names == t.schema.names
+
+
+def test_cli_show_dictionary(tmp_path, capsys):
+    from rayenc import cli
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "d.parquet")
+    parquet_write.write_table(t, path)
+
+    class A:
+        file = path
+        column = "l_returnflag"
+        key = None
+        n = 10
+
+    cli.cmd_show_dictionary(A())
+    out = capsys.readouterr().out
+    assert "dictionary entries" in out and "'A'" in out and "'R'" in out
