@@ -19,6 +19,7 @@ verify jobs.
 Parquet FILE inspection / surgery (all take --key HEX for encrypted files):
 
     python -m rayenc.cli file-meta FILE.parquet
+    python -m rayenc.cli show-dictionary FILE --column c [-n 20]
     python -m rayenc.cli show-bloom-filter FILE --column c [--test-value v]
     python -m rayenc.cli show-column-index FILE [--column c]
     python -m rayenc.cli show-size-statistics FILE [--column c]
@@ -211,7 +212,6 @@ def cmd_show_dictionary(args):
     import numpy as np
 
     from .parquet_compat import _decode_plain, read_page_header
-    from .parquet_read_enc import _encrypted_page_iter
     from . import parquet_crypto as pcrypt
     import pyarrow as pa
 
