@@ -907,13 +907,19 @@ def _conformance_read_nested(sf_dir: str):
     out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
     parquet_write.write_table(nested, out, row_group_size=20000)
     got = read_table_conformance(out)
-    # flatten: every row has exactly one map entry and one list element
+    # flatten: every row has exactly one map entry and one list element.
+    # `d` is round-tripped as decimal128(12,2) through write+read (that is the
+    # coverage) but RETURNED as its canonical string rendering: the driver's
+    # value-hash canonicalizes decimal columns differently from DuckDB's
+    # DECIMAL output (the one red row in CORRECTNESS_r03), while the string
+    # form '1.00' is identical on both sides (VERDICT.md round-3 #1).
     m = got.column("m").combine_chunks()
     lst = got.column("lst").combine_chunks()
     elem = lst.flatten()
+    assert got.column("d").type == pa.decimal128(12, 2), got.column("d").type
     return pa.table(
         {
-            "d": got.column("d"),
+            "d": pa.compute.cast(got.column("d"), pa.string()),
             "m_key": m.keys,
             "m_val": m.items,
             "x": elem.field("x"),
@@ -1031,6 +1037,32 @@ def _pushdown_filter_parquet(sf_dir: str):
     )
 
 
+def _pushdown_filter_or(sf_dir: str):
+    """Compound predicate tree on a parquet FILE — the filter2 algebra
+    (`filter2/predicate/Operators.java:565,577,589`): an Or across two
+    columns conjoined with a Not, pushed through row-group stats, page
+    indexes (per-branch RowRanges union) and the exact filter."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write, pipeline
+    from rayenc.predicate import And, Eq, Lt, Not, Or
+    from rayenc.selector import EncodeConfig
+
+    table = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(
+        table, out, EncodeConfig(page_rows=2000), row_group_size=20000
+    )
+    pred = And(
+        Or(Eq("l_returnflag", "A"), Lt("l_quantity", 3.0)),
+        Not(Eq("l_linestatus", "F")),
+    )
+    ds = pipeline.read_parquet_filtered(out, pred)
+    return ds.map_batches(
+        lambda b: b.cast(table.schema), batch_format="pyarrow"
+    )
+
+
 def _chunk_documents(sf_dir: str):
     """Fixed-size character chunking of every document (context-window prep)
     across the Dataset; DuckDB reproduces the chunks with substr +
@@ -1141,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_point_lookup"] = _bloom_point_lookup
     q["merge_parquet_files"] = _merge_parquet_files
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
+    q["pushdown_filter_or"] = _pushdown_filter_or
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -1236,6 +1269,10 @@ def oracle_sql() -> dict[str, str]:
     o["pushdown_filter_parquet"] = (
         "SELECT * FROM lineitem WHERE l_orderkey < 500 AND l_quantity >= 10.0"
     )
+    o["pushdown_filter_or"] = (
+        "SELECT * FROM lineitem WHERE (l_returnflag = 'A' OR l_quantity < 3.0)"
+        " AND NOT (l_linestatus = 'F')"
+    )
     o["variant_shred_events"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT)"
         " AS \"props$k\" FROM events"
@@ -1248,7 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         " (SELECT MIN(l_orderkey) FROM lineitem)"
     )
     o["conformance_read_nested"] = (
-        "SELECT CAST(l_linenumber AS DECIMAL(12,2)) AS d,"
+        "SELECT CAST(CAST(l_linenumber AS DECIMAL(12,2)) AS VARCHAR) AS d,"
         " l_returnflag AS m_key, CAST(l_linenumber AS BIGINT) AS m_val,"
         " l_orderkey AS x, l_linestatus AS y FROM lineitem"
     )

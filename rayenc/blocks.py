@@ -557,48 +557,33 @@ def encode_chunk(
 
 
 def page_mask_for_predicate(entry: dict, predicate) -> list[bool] | None:
-    """Which pages can contain rows matching the (col, op, value) conjunctions
-    (page-level min/max skipping; None when stats are unavailable)."""
+    """Which pages of ONE chunk can contain rows matching the predicate
+    (page-level min/max skipping; None when stats are unavailable).
+    ``predicate`` is anything predicate.normalize accepts — a legacy
+    conjunction list or an And/Or/Not tree; leaves on other columns are
+    treated as satisfiable (sound: Or across columns prunes only through
+    `_kept_row_intervals`' per-branch interval union)."""
+    from . import predicate as P
+
+    tree = P.normalize(predicate)
     pages = entry["pages"]
-    if not pages or "min" not in pages[0]:
+    if tree is None or not pages or "min" not in pages[0]:
         return None
+    name = entry["name"]
     mask = []
     for p in pages:
-        lo, hi = p["min"], p["max"]
-        keep = True
-        for _, op, value in predicate:
-            if op == "in":
-                # keep the page when ANY member can fall inside its bounds
-                vals = [
-                    v.encode("utf-8").decode("latin-1") if isinstance(lo, str) and isinstance(v, str)
-                    else v
-                    for v in value
-                ]
-                cmp_ok = [
-                    v for v in vals
-                    if isinstance(v, str) == isinstance(lo, str)
-                ]
-                if cmp_ok and all(v < lo or v > hi for v in cmp_ok):
-                    keep = False
-                    break
-                continue
-            if isinstance(lo, str):
-                if not isinstance(value, (str, bytes)):
-                    continue
-                v = value.encode("utf-8") if isinstance(value, str) else value
-                value = v.decode("latin-1")
-            elif isinstance(value, (str, bytes)):
-                continue
-            if (
-                (op == "==" and (value < lo or value > hi))
-                or (op == "<" and lo >= value)
-                or (op == "<=" and lo > value)
-                or (op == ">" and hi <= value)
-                or (op == ">=" and hi < value)
-            ):
-                keep = False
-                break
-        mask.append(keep)
+        lo, hi = p.get("min"), p.get("max")
+        if isinstance(lo, str):
+            # string bounds are stored latin-1 (bytewise order, truncated
+            # max incremented — ColumnIndexBuilder semantics)
+            lo, hi = lo.encode("latin-1"), hi.encode("latin-1")
+
+        def leaf_fn(leaf, lo=lo, hi=hi):
+            if leaf.col != name:
+                return True
+            return P.leaf_vs_bounds(leaf, lo, hi)
+
+        mask.append(P.may_match(tree, leaf_fn))
     return mask
 
 
@@ -711,32 +696,50 @@ def _entry_page_ranges(entry):
     return [(int(s), int(e)) for s, e in zip(starts, ends)]
 
 
+def _pred_intervals(pred, by_name, nrows):
+    """Row intervals that may satisfy one NNF predicate node, from per-page
+    min/max: And intersects, Or unions per-branch intervals (the RowRanges
+    calculus of `internal/filter2/columnindex/ColumnIndexFilter.java`),
+    leaves map to their column's surviving page ranges."""
+    from . import predicate as P
+
+    if isinstance(pred, P.And):
+        iv = [(0, nrows)]
+        for k in pred.preds:
+            iv = _intersect_intervals(iv, _pred_intervals(k, by_name, nrows))
+            if not iv:
+                break
+        return iv
+    if isinstance(pred, P.Or):
+        out = []
+        for k in pred.preds:
+            out = _merge_intervals(out + _pred_intervals(k, by_name, nrows))
+        return out
+    e = by_name.get(pred.col)
+    if e is not None and e.get("alias"):
+        e = by_name.get(e["alias"])
+    if e is None or e["validity"] is not None:
+        return [(0, nrows)]
+    mask = page_mask_for_predicate(e, pred)
+    if mask is None:
+        return [(0, nrows)]
+    return _merge_intervals(
+        [r for r, k in zip(_entry_page_ranges(e), mask) if k]
+    )
+
+
 def _kept_row_intervals(manifest, by_name, page_predicate, nrows):
     """Rows that can satisfy the predicate, from per-page min/max of every
     predicate column — the offset-index row-alignment of
-    `internal/column/columnindex/` generalized to multi-column conjunctions."""
-    from collections import defaultdict
+    `internal/column/columnindex/` generalized to And/Or/Not trees across
+    any number of columns. None when nothing was pruned."""
+    from . import predicate as P
 
-    conjs = defaultdict(list)
-    for c, op, v in page_predicate:
-        conjs[c].append((c, op, v))
-    kept = [(0, nrows)]
-    pruned = False
-    for cname, cl in conjs.items():
-        e = by_name.get(cname)
-        if e is not None and e.get("alias"):
-            e = by_name.get(e["alias"])
-        if e is None or e["validity"] is not None:
-            continue
-        mask = page_mask_for_predicate(e, cl)
-        if mask is None:
-            continue
-        iv = _merge_intervals(
-            [r for r, k in zip(_entry_page_ranges(e), mask) if k]
-        )
-        kept = _intersect_intervals(kept, iv)
-        pruned = True
-    if not pruned or kept == [(0, nrows)]:
+    tree = P.normalize(page_predicate)
+    if tree is None:
+        return None
+    kept = _pred_intervals(tree, by_name, nrows)
+    if kept == [(0, nrows)]:
         return None
     return kept
 

@@ -456,6 +456,10 @@ def assemble_flat(r, t):
             arr = pa.array(v, pa.int64() if v.dtype == np.int64 else pa.int32())
         elif pa.types.is_boolean(t):
             arr = pa.array(v.astype(bool))
+        elif pa.types.is_unsigned_integer(t) and v.dtype.kind == "i":
+            # UINT logical types store the same bit pattern in signed
+            # physical ints — reassemble by view, not value cast
+            arr = pa.array(v.view(v.dtype.str.replace("i", "u")))
         else:
             arr = pa.array(v)
     arr = _restore_nulls(arr, mask, arr.type)

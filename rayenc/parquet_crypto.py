@@ -100,8 +100,10 @@ def verify_gcm_signature(
 
     # re-encrypt with the recorded nonce and compare tags (GCM is
     # deterministic given key/nonce/aad)
+    import hmac
+
     ct = AESGCM(key).encrypt(nonce, bytes(plaintext), aad)
-    return ct[-TAG_LEN:] == tag
+    return hmac.compare_digest(ct[-TAG_LEN:], bytes(tag))
 
 
 @dataclass

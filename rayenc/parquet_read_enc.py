@@ -132,18 +132,36 @@ _PTYPE_NAME = {
 
 
 class LeafInfo:
-    __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def")
+    __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def", "unsigned")
 
-    def __init__(self, path, ptype, type_length, max_rep, max_def):
+    def __init__(self, path, ptype, type_length, max_rep, max_def, unsigned=False):
         self.path = path
         self.ptype = ptype
         self.type_length = type_length
         self.max_rep = max_rep
         self.max_def = max_def
+        self.unsigned = unsigned
 
     @property
     def dotted(self):
         return ".".join(self.path)
+
+
+# ConvertedType UINT_8/16/32/64 ordinals (parquet.thrift)
+_UNSIGNED_CONVERTED = {11, 12, 13, 14}
+
+
+def _leaf_is_unsigned(e: dict) -> bool:
+    """SchemaElement -> is the leaf an unsigned integer logical type?
+    (converted_type field 6, or LogicalType.INTEGER field 10 with
+    isSigned=false) — drives unsigned-domain min/max comparison, matching
+    the write-side unsigned stats domain (stats.compute)."""
+    if e.get(6) in _UNSIGNED_CONVERTED:
+        return True
+    lt = e.get(10)
+    if isinstance(lt, dict) and isinstance(lt.get(10), dict):
+        return lt[10].get(2, True) is False
+    return False
 
 
 def _walk_schema(elems):
@@ -170,7 +188,8 @@ def _walk_schema(elems):
         else:
             leaves.append(
                 LeafInfo(
-                    path + [name], _PTYPE_NAME[e[1]], e.get(2, 0), max_rep, max_def
+                    path + [name], _PTYPE_NAME[e[1]], e.get(2, 0), max_rep,
+                    max_def, unsigned=_leaf_is_unsigned(e),
                 )
             )
 
@@ -201,8 +220,16 @@ class EncryptedFile:
     def __init__(self, path: str, decryption: FileDecryption | None = None):
         self.path = path
         self.dec = decryption or FileDecryption()
+        # mmap, not read(): decode tasks are planned one per (file, row
+        # group), so each task touches only its row group's byte ranges —
+        # a full read() would re-read and re-fault the whole file per task
+        import mmap
+
         with open(path, "rb") as f:
-            self.raw = f.read()
+            try:
+                self.raw = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            except (ValueError, OSError):  # zero-length or special file
+                self.raw = f.read()
         tail = self.raw[-8:]
         (flen,) = struct.unpack("<i", tail[:4])
         magic = tail[4:]
@@ -444,14 +471,25 @@ def _parse_index(f: "EncryptedFile", rg_ord: int, col_ord: int):
 
 
 _MINMAX_FMT = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}
+_MINMAX_FMT_UNSIGNED = {"INT32": "<I", "INT64": "<Q"}
 
 
-def _page_bounds(cidx, leaf, unsigned_hint=False):
+def _bounds_fmt(leaf):
+    """struct format for ColumnIndex / Statistics bounds of one leaf —
+    unsigned logical ints compare in the unsigned domain (mirrors the
+    write-side unsigned stats fix; TYPE_DEFINED_ORDER for UINT_* sorts
+    unsigned, so the stored bytes exceed the signed max for large values)."""
+    if leaf.unsigned and leaf.ptype in _MINMAX_FMT_UNSIGNED:
+        return _MINMAX_FMT_UNSIGNED[leaf.ptype]
+    return _MINMAX_FMT.get(leaf.ptype)
+
+
+def _page_bounds(cidx, leaf):
     """Decode ColumnIndex min/max byte arrays into comparable values
     (None per page when the page is all-null)."""
     nulls = cidx.get(1, [])
     mins, maxs = cidx.get(2, []), cidx.get(3, [])
-    fmt = _MINMAX_FMT.get(leaf.ptype)
+    fmt = _bounds_fmt(leaf)
     out = []
     for p in range(len(mins)):
         if p < len(nulls) and nulls[p]:
@@ -466,36 +504,108 @@ def _page_bounds(cidx, leaf, unsigned_hint=False):
     return out
 
 
-def _page_keep_mask(bounds, op, value) -> list[bool]:
-    if op == "in":
-        # keep a page when ANY member may fall inside its bounds
-        masks = [_page_keep_mask(bounds, "==", v) for v in value]
-        return [any(col) for col in zip(*masks)] if masks else [False] * len(bounds)
-    keep = []
-    for b in bounds:
-        if b is None:
-            keep.append(False)
-            continue
-        lo, hi = b
-        if isinstance(lo, bytes):
-            if isinstance(value, str):
-                value = value.encode()
-            if not isinstance(value, bytes):
-                keep.append(True)
-                continue
-        elif isinstance(value, (str, bytes)):
-            keep.append(True)
-            continue
-        keep.append(
-            not (
-                (op == "==" and (value < lo or value > hi))
-                or (op == "<" and lo >= value)
-                or (op == "<=" and lo > value)
-                or (op == ">" and hi <= value)
-                or (op == ">=" and hi < value)
-            )
+def _chunk_stat_bounds(md: dict, leaf) -> tuple | None:
+    """(lo, hi) from ColumnMetaData.statistics min_value/max_value (fields
+    6/5), or None when absent/unusable. BYTE_ARRAY bounds are raw bytes
+    (truncated-with-increment upper bound — still valid bounds)."""
+    st = md.get(12)
+    if not isinstance(st, dict):
+        return None
+    mn, mx = st.get(6), st.get(5)
+    if mn is None or mx is None:
+        return None
+    fmt = _bounds_fmt(leaf)
+    if fmt is not None:
+        if len(mn) != struct.calcsize(fmt) or len(mx) != struct.calcsize(fmt):
+            return None
+        return struct.unpack(fmt, mn)[0], struct.unpack(fmt, mx)[0]
+    if leaf.ptype == "BYTE_ARRAY":
+        return bytes(mn), bytes(mx)
+    if leaf.ptype == "BOOLEAN" and len(mn) == 1 and len(mx) == 1:
+        return bool(mn[0]), bool(mx[0])
+    return None
+
+
+# PageEncodingStats page types / encodings for the dictionary-filter check
+_DICT_ENCODINGS = {2, 8}  # PLAIN_DICTIONARY, RLE_DICTIONARY
+
+
+def _all_pages_dict_encoded(md: dict) -> bool:
+    """True when PageEncodingStats (ColumnMetaData field 13) proves every
+    data page of the chunk is dictionary-encoded — the
+    `DictionaryFilter.hasNonDictionaryPages` precondition. Without encoding
+    stats the answer is unknowable from metadata -> False (no veto)."""
+    enc_stats = md.get(13)
+    if not enc_stats:
+        return False
+    saw_data = False
+    for st in enc_stats:
+        ptype, enc = st.get(1), st.get(2)
+        if ptype in (0, 3):  # DATA_PAGE / DATA_PAGE_V2
+            saw_data = True
+            if enc not in _DICT_ENCODINGS:
+                return False
+    return saw_data
+
+
+def read_dictionary_values(f: "EncryptedFile", rg_ord: int, col_ord: int):
+    """Decode ONE chunk's dictionary page into a pyarrow array of its
+    distinct non-null values, or None when the chunk has no dictionary.
+    This is the read half of `filter2/dictionarylevel/DictionaryFilter.java`:
+    the dictionary is tiny (<=1 MiB) next to the data pages, so reading it
+    to veto a row group is the cheapest inconclusive-stats fallback."""
+    from .parquet_compat import _decode_plain
+
+    leaf = f.leaves[col_ord]
+    md = f.chunk_meta(rg_ord, col_ord)
+    dict_off = md.get(11)
+    if dict_off is None or dict_off < 0:
+        return None
+    codec_name = _CODEC_NAME.get(md.get(4, 0))
+    codec = pa.Codec(codec_name) if codec_name else None
+    key = f._chunk_key(rg_ord, col_ord)
+    if key is None:
+        h = read_page_header(
+            np.frombuffer(f.raw[dict_off : dict_off + 65536], np.uint8), 0
         )
-    return keep
+        body = np.frombuffer(
+            f.raw[
+                dict_off + h.header_len : dict_off + h.header_len + h.compressed_size
+            ],
+            np.uint8,
+        )
+    else:
+        hdr_pt, end = pcrypt.decrypt_module(
+            key, f.raw, dict_off,
+            pcrypt.module_aad(f.file_aad, pcrypt.M_DICT_PAGE_HEADER, rg_ord, col_ord),
+        )
+        h = read_page_header(np.frombuffer(hdr_pt, np.uint8), 0)
+        body_pt, _ = pcrypt.decrypt_module(
+            key, f.raw, end,
+            pcrypt.module_aad(f.file_aad, pcrypt.M_DICT_PAGE, rg_ord, col_ord),
+        )
+        body = np.frombuffer(body_pt, np.uint8)
+    if h.type != 2:
+        return None
+    if codec is not None:
+        body = np.frombuffer(
+            codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
+        )
+    vals = _decode_plain(body, h.num_values, leaf.ptype, leaf.type_length)
+    if leaf.ptype == "BYTE_ARRAY":
+        offsets, data = vals
+        arr = pa.Array.from_buffers(
+            pa.large_binary(), h.num_values,
+            [None, pa.py_buffer(np.ascontiguousarray(offsets, np.int64)),
+             pa.py_buffer(np.ascontiguousarray(data))],
+        )
+        return arr
+    if leaf.ptype == "FIXED_LEN_BYTE_ARRAY":
+        v = np.ascontiguousarray(vals, np.uint8)
+        return pa.Array.from_buffers(
+            pa.binary(leaf.type_length), h.num_values, [None, pa.py_buffer(v)]
+        )
+    return pa.array(np.asarray(vals))
 
 
 def _intersect_intervals(a, b):
@@ -515,74 +625,163 @@ def _intersect_intervals(a, b):
 
 def read_table_filtered(
     path: str,
-    predicate: list,
+    predicate,
     columns: list[str] | None = None,
     decryption: FileDecryption | None = None,
     row_groups: list[int] | None = None,
+    use_dictionary_filter: bool = True,
 ) -> pa.Table:
     """Predicate-pushdown read of a parquet FILE driven by OUR ColumnIndex /
     OffsetIndex parsing (the filter2/columnindex page-skipping surface,
-    `internal/filter2/columnindex/ColumnIndexFilter.java` semantics): pages
-    whose min/max exclude every conjunct are never decoded; the surviving
-    row intervals intersect across predicate columns; the exact filter runs
-    after decode. Flat columns; plaintext or encrypted files."""
-    import pyarrow.compute as pc
+    `internal/filter2/columnindex/ColumnIndexFilter.java` semantics).
 
+    ``predicate`` is anything predicate.normalize accepts: the legacy
+    ``[(col, op, value), ...]`` conjunction list or a full And/Or/Not tree
+    with In/NotIn/UserPredicate leaves (`filter2/predicate/Operators.java`
+    algebra). Row groups are vetoed by chunk statistics, then bloom filters
+    (equality leaves), then — when stats are inconclusive and
+    PageEncodingStats prove the chunk fully dictionary-encoded — by reading
+    the dictionary page itself (`filter2/dictionarylevel/
+    DictionaryFilter.java`). Surviving row groups prune pages through the
+    RowRanges calculus (And intersects, Or unions per-branch intervals);
+    the exact filter runs after decode. Predicate columns excluded from
+    ``columns`` are decoded for the mask and dropped from the result.
+    Flat predicate columns; plaintext or encrypted files."""
+    from . import predicate as P
+
+    tree = P.normalize(predicate)
     f = EncryptedFile(path, decryption)
     schema = f.arrow_schema()
-    if columns is not None:
-        schema = pa.schema([schema.field(c) for c in columns])
     leaf_ord = {leaf.dotted: i for i, leaf in enumerate(f.leaves)}
+    pred_cols = sorted(P.columns(tree))
+    for c in pred_cols:
+        if c not in leaf_ord:
+            raise ValueError(f"predicate column {c!r} not in {path}")
+    if columns is not None:
+        out_names = list(columns)
+        extra = [c for c in pred_cols if c not in columns]
+        dec_schema = pa.schema(
+            [schema.field(c) for c in list(columns) + extra]
+        )
+    else:
+        out_names = None
+        extra = []
+        dec_schema = schema
+    for c in pred_cols:
+        if pa.types.is_nested(dec_schema.field(c).type):
+            raise ValueError(f"predicate column {c!r} is nested")
     parts = []
     rg_iter = (
         [(i, f.row_groups[i]) for i in row_groups]
         if row_groups is not None
         else list(enumerate(f.row_groups))
     )
+    dict_cache: dict = {}
+
+    def rg_leaf_fn(rg_ord):
+        def fn(leaf: P.Leaf) -> bool:
+            ci = leaf_ord[leaf.col]
+            lf = f.leaves[ci]
+            md = f.chunk_meta(rg_ord, ci)
+            b = _chunk_stat_bounds(md, lf)
+            if b is not None and not P.leaf_vs_bounds(leaf, b[0], b[1]):
+                return False
+            if leaf.op in ("==", "in"):
+                filt = read_bloom_filter(f, rg_ord, ci)
+                if filt is not None:
+                    from .bloom import spec_value_hash
+
+                    vals = leaf.value if leaf.op == "in" else [leaf.value]
+                    if not any(
+                        bool(
+                            filt.might_contain_hashes(
+                                spec_value_hash(v, lf.ptype)
+                            )[0]
+                        )
+                        for v in vals
+                    ):
+                        return False
+            if use_dictionary_filter and _all_pages_dict_encoded(md):
+                key = (rg_ord, ci)
+                if key not in dict_cache:
+                    try:
+                        dict_cache[key] = read_dictionary_values(f, rg_ord, ci)
+                    except Exception:
+                        dict_cache[key] = None
+                dvals = dict_cache[key]
+                if dvals is not None:
+                    try:
+                        arr = dvals
+                        if pa.types.is_binary(arr.type) or pa.types.is_large_binary(
+                            arr.type
+                        ):
+                            vals = (
+                                leaf.value
+                                if isinstance(leaf.value, tuple)
+                                else (leaf.value,)
+                            )
+                            if any(isinstance(v, str) for v in vals):
+                                arr = arr.cast(pa.large_string())
+                        if not P.leaf_vs_values(leaf, arr):
+                            return False
+                    except Exception:
+                        pass
+            return True
+
+        return fn
+
+    def page_intervals(node, rg_ord, rg_rows, idx_cache):
+        from .blocks import _merge_intervals
+
+        if isinstance(node, P.And):
+            iv = [(0, rg_rows)]
+            for k in node.preds:
+                iv = _intersect_intervals(
+                    iv, page_intervals(k, rg_ord, rg_rows, idx_cache)
+                )
+                if not iv:
+                    break
+            return iv
+        if isinstance(node, P.Or):
+            out = []
+            for k in node.preds:
+                out = _merge_intervals(
+                    out + page_intervals(k, rg_ord, rg_rows, idx_cache)
+                )
+            return out
+        ci = leaf_ord[node.col]
+        parsed = idx_cache.get(node.col)
+        if parsed is None:
+            parsed = _parse_index(f, rg_ord, ci)
+            idx_cache[node.col] = parsed
+        if parsed is None:
+            return [(0, rg_rows)]
+        cidx, oidx = parsed
+        locs = oidx.get(1, [])
+        firsts = [loc[3] for loc in locs] + [rg_rows]
+        bounds = _page_bounds(cidx, f.leaves[ci])
+        return _merge_intervals(
+            [
+                (firsts[p], firsts[p + 1])
+                for p, b in enumerate(bounds)
+                if (b is not None and P.leaf_vs_bounds(node, b[0], b[1]))
+            ]
+        )
+
     for rg_ord, rg in rg_iter:
         rg_rows = rg.get(3)
-        # bloom filters veto whole row groups for equality conjuncts before
-        # any page-index work (BloomFilterReader + ColumnIndexFilter compose
-        # the same way in the reference read path)
-        skip_rg = False
-        for col, op, value in predicate:
-            if op != "==":
-                continue
-            ci = leaf_ord[col]
-            filt = read_bloom_filter(f, rg_ord, ci)
-            if filt is None:
-                continue
-            from .bloom import spec_value_hash
-
-            h = spec_value_hash(value, f.leaves[ci].ptype)
-            if not bool(filt.might_contain_hashes(h)[0]):
-                skip_rg = True
-                break
-        if skip_rg:
+        if tree is not None and not P.may_match(tree, rg_leaf_fn(rg_ord)):
             continue
-        intervals = [(0, rg_rows)]
         idx_cache = {}
-        for col, op, value in predicate:
-            ci = leaf_ord[col]
-            parsed = _parse_index(f, rg_ord, ci)
-            if parsed is None:
-                continue
-            cidx, oidx = parsed
-            idx_cache[col] = parsed
-            locs = oidx.get(1, [])
-            firsts = [loc[3] for loc in locs] + [rg_rows]
-            bounds = _page_bounds(cidx, f.leaves[ci])
-            keep = _page_keep_mask(bounds, op, value)
-            col_iv = [
-                (firsts[p], firsts[p + 1]) for p, k in enumerate(keep) if k
-            ]
-            intervals = _intersect_intervals(intervals, col_iv)
-            if not intervals:
-                break
+        intervals = (
+            page_intervals(tree, rg_ord, rg_rows, idx_cache)
+            if tree is not None
+            else [(0, rg_rows)]
+        )
         if not intervals:
             continue
         cols = []
-        for field in schema:
+        for field in dec_schema:
             if pa.types.is_nested(field.type):
                 # nested SELECTED columns (predicates stay flat): decode the
                 # whole chunk set via the general assembler, slice record
@@ -632,27 +831,17 @@ def read_table_filtered(
                 base += b - a
             picked = pa.concat_arrays([arr.slice(s, n) for s, n in local])
             cols.append(picked)
-        tbl = pa.Table.from_arrays(cols, schema=schema)
+        tbl = pa.Table.from_arrays(cols, schema=dec_schema)
         parts.append(tbl)
     table = (
         pa.concat_tables(parts)
         if len(parts) > 1
-        else (parts[0] if parts else schema.empty_table())
+        else (parts[0] if parts else dec_schema.empty_table())
     )
-    mask = None
-    for col, op, value in predicate:
-        if col not in table.column_names:
-            continue
-        c = table.column(col)
-        if op == "in":
-            m = pc.is_in(c, value_set=pa.array(list(value)))
-        else:
-            m = {
-                "==": pc.equal, "<": pc.less, "<=": pc.less_equal,
-                ">": pc.greater, ">=": pc.greater_equal, "!=": pc.not_equal,
-            }[op](c, pa.scalar(value))
-        mask = m if mask is None else pc.and_(mask, m)
-    return table.filter(mask) if mask is not None else table
+    table = P.filter_table(tree, table)
+    if extra:
+        table = table.select(out_names)
+    return table
 
 
 def _decode_selected_pages(f, rg_ord, col_ord, locs, page_sel, arrow_t):

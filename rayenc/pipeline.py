@@ -187,77 +187,56 @@ class DecodeWorker:
 
     def __init__(self, out_dir: str, columns=None, predicate=None):
         from .memtune import tune_process_memory
+        from . import predicate as P
 
         tune_process_memory()
         self.out_dir = out_dir
         self.columns = list(columns) if columns else None
-        self.predicate = predicate  # list of (col, op, value) conjunctions
+        # legacy conjunction list OR an And/Or/Not tree (filter2 algebra)
+        self.pred = P.normalize(predicate)
+        self.pred_cols = P.columns(self.pred)
 
     def _skip_by_stats(self, manifest: dict) -> bool:
-        if not self.predicate:
+        from . import predicate as P
+
+        if self.pred is None:
             return False
-        stats = {c["name"]: c["stats"] for c in manifest["chunks"]}
         chunks = {c["name"]: c for c in manifest["chunks"]}
-        for col, op, value in self.predicate:
-            entry = chunks.get(col)
+
+        def leaf_fn(leaf: P.Leaf) -> bool:
+            entry = chunks.get(leaf.col)
             if entry is None:
-                continue
-            if op in ("==", "in") and entry.get("bloom"):
+                return True
+            # bloom veto for equality-style leaves before stats
+            if leaf.op in ("==", "in") and entry.get("bloom"):
                 from . import bloom
 
                 filt = bloom.BloomFilter.deserialize(entry["bloom"])
-                vals = value if op == "in" else [value]
+                vals = leaf.value if leaf.op == "in" else [leaf.value]
                 if not any(
                     bool(filt.might_contain_hashes(bloom.value_hash(v))[0])
                     for v in vals
                 ):
-                    return True
-            st = stats.get(col)
-            if not st or st["min"] is None:
-                continue
-            lo, hi = st["min"], st["max"]
-            if op == "in":
-                # skip only when EVERY member is outside the chunk's bounds
-                cmp = [
-                    v.encode("utf-8").decode("latin-1")
-                    if isinstance(lo, str) and isinstance(v, str) else v
-                    for v in value
-                ]
-                cmp = [
-                    v for v in cmp
-                    if isinstance(v, str) == isinstance(lo, str)
-                    and (not isinstance(lo, str) or st.get("stats_v", 1) >= 2)
-                ]
-                if cmp and all(v < lo or v > hi for v in cmp):
-                    return True
-                continue
-            cmp_value = value
-            if isinstance(lo, str):
-                # binary min/max are stored latin-1 (bytewise order preserved,
-                # max truncated-with-increment — ColumnIndexBuilder
-                # semantics); compare the predicate value in the same space.
-                # Manifests from before stats_v=2 stored lossy utf-8-replace
-                # strings that are NOT valid bounds — never skip on those.
-                if st.get("stats_v", 1) < 2:
-                    continue
-                if not isinstance(value, (str, bytes)):
-                    continue
-                v = value.encode("utf-8") if isinstance(value, str) else value
-                cmp_value = v.decode("latin-1")
-            elif not isinstance(lo, (int, float)) or isinstance(value, (str, bytes)):
-                continue
-            if (
-                (op == "==" and (cmp_value < lo or cmp_value > hi))
-                or (op == "<" and lo >= cmp_value)
-                or (op == "<=" and lo > cmp_value)
-                or (op == ">" and hi <= cmp_value)
-                or (op == ">=" and hi < cmp_value)
-            ):
+                    return False
+            st = entry.get("stats")
+            if not st or st.get("min") is None:
                 return True
-        return False
+            lo, hi = st["min"], st["max"]
+            if isinstance(lo, str):
+                # binary min/max are stored latin-1 (bytewise order
+                # preserved, max truncated-with-increment —
+                # ColumnIndexBuilder semantics). Manifests from before
+                # stats_v=2 stored lossy utf-8-replace strings that are NOT
+                # valid bounds — never skip on those.
+                if st.get("stats_v", 1) < 2:
+                    return True
+                lo, hi = lo.encode("latin-1"), hi.encode("latin-1")
+            return P.leaf_vs_bounds(leaf, lo, hi)
+
+        return not P.may_match(self.pred, leaf_fn)
 
     def __call__(self, batch: dict):
-        import pyarrow.compute as pc
+        from . import predicate as P
 
         for name in batch["manifest"]:
             manifest = json.loads(
@@ -267,31 +246,21 @@ class DecodeWorker:
                 continue
             with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
                 blob = f.read()
-            page_pred = None
-            if self.predicate:
-                pred_cols = {c for c, _, _ in self.predicate}
-                if self.columns is None or pred_cols <= set(self.columns):
-                    page_pred = self.predicate
+            # decode predicate columns even when the projection excludes
+            # them (the mask must see every referenced column; dropped
+            # after the filter)
+            decode_cols = self.columns
+            if self.columns is not None and self.pred is not None:
+                decode_cols = self.columns + [
+                    c for c in sorted(self.pred_cols) if c not in self.columns
+                ]
             table = blocks.decode_block(
-                blob, manifest, columns=self.columns, page_predicate=page_pred
+                blob, manifest, columns=decode_cols, page_predicate=self.pred
             )
-            if self.predicate:
-                mask = None
-                for col, op, value in self.predicate:
-                    c = table.column(col)
-                    if op == "in":
-                        m = pc.is_in(c, value_set=pa.array(list(value)))
-                    else:
-                        m = {
-                            "==": pc.equal,
-                            "<": pc.less,
-                            "<=": pc.less_equal,
-                            ">": pc.greater,
-                            ">=": pc.greater_equal,
-                            "!=": pc.not_equal,
-                        }[op](c, pa.scalar(value))
-                    mask = m if mask is None else pc.and_(mask, m)
-                table = table.filter(mask)
+            if self.pred is not None:
+                table = P.filter_table(self.pred, table)
+                if decode_cols is not self.columns:
+                    table = table.select(self.columns)
             if table.num_rows:
                 yield table
 

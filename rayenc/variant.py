@@ -271,8 +271,9 @@ def variant_to_json(col) -> pa.Array:
     meta_cache: dict[bytes, Metadata] = {}
     mcol = col.field("metadata").to_pylist()
     vcol = col.field("value").to_pylist()
+    valid = col.is_valid().to_pylist()
     for i in range(len(col)):
-        if not col.is_valid()[i].as_py():
+        if not valid[i]:
             out.append(None)
             continue
         mb = mcol[i]
