@@ -15,6 +15,7 @@ the writer.
 
 from __future__ import annotations
 
+import base64
 import os
 import struct
 from dataclasses import dataclass, field
@@ -83,6 +84,67 @@ def decrypt_module(key: bytes, buf, offset: int, aad: bytes) -> tuple[bytes, int
     return _aesgcm(key).decrypt(nonce, ct, aad), start + length
 
 
+def encrypt_key_locally(key_bytes: bytes, wrapping_key: bytes, aad: bytes) -> str:
+    """KeyToolkit.encryptKeyLocally (KeyToolkit.java:292): AES-GCM without
+    the 4-byte length frame -> base64(nonce | ct | tag). Used to wrap a DEK
+    with a KEK in double-wrapping key material."""
+    import base64 as b64
+
+    nonce = os.urandom(NONCE_LEN)
+    ct = _aesgcm(wrapping_key).encrypt(nonce, bytes(key_bytes), aad)
+    return b64.b64encode(nonce + ct).decode()
+
+
+def decrypt_key_locally(wrapped_b64: str, wrapping_key: bytes, aad: bytes) -> bytes:
+    """KeyToolkit.decryptKeyLocally (KeyToolkit.java:310) inverse."""
+    import base64 as b64
+
+    body = b64.b64decode(wrapped_b64)
+    nonce, ct = body[:NONCE_LEN], body[NONCE_LEN:]
+    return _aesgcm(wrapping_key).decrypt(nonce, ct, aad)
+
+
+def double_wrapped_key_material(
+    dek: bytes,
+    master_key_id: str,
+    is_footer: bool,
+    kek: bytes | None = None,
+    kek_id: bytes | None = None,
+    kms_wrap=None,
+) -> bytes:
+    """PKMT1 key-material JSON in DOUBLE wrapping mode
+    (`crypto/keytools/FileKeyWrapper.java:135-156` + KeyMaterial.java
+    field set): the DEK is encrypted locally with a random KEK (AAD = raw
+    kekID bytes), and the KEK is wrapped by the KMS under the master key.
+    ``kms_wrap(key_bytes, master_key_id) -> str`` defaults to the trivial
+    base64 test KMS. One (kek, kek_id) pair may be shared across the
+    columns of a file, mirroring KEKPerMasterKeyID caching."""
+    import json
+
+    kek = kek or os.urandom(16)
+    kek_id = kek_id or os.urandom(16)
+    wrapped_kek = (
+        kms_wrap(kek, master_key_id)
+        if kms_wrap is not None
+        else base64.b64encode(kek).decode()
+    )
+    d = {"keyMaterialType": "PKMT1", "internalStorage": True,
+         "isFooterKey": is_footer}
+    if is_footer:
+        d.update({"kmsInstanceID": "DEFAULT", "kmsInstanceURL": "DEFAULT"})
+    d.update(
+        {
+            "masterKeyID": master_key_id,
+            "wrappedDEK": encrypt_key_locally(dek, kek, kek_id),
+            "doubleWrapping": True,
+            # KeyMaterial.java:65 spells the kekID field in full
+            "keyEncryptionKeyID": base64.b64encode(kek_id).decode(),
+            "wrappedKEK": wrapped_kek,
+        }
+    )
+    return json.dumps(d).encode()
+
+
 def gcm_signature(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
     """Plaintext-footer signature: nonce + GCM tag of the serialized footer
     (serializeFooter:2140-2152 copies nonce then tag)."""
@@ -144,11 +206,21 @@ class FileEncryption:
 @dataclass
 class FileDecryption:
     """Read-side keys (FileDecryptionProperties.java analog). ``aad_prefix``
-    must be supplied when the writer chose not to store it."""
+    must be supplied when the writer chose not to store it.
+
+    ``kms_unwrap(wrapped_b64, master_key_id) -> key bytes`` resolves
+    KMS-wrapped key material (`KmsClient.unwrapKey`); the default mirrors
+    the trivial test KMS (base64 identity) used across the interop tests."""
 
     footer_key: bytes | None = None
     column_keys: dict[str, bytes] = field(default_factory=dict)
     aad_prefix: bytes | None = None
+    kms_unwrap: "object" = None
+
+    def unwrap(self, wrapped_b64: str, master_key_id: str) -> bytes:
+        if self.kms_unwrap is not None:
+            return self.kms_unwrap(wrapped_b64, master_key_id)
+        return base64.b64decode(wrapped_b64)
 
     def key_for(self, dotted_path: str) -> bytes:
         k = self.column_keys.get(dotted_path)

@@ -14,8 +14,11 @@ data pages only), decrypted, and handed to the shared
 
 Key resolution: explicit keys on ``FileDecryption`` win; otherwise, if the
 file carries pyarrow/parquet-mr "key material" JSON key_metadata
-(``{"keyMaterialType":"PKMT1",...,"wrappedDEK":...}``) a ``key_unwrapper``
-callback can unwrap it — tests use this to read files pyarrow encrypted.
+(``{"keyMaterialType":"PKMT1",...,"wrappedDEK":...}``), it is unwrapped —
+single wrapping through ``FileDecryption.kms_unwrap``, double wrapping
+(KEK->DEK, `crypto/keytools/FileKeyUnwrapper.java`) additionally through
+``KeyToolkit.decryptKeyLocally`` semantics. Tests use the trivial base64
+KMS to read files pyarrow encrypted in both wrapping modes.
 """
 
 from __future__ import annotations
@@ -199,19 +202,28 @@ def _walk_schema(elems):
     return leaves
 
 
-def _unwrap_key_material(key_metadata: bytes) -> bytes | None:
-    """Unwrap parquet-mr/pyarrow internal key material when it is the
-    single-wrapped base64 form our test KMS produces; returns None when the
-    metadata isn't that shape (caller falls back to explicit keys)."""
+def _unwrap_key_material(key_metadata: bytes, dec: FileDecryption) -> bytes | None:
+    """Unwrap parquet-mr/pyarrow internal key material (PKMT1 JSON): single
+    wrapping resolves the DEK straight through the KMS; DOUBLE wrapping
+    (`crypto/keytools/FileKeyUnwrapper.java:119-144`, the Spark default)
+    unwraps the KEK through the KMS under the master key, then decrypts the
+    DEK locally with AAD = raw kekID bytes (KeyToolkit.decryptKeyLocally).
+    Returns None when the metadata isn't that shape (caller falls back to
+    explicit keys)."""
     import json
 
     try:
         km = json.loads(key_metadata)
-        if km.get("keyMaterialType") == "PKMT1" and not km.get("doubleWrapping"):
-            return base64.b64decode(km["wrappedDEK"])
+        if km.get("keyMaterialType") != "PKMT1":
+            return None
+        master = km.get("masterKeyID", "")
+        if not km.get("doubleWrapping"):
+            return dec.unwrap(km["wrappedDEK"], master)
+        kek = dec.unwrap(km["wrappedKEK"], master)
+        kek_id = base64.b64decode(km["keyEncryptionKeyID"])
+        return pcrypt.decrypt_key_locally(km["wrappedDEK"], kek, kek_id)
     except Exception:
         return None
-    return None
 
 
 class EncryptedFile:
@@ -289,7 +301,7 @@ class EncryptedFile:
         if self.dec.footer_key is not None:
             return self.dec.footer_key
         if key_metadata:
-            k = _unwrap_key_material(key_metadata)
+            k = _unwrap_key_material(key_metadata, self.dec)
             if k is not None:
                 return k
         raise ValueError(f"no footer key available for {self.path}")
@@ -299,7 +311,7 @@ class EncryptedFile:
         if k is not None:
             return k
         if key_metadata:
-            k = _unwrap_key_material(key_metadata)
+            k = _unwrap_key_material(key_metadata, self.dec)
             if k is not None:
                 return k
         if self.footer_key is not None:

@@ -474,3 +474,65 @@ def test_encrypted_nested_stress_300k(tmp_path):
     )
     got = read_table_encrypted(path, FileDecryption(footer_key=FK))
     assert got.cast(t.schema).equals(t)
+
+
+def test_our_reader_decodes_pyarrow_double_wrapped(tmp_path):
+    """Round-4 VERDICT #5: pyarrow CryptoFactory with double_wrapping=True
+    (the Spark default) — KEK unwrapped through the KMS, DEK decrypted
+    locally with AAD=kekID (FileKeyUnwrapper.java:119-144)."""
+    pe, factory, kms_cfg = _factory()
+    t = pq.read_table(f"{SF}/orders.parquet")
+    conf = pe.EncryptionConfiguration(
+        footer_key="fmaster",
+        column_keys={"cmaster": ["o_orderpriority"]},
+        encryption_algorithm="AES_GCM_V1",
+        data_key_length_bits=128,
+        internal_key_material=True,
+        double_wrapping=True,
+    )
+    props = factory.file_encryption_properties(kms_cfg, conf)
+    path = str(tmp_path / "pa-dw.parquet")
+    with pq.ParquetWriter(path, t.schema, encryption_properties=props) as w:
+        w.write_table(t)
+    got = read_table_encrypted(path)  # KEK->DEK unwrap from key material
+    assert got.cast(t.schema).equals(t)
+
+
+def test_pyarrow_decodes_our_double_wrapped(tmp_path):
+    from rayenc.parquet_crypto import double_wrapped_key_material
+
+    pe, factory, kms_cfg = _factory()
+    t = pq.read_table(f"{SF}/orders.parquet")
+    kek, kek_id = b"K" * 16, b"I" * 16  # one KEK shared across the file
+    enc = FileEncryption(
+        footer_key=FK,
+        column_keys={"o_orderpriority": CK},
+        footer_key_metadata=double_wrapped_key_material(
+            FK, "fmaster", True, kek=kek, kek_id=kek_id
+        ),
+        column_key_metadata={
+            "o_orderpriority": double_wrapped_key_material(
+                CK, "cmaster", False, kek=kek, kek_id=kek_id
+            )
+        },
+    )
+    path = str(tmp_path / "ours-dw.parquet")
+    parquet_write.write_table(t, path, encryption=enc)
+    dprops = factory.file_decryption_properties(kms_cfg, pe.DecryptionConfiguration())
+    got = pq.ParquetFile(path, decryption_properties=dprops).read()
+    assert got.cast(t.schema).equals(t)
+    # and our own reader resolves the same double-wrapped material
+    got2 = read_table_encrypted(path)
+    assert got2.cast(t.schema).equals(t)
+
+
+def test_key_toolkit_local_wrap_roundtrip():
+    from rayenc import parquet_crypto as pc_
+
+    dek, kek, aad = b"d" * 16, b"k" * 16, b"a" * 16
+    wrapped = pc_.encrypt_key_locally(dek, kek, aad)
+    assert pc_.decrypt_key_locally(wrapped, kek, aad) == dek
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pc_.decrypt_key_locally(wrapped, kek, b"wrong-aad-16byte")
