@@ -467,23 +467,22 @@ def assemble_flat(r, t):
 
 
 def _decimal_dense(v: np.ndarray, t) -> "pa.Array":
-    """Dense decoded decimal storage -> pa.Decimal128Array. Parquet DECIMAL
-    rides on FLBA (big-endian two's complement, minimal width — our writer
-    and pyarrow) or INT32/INT64 unscaled (DuckDB for small precisions);
-    decimal128's buffer layout is 16-byte little-endian two's complement, so
-    the conversion is a byte reverse + sign extension."""
+    """Dense decoded decimal storage -> pa.Decimal128/256Array. Parquet
+    DECIMAL rides on FLBA (big-endian two's complement, minimal width — our
+    writer and pyarrow) or INT32/INT64 unscaled (DuckDB for small
+    precisions); arrow decimal buffers are 16/32-byte little-endian two's
+    complement, so the conversion is a byte reverse + sign extension."""
     import pyarrow as pa
 
-    if t.precision > 38:
-        raise NotImplementedError("decimal256 conformance read")
+    width = 32 if t.precision > 38 else 16  # decimal256 beyond p=38
     if v.ndim == 2:  # FLBA rows, big-endian
         n, L = v.shape
-        out = np.zeros((n, 16), np.uint8)
+        out = np.zeros((n, width), np.uint8)
         out[:, :L] = v[:, ::-1]
         out[v[:, 0] >= 128, L:] = 0xFF
     else:  # INT32/INT64 unscaled
         n = len(v)
-        out = np.zeros((n, 16), np.uint8)
+        out = np.zeros((n, width), np.uint8)
         out[:, :8] = v.astype("<i8").view(np.uint8).reshape(n, 8)
         out[v < 0, 8:] = 0xFF
     return pa.Array.from_buffers(t, n, [None, pa.py_buffer(out.tobytes())])

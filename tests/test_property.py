@@ -324,3 +324,32 @@ def test_general_assembly_list_of_struct_property(rows):
     parquet_write.write_table(t, path)
     got = read_table_conformance(path)
     assert got.cast(t.schema).equals(t)
+
+
+@given(
+    unscaled=st.lists(
+        st.integers(-(10**49), 10**49), min_size=1, max_size=120
+    ),
+    nulls=st.lists(st.booleans(), max_size=120),
+)
+@settings(max_examples=25, deadline=None)
+def test_decimal256_conformance_roundtrip(unscaled, nulls, tmp_path_factory):
+    """decimal256(50,10) FLBA write -> conformance read (round-4 VERDICT
+    #6: the last read-what-we-write hole)."""
+    import decimal
+    import tempfile
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+
+    vals = [
+        None
+        if i < len(nulls) and nulls[i]
+        else decimal.Decimal(u).scaleb(-10)
+        for i, u in enumerate(unscaled)
+    ]
+    t = pa.table({"d": pa.array(vals, pa.decimal256(50, 10))})
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(t, out, row_group_size=50)
+    got = read_table_conformance(out)
+    assert got.cast(t.schema).equals(t)
