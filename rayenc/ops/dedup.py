@@ -541,12 +541,62 @@ def simhash_near_dups(ds, text_col="text", id_col="doc_id", max_hamming: int = 3
     )
 
 
+def _distinct_shingles(texts, k: int):
+    """(hashes, doc_ids) of the DISTINCT k-byte shingle hashes per document,
+    sorted by (doc_id, hash). Shares `_shingle_hashes` with the MinHash path:
+    for k<=8 the packed window is injective and `_mix64` bijective, so hash
+    distinctness equals byte-shingle distinctness exactly."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.large_string())
+    from rayenc.codecs.dictionary import binary_parts
+
+    offsets, data = binary_parts(texts)
+    sh, sid = _shingle_hashes(offsets, data, k)
+    order = np.lexsort((sh, sid))
+    sh, sid = sh[order], sid[order]
+    first = np.ones(len(sh), bool)
+    first[1:] = (sid[1:] != sid[:-1]) | (sh[1:] != sh[:-1])
+    return sh[first], sid[first]
+
+
 def ngram_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
-    """Exact k-shingle Jaccard between aligned pairs of strings (the
-    verification kernel used inside LSH buckets)."""
-    out = np.empty(len(texts_a), np.float64)
-    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
-        sa = {a[j : j + k] for j in range(max(1, len(a) - k + 1))}
-        sb = {b[j : j + k] for j in range(max(1, len(b) - k + 1))}
-        out[i] = len(sa & sb) / max(1, len(sa | sb))
-    return out
+    """k-shingle (byte n-gram) Jaccard between aligned pairs of strings —
+    the verification kernel used inside LSH buckets.
+
+    Works on sorted shingle-hash arrays instead of per-pair Python sets:
+    each DISTINCT document is shingled once (vectorized, shared with the
+    MinHash path), then every pair is one C-level sorted-merge
+    (`np.intersect1d(assume_unique=True)`) over its two precomputed arrays,
+    memoized per distinct (a, b) pair. Candidate pairs out of LSH buckets
+    repeat the same documents heavily, so the dedup step does most of the
+    work. Exact for k<=8 (injective window packing, bijective mix); for
+    k>8 the window hash truncates to 8 bytes (collisions ~2^-64)."""
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    index: dict = {}
+    uniq: list = []
+
+    def intern(texts):
+        idx = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            j = index.get(t)
+            if j is None:
+                j = index[t] = len(uniq)
+                uniq.append(t)
+            idx[i] = j
+        return idx
+
+    ia, ib = intern(texts_a), intern(texts_b)
+    sh, sid = _distinct_shingles(uniq, k)
+    counts = np.bincount(sid, minlength=len(uniq))
+    parts = np.split(sh, np.cumsum(counts)[:-1])
+    pairs, pinv = np.unique(np.stack([ia, ib], 1), axis=0, return_inverse=True)
+    per_pair = np.empty(len(pairs), np.float64)
+    for p, (a_i, b_i) in enumerate(pairs):
+        a, b = parts[a_i], parts[b_i]
+        inter = a.size if a_i == b_i else np.intersect1d(
+            a, b, assume_unique=True
+        ).size
+        per_pair[p] = inter / max(a.size + b.size - inter, 1)
+    return per_pair[pinv]
