@@ -1063,6 +1063,57 @@ def _pushdown_filter_or(sf_dir: str):
     )
 
 
+def _geospatial_stats(sf_dir: str):
+    """Geospatial statistics round trip (column/statistics/geospatial/
+    GeospatialStatistics.java + ColumnMetaData field 17): build WKB XY
+    points from lineitem's (l_discount, l_tax) doubles, write them through
+    OUR parquet writer with the GEOMETRY logical type, then read the merged
+    BoundingBox back from the footer with OUR reader. The bbox must equal
+    the exact column min/max DuckDB computes on the raw doubles."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayenc import geo, parquet_write
+    from rayenc.parquet_read_enc import geospatial_statistics
+    from rayenc.selector import EncodeConfig
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_discount", "l_tax"],
+    )
+    x = src.column("l_discount").to_numpy().astype("<f8")
+    y = src.column("l_tax").to_numpy().astype("<f8")
+    n = len(x)
+    rec = np.empty((n, 21), np.uint8)
+    rec[:, 0] = 1  # little-endian
+    rec[:, 1:5] = np.frombuffer(b"\x01\x00\x00\x00", np.uint8)  # Point
+    rec[:, 5:13] = x.view(np.uint8).reshape(n, 8)
+    rec[:, 13:21] = y.view(np.uint8).reshape(n, 8)
+    offsets = (np.arange(n + 1, dtype="<i4") * 21)
+    g = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(rec.tobytes())],
+    )
+    t = pa.table({"g": g})
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(
+        t, out,
+        EncodeConfig(geospatial={"g": geo.GeoSpec("geometry")}),
+        row_group_size=20000,
+    )
+    st = geospatial_statistics(out)["g"]
+    bb = st.bbox
+    return pa.table(
+        {
+            "xmin": pa.array([bb.xmin], pa.float64()),
+            "xmax": pa.array([bb.xmax], pa.float64()),
+            "ymin": pa.array([bb.ymin], pa.float64()),
+            "ymax": pa.array([bb.ymax], pa.float64()),
+            "geo_type": pa.array([sorted(st.types.types)[0]], pa.int64()),
+        }
+    )
+
+
 def _chunk_documents(sf_dir: str):
     """Fixed-size character chunking of every document (context-window prep)
     across the Dataset; DuckDB reproduces the chunks with substr +
@@ -1174,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["merge_parquet_files"] = _merge_parquet_files
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
     q["pushdown_filter_or"] = _pushdown_filter_or
+    q["geospatial_stats"] = _geospatial_stats
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -1268,6 +1320,11 @@ def oracle_sql() -> dict[str, str]:
     o["merge_parquet_files"] = "SELECT * FROM orders"
     o["pushdown_filter_parquet"] = (
         "SELECT * FROM lineitem WHERE l_orderkey < 500 AND l_quantity >= 10.0"
+    )
+    o["geospatial_stats"] = (
+        "SELECT min(l_discount) AS xmin, max(l_discount) AS xmax,"
+        " min(l_tax) AS ymin, max(l_tax) AS ymax,"
+        " CAST(1 AS BIGINT) AS geo_type FROM lineitem"
     )
     o["pushdown_filter_or"] = (
         "SELECT * FROM lineitem WHERE (l_returnflag = 'A' OR l_quantity < 3.0)"

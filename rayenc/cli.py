@@ -357,6 +357,32 @@ def cmd_show_size_stats(args):
             )
 
 
+def cmd_show_geo_stats(args):
+    """show-geospatial-statistics analog (ShowGeospatialStatisticsCommand):
+    print GeospatialStatistics (bounding box + geometry type codes) per
+    chunk, plus the file-level merge."""
+    from . import geo as geo_mod
+
+    f = _enc_file(args)
+    merged: dict = {}
+    for rg in range(len(f.row_groups)):
+        for ci, leaf in enumerate(f.leaves):
+            if args.column and leaf.dotted != args.column:
+                continue
+            g = geo_mod.from_footer_dict(f.chunk_meta(rg, ci).get(17))
+            if g is None:
+                continue
+            print(f"rg {rg} {leaf.dotted}: {g!r}")
+            if leaf.dotted in merged:
+                merged[leaf.dotted].merge(g)
+            else:
+                merged[leaf.dotted] = g
+    for name, g in merged.items():
+        print(f"file {name}: {g!r}")
+    if not merged:
+        print("no geospatial statistics")
+
+
 def cmd_merge(args):
     """Merge parquet files into one (one row group per input) — the
     ParquetRewriter multi-input stitch."""
@@ -523,6 +549,7 @@ def main(argv=None):
         ("show-bloom-filter", cmd_show_bloom),
         ("show-column-index", cmd_show_column_index),
         ("show-size-statistics", cmd_show_size_stats),
+        ("show-geospatial-statistics", cmd_show_geo_stats),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("file")

@@ -1035,3 +1035,32 @@ def read_table_encrypted(
     if not parts:
         return schema.empty_table()
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+
+def geospatial_statistics(
+    path: str, decryption: "FileDecryption | None" = None
+) -> dict:
+    """Merged per-column GeospatialStatistics from ColumnMetaData field 17
+    (GeospatialStatistics{bbox, geospatial_types}; read shape of
+    `ParquetMetadataConverter.fromParquetStatistics:1029-1060`, merge shape
+    of `GeospatialStatistics.merge:153-160`).
+
+    Returns {dotted column name: geo.GeospatialStatistics} for every column
+    that declares the stats in at least one row group; chunks that omit
+    field 17 contribute nothing (our writer omits it exactly when the chunk
+    held no non-empty geometries, so the merged bbox stays tight)."""
+    from . import geo as geo_mod
+
+    f = EncryptedFile(path, decryption)
+    out: dict = {}
+    for rg_ord in range(len(f.row_groups)):
+        for ci, leaf in enumerate(f.leaves):
+            md = f.chunk_meta(rg_ord, ci)
+            g = geo_mod.from_footer_dict(md.get(17))
+            if g is None:
+                continue
+            if leaf.dotted in out:
+                out[leaf.dotted].merge(g)
+            else:
+                out[leaf.dotted] = g
+    return out

@@ -18,6 +18,7 @@ decision.
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
@@ -174,6 +175,10 @@ class _W:
 
     def boolean(self, fid: int, v: bool) -> None:
         self._field(fid, 1 if v else 2)
+
+    def dbl(self, fid: int, v: float) -> None:  # double (type 7, 8-byte LE)
+        self._field(fid, 7)
+        self.out += struct.pack("<d", float(v))
 
     def binary(self, fid: int, b: bytes) -> None:
         self._field(fid, 8)
@@ -466,6 +471,8 @@ class _Column:
         self.uses_col_key = False
         self.rg_ord = None
         self.col_ord = None
+        # GeospatialStatistics (ColumnMetaData field 17) for GEOMETRY leaves
+        self.geo = None
         # split-block bloom (SpecBloom) pending serialization + its location
         self.bloom = None
         self.bloom_offset = None
@@ -801,6 +808,17 @@ def _write_row_group(
                 meta.type_length = int(np.asarray(col.values).shape[1])
             _leaf_statistics(meta, col, leaf)
             dotted = ".".join(leaf.path)
+            spec = config.geospatial.get(dotted) or config.geospatial.get(
+                leaf.path[0]
+            )
+            if (
+                spec is not None
+                and spec.kind == "geometry"
+                and col.ptype == "BINARY"
+            ):
+                from . import geo as geo_mod
+
+                meta.geo = geo_mod.compute_statistics(leaf.arr)
             if dotted in config.bloom_columns or leaf.path[0] in config.bloom_columns:
                 from . import bloom as bloom_mod
 
@@ -983,7 +1001,9 @@ def write_tables(
             out += bitset
             meta.bloom_len = len(out) - meta.bloom_offset
 
-    footer = _file_metadata(table, row_groups, crypto=crypto)
+    footer = _file_metadata(
+        table, row_groups, crypto=crypto, geo=config.geospatial or None
+    )
     if encryption is None:
         out += footer
         out += len(footer).to_bytes(4, "little")
@@ -1165,6 +1185,22 @@ def _emit_column_meta_fields(cc: _W, meta: _Column, redact: bool = False) -> Non
                 for h in hist:
                     _wvarint(cc.out, _zigzag(int(h)))
         cc.end_struct()
+    if not redact and meta.geo is not None:
+        from . import geo as geo_mod
+
+        gd = geo_mod.to_footer_dict(meta.geo)
+        if gd is not None:
+            cc.begin_struct(17)  # GeospatialStatistics
+            if 1 in gd:
+                cc.begin_struct(1)  # BoundingBox
+                for fid in sorted(gd[1]):
+                    cc.dbl(fid, gd[1][fid])
+                cc.end_struct()
+            if 2 in gd:
+                cc.begin_list(2, 5, len(gd[2]))  # geospatial_types
+                for code in gd[2]:
+                    _wvarint(cc.out, _zigzag(code))
+            cc.end_struct()
 
 
 def _emit_encryption_algorithm(
@@ -1182,13 +1218,18 @@ def _emit_encryption_algorithm(
     w.end_struct()
 
 
-def _file_metadata(table: pa.Table, row_groups, crypto=None) -> bytes:
+def _file_metadata(table: pa.Table, row_groups, crypto=None, geo=None) -> bytes:
     w = _W()
     w.i(1, 2)  # version
 
     body: list[dict] = []
     for field in table.schema:
-        body += _schema_body(field)
+        fb = _schema_body(field)
+        # GEOMETRY/GEOGRAPHY logical type on flat binary leaves
+        # (LogicalTypeAnnotation geometry/geography; union fields 17/18)
+        if geo and field.name in geo and len(fb) == 1 and "type" in fb[0]:
+            fb[0]["geo"] = geo[field.name]
+        body += fb
     elems = [{"name": "schema", "children": table.num_columns}] + body
 
     w.begin_list(2, 12, len(elems))
@@ -1210,6 +1251,16 @@ def _file_metadata(table: pa.Table, row_groups, crypto=None) -> bytes:
             ew.i(8, e["precision"])
         if e.get("logical") is not None:
             e["logical"](ew)
+        if e.get("geo") is not None:
+            spec = e["geo"]
+            ew.begin_struct(10)  # logicalType
+            ew.begin_struct(17 if spec.kind == "geometry" else 18)
+            if spec.crs:
+                ew.string(1, spec.crs)
+            if spec.kind == "geography" and spec.algorithm is not None:
+                ew.i(2, spec.algorithm)  # EdgeInterpolationAlgorithm
+            ew.end_struct()
+            ew.end_struct()
         w.out += ew.stop()
     w.i64(3, table.num_rows)
 

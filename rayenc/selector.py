@@ -59,6 +59,12 @@ class EncodeConfig:
     # bloom-filter column properties analog; rayenc/bloom.py)
     bloom_columns: set = field(default_factory=set)
     bloom_fpp: float = 0.01
+    # geospatial columns: {"colname": geo.GeoSpec(...)} — BINARY columns
+    # holding WKB; "geometry" collects BoundingBox + type-set statistics
+    # into ColumnMetaData field 17 and stamps the GEOMETRY logical type,
+    # "geography" stamps GEOGRAPHY with noop stats
+    # (column/statistics/geospatial/GeospatialStatistics.java:94-104)
+    geospatial: dict = field(default_factory=dict)
 
 
 def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig) -> list[str]:
