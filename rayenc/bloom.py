@@ -221,3 +221,90 @@ def build_spec_bloom(col, ndv_hint: int | None = None, fpp: float = DEFAULT_FPP)
     f = SpecBloom(optimal_bytes(ndv, fpp))
     f.add_hashes(h)
     return f
+
+
+# ------------------------------------------ adaptive sizing (candidate rule)
+
+LOWER_BOUND_BYTES = 32  # BlockSplitBloomFilter.LOWER_BOUND_BYTES
+UPPER_BOUND_BYTES = 128 << 20  # BlockSplitBloomFilter.UPPER_BOUND_BYTES
+NDV_STEP = 500  # AdaptiveBlockSplitBloomFilter.NDV_STEP
+DEFAULT_CANDIDATES = 5  # ParquetProperties.DEFAULT_BLOOM_FILTER_CANDIDATES
+
+
+def optimal_num_of_bits(ndv: int, fpp: float) -> int:
+    """Exact mirror of `BlockSplitBloomFilter.optimalNumOfBits:284-302`,
+    including its `& ~BITS_PER_BLOCK` rounding quirk (clears bit 8 rather
+    than rounding to a block multiple), so adaptive candidate NDV tables
+    match the reference bit for bit."""
+    m = -8.0 * ndv / np.log(1 - fpp ** (1.0 / 8))
+    bits = int(m)
+    if bits > UPPER_BOUND_BYTES << 3 or m < 0:
+        bits = UPPER_BOUND_BYTES << 3
+    bits = (bits + BITS_PER_BLOCK - 1) & ~BITS_PER_BLOCK
+    if bits < LOWER_BOUND_BYTES << 3:
+        bits = LOWER_BOUND_BYTES << 3
+    return bits
+
+
+def _expected_ndv(num_bytes: int, fpp: float) -> int:
+    """`AdaptiveBlockSplitBloomFilter.expectedNDV:134-148`: largest NDV (in
+    steps of 500) whose optimal size still fits in num_bytes."""
+    ndv, optimal = 0, 0
+    while optimal < num_bytes:
+        ndv += NDV_STEP
+        optimal = optimal_num_of_bits(ndv, fpp) // 8
+    return max(ndv - NDV_STEP, 0)
+
+
+def _bounded_pow2(num_bytes: int) -> int:
+    """`calculateBoundedPowerOfTwo:156-167`: largest power of two <=
+    num_bytes, clamped to [32, 128 MiB]."""
+    num_bytes = max(num_bytes, LOWER_BOUND_BYTES)
+    if num_bytes & (num_bytes - 1):
+        num_bytes = 1 << (num_bytes.bit_length() - 1)
+    return max(min(num_bytes, UPPER_BOUND_BYTES), LOWER_BOUND_BYTES)
+
+
+def adaptive_candidate_bytes(
+    ndv: int,
+    max_bytes: int = MAX_BYTES,
+    num_candidates: int = DEFAULT_CANDIDATES,
+    fpp: float = DEFAULT_FPP,
+) -> int:
+    """Byte size the reference's AdaptiveBlockSplitBloomFilter would write
+    for a chunk with ``ndv`` distinct hashes: candidates are successive
+    power-of-two halvings of max_bytes (each with a stepped expected-NDV
+    capacity); insertion drops every candidate whose capacity is exceeded;
+    writeTo picks the smallest survivor (`optimalCandidate:175-177`,
+    `insertHash:205-215`). With the whole chunk in memory we know the exact
+    distinct-hash count up front, so the streaming elimination collapses to
+    this direct selection — same output size, one pass."""
+    sizes = []
+    size = _bounded_pow2(max_bytes)
+    for _ in range(num_candidates):
+        if _expected_ndv(size, fpp) <= 0:
+            break
+        sizes.append(size)
+        size = _bounded_pow2(size // 2)
+    if not sizes:
+        return LOWER_BOUND_BYTES  # minimum candidate (16-NDV, 32 bytes)
+    survivors = [s for s in sizes if _expected_ndv(s, fpp) >= ndv]
+    return min(survivors) if survivors else max(sizes)
+
+
+def build_adaptive_spec_bloom(
+    col,
+    max_bytes: int = MAX_BYTES,
+    num_candidates: int = DEFAULT_CANDIDATES,
+    fpp: float = DEFAULT_FPP,
+):
+    """Spec bloom sized by the adaptive candidate rule over the exact
+    distinct-hash count (vectorized one-shot equivalent of
+    AdaptiveBlockSplitBloomFilter's insert-and-eliminate loop)."""
+    h = spec_hashes_for_column(col)
+    if h is None or len(h) == 0:
+        return None
+    ndv = len(np.unique(h))
+    f = SpecBloom(adaptive_candidate_bytes(ndv, max_bytes, num_candidates, fpp))
+    f.add_hashes(h)
+    return f

@@ -59,6 +59,14 @@ class EncodeConfig:
     # bloom-filter column properties analog; rayenc/bloom.py)
     bloom_columns: set = field(default_factory=set)
     bloom_fpp: float = 0.01
+    # adaptive bloom sizing (AdaptiveBlockSplitBloomFilter.java): pick the
+    # smallest surviving power-of-two candidate for the chunk's distinct
+    # count instead of the direct optimal size. bloom_max_bytes caps the
+    # largest candidate; bloom_candidates is the halving count
+    # (ParquetProperties.DEFAULT_BLOOM_FILTER_CANDIDATES_NUMBER)
+    bloom_adaptive: bool = False
+    bloom_max_bytes: int = 1 << 20  # DEFAULT_MAX_BLOOM_FILTER_BYTES
+    bloom_candidates: int = 5
     # geospatial columns: {"colname": geo.GeoSpec(...)} — BINARY columns
     # holding WKB; "geometry" collects BoundingBox + type-set statistics
     # into ColumnMetaData field 17 and stamps the GEOMETRY logical type,

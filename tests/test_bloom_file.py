@@ -171,3 +171,61 @@ def test_cli_show_dictionary(tmp_path, capsys):
     cli.cmd_show_dictionary(A())
     out = capsys.readouterr().out
     assert "dictionary entries" in out and "'A'" in out and "'R'" in out
+
+
+# --------------------------------- adaptive sizing (candidate elimination)
+
+
+def test_adaptive_candidate_sizes_match_reference_rule():
+    """AdaptiveBlockSplitBloomFilter: candidates are power-of-two halvings
+    of max_bytes; smallest candidate whose stepped expected-NDV capacity
+    covers the observed distinct count wins; overflow keeps the largest."""
+    from rayenc.bloom import (
+        LOWER_BOUND_BYTES,
+        _expected_ndv,
+        adaptive_candidate_bytes,
+    )
+
+    # 5 candidates from 1 MiB: 1M, 512K, 256K, 128K, 64K.
+    # tiny NDV -> smallest candidate (64 KiB), not the analytic optimum
+    assert adaptive_candidate_bytes(10) == 64 * 1024
+    # NDV beyond every candidate's capacity -> largest candidate retained
+    big = _expected_ndv(1 << 20, 0.01) + 1
+    assert adaptive_candidate_bytes(big) == 1 << 20
+    # monotone: more distinct values never shrink the filter
+    sizes = [adaptive_candidate_bytes(n) for n in (1, 5_000, 50_000, 120_000)]
+    assert sizes == sorted(sizes)
+    # a max_bytes below the smallest legal filter still yields one candidate
+    assert adaptive_candidate_bytes(5, max_bytes=8) == LOWER_BOUND_BYTES
+
+
+def test_adaptive_expected_ndv_steps():
+    from rayenc.bloom import NDV_STEP, _expected_ndv, optimal_num_of_bits
+
+    cap = _expected_ndv(64 * 1024, 0.01)
+    assert cap > 0 and cap % NDV_STEP == 0
+    # capacity is "slightly smaller than what numBytes supports"
+    assert optimal_num_of_bits(cap, 0.01) // 8 <= 64 * 1024
+    assert optimal_num_of_bits(cap + NDV_STEP, 0.01) // 8 > 64 * 1024
+
+
+def test_adaptive_bloom_file_roundtrip(tmp_path):
+    """bloom_adaptive writes a candidate-sized filter that still answers
+    membership with no false negatives through the file read path."""
+    import os
+
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                      columns=["l_orderkey"])
+    path = str(tmp_path / "adaptive.parquet")
+    parquet_write.write_table(
+        t, path,
+        EncodeConfig(bloom_columns={"l_orderkey"}, bloom_adaptive=True),
+    )
+    f = EncryptedFile(path)
+    filt = read_bloom_filter(f, 0, 0)
+    assert filt is not None
+    # candidate rule: NDV of sf0.001 l_orderkey (~1.5k) -> 64 KiB candidate
+    assert len(filt.bitset_bytes()) == 64 * 1024
+    keys = t.column("l_orderkey").to_pylist()
+    for v in (keys[0], keys[-1], keys[len(keys) // 2]):
+        assert all(bloom_might_contain(path, "l_orderkey", v))
