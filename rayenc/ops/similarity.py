@@ -167,18 +167,20 @@ def ivf_topk(
         return batch.filter(pa.array(np.isin(cents, w)))
 
     filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
-    q_ref = ray.put((qn, probes))
+    # (nq, nlist) membership table shipped once: the per-batch mask is a
+    # single fancy-index gather instead of an np.isin per query
+    probe_bool = np.zeros((len(qn), len(cent)), bool)
+    probe_bool[np.arange(len(qn))[:, None], probes] = True
+    q_ref = ray.put((qn, probe_bool))
 
     def block_topk(batch: pa.Table) -> pa.Table:
-        q, pr = ray.get(q_ref)
+        q, pb = ray.get(q_ref)
         m = _normalize(_to_matrix(batch.column(vec_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         cents = batch.column("centroid").to_numpy(zero_copy_only=False)
         scores = q @ m.T
         # a query only sees vectors in its probed partitions
-        mask = np.zeros_like(scores, bool)
-        for qi in range(len(q)):
-            mask[qi] = np.isin(cents, pr[qi])
+        mask = pb[:, cents.astype(np.int64)]
         scores = np.where(mask, scores, -2.0)
         kk = min(k, scores.shape[1])
         top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
@@ -261,17 +263,17 @@ def ivf_index_topk(
     probed = pipeline.decode_dataset(
         index_dir, predicate=[("centroid", "in", wanted)]
     )
-    q_ref = ray.put((qn, probes))
+    probe_bool = np.zeros((len(qn), len(cent)), bool)
+    probe_bool[np.arange(len(qn))[:, None], probes] = True
+    q_ref = ray.put((qn, probe_bool))
 
     def block_topk(batch: pa.Table) -> pa.Table:
-        q, pr = ray.get(q_ref)
+        q, pb = ray.get(q_ref)
         m = _normalize(_to_matrix(batch.column(vec_col)))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         cents = batch.column("centroid").to_numpy(zero_copy_only=False)
         scores = q @ m.T
-        mask = np.zeros_like(scores, bool)
-        for qi in range(len(q)):
-            mask[qi] = np.isin(cents, pr[qi])
+        mask = pb[:, cents.astype(np.int64)]
         scores = np.where(mask, scores, -2.0)
         kk = min(k, scores.shape[1])
         top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
