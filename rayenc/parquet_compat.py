@@ -450,6 +450,9 @@ def assemble_flat(r, t):
         v = np.asarray(r)
         if v.ndim == 2 and v.shape[1] == 12 and pa.types.is_timestamp(t):
             arr = pa.array(int96_to_timestamp_ns(v), pa.timestamp("ns"))
+        elif v.ndim == 2 and pa.types.is_float16(t):
+            # FLOAT16 logical type: FLBA(2) bytes ARE little-endian halves
+            arr = pa.array(np.ascontiguousarray(v).view("<f2").ravel())
         elif v.ndim == 2:
             arr = pa.array([bytes(row) for row in v], pa.binary(v.shape[1]))
         elif pa.types.is_temporal(t):
@@ -519,6 +522,8 @@ def _to_dense_arrow(vals, elem_t):
     v = np.asarray(vals)
     if pa.types.is_decimal(elem_t):
         return _decimal_dense(v, elem_t)
+    if v.ndim == 2 and pa.types.is_float16(elem_t):
+        return pa.array(np.ascontiguousarray(v).view("<f2").ravel())
     if v.ndim == 2:
         return pa.array([bytes(row) for row in v], pa.binary(v.shape[1]))
     if pa.types.is_boolean(elem_t):

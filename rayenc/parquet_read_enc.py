@@ -135,9 +135,12 @@ _PTYPE_NAME = {
 
 
 class LeafInfo:
-    __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def", "unsigned")
+    __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def",
+                 "unsigned", "f16")
 
-    def __init__(self, path, ptype, type_length, max_rep, max_def, unsigned=False):
+    def __init__(self, path, ptype, type_length, max_rep, max_def,
+                 unsigned=False, f16=False):
+        self.f16 = f16
         self.path = path
         self.ptype = ptype
         self.type_length = type_length
@@ -189,10 +192,12 @@ def _walk_schema(elems):
             for _ in range(nchild):
                 walk(path + [name], max_rep, max_def)
         else:
+            lt = e.get(10)
             leaves.append(
                 LeafInfo(
                     path + [name], _PTYPE_NAME[e[1]], e.get(2, 0), max_rep,
                     max_def, unsigned=_leaf_is_unsigned(e),
+                    f16=isinstance(lt, dict) and 15 in lt,  # FLOAT16
                 )
             )
 
@@ -337,6 +342,8 @@ class EncryptedFile:
                 "FIXED_LEN_BYTE_ARRAY": pa.binary(leaf.type_length),
                 "INT96": pa.timestamp("ns"),
             }[leaf.ptype]
+            if leaf.f16:
+                t = pa.float16()
             fields.append(pa.field(leaf.path[0], t, leaf.max_def > 0))
         return pa.schema(fields)
 

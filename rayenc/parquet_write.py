@@ -106,6 +106,15 @@ def _logical_type(t: "pa.DataType"):
             w.end_struct()
 
         return emit
+    if pa.types.is_float16(t):
+
+        def emit_f16(w: "_W"):
+            w.begin_struct(10)  # logicalType
+            w.begin_struct(15)  # FLOAT16 (Float16Type, empty struct)
+            w.end_struct()
+            w.end_struct()
+
+        return emit_f16
     return None
 
 # thrift parquet enums
@@ -740,6 +749,20 @@ def _value_bounds(col: PhysicalColumn, a: int, b: int):
         lim = st_mod.BINARY_TRUNCATE
         exact = len(mn) <= lim and len(mx) <= lim
         return mn[:lim], st_mod.truncate_max(mx, lim), exact
+    if col.ptype == "FIXED_LEN_BYTE_ARRAY" and col.f16:
+        # FLOAT16 orders numerically as IEEE half floats
+        # (Float16Statistics / TYPE_DEFINED_ORDER for the FLOAT16 logical
+        # type): bounds on the float view, ±0 widened like parquet-cpp so
+        # an exact-zero predicate can never be wrongly pruned
+        v = np.ascontiguousarray(np.asarray(col.values)[a:b]).view("<f2").ravel()
+        if np.isnan(v).any():
+            return None
+        mn, mx = v.min(), v.max()
+        if mn == 0.0:
+            mn = np.float16(-0.0)
+        if mx == 0.0:
+            mx = np.float16(0.0)
+        return mn.tobytes(), mx.tobytes(), True
     return None
 
 

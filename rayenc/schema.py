@@ -51,6 +51,9 @@ class PhysicalColumn:
     # bit pattern, so min/max for statistics must be taken in the unsigned
     # domain (parquet UINT logical types order TYPE_DEFINED_ORDER unsigned)
     unsigned: bool = False
+    # source arrow type was float16: FLBA(2) storage whose statistics order
+    # numerically as IEEE half floats (FLOAT16 logical type)
+    f16: bool = False
 
     @property
     def num_values(self) -> int:
@@ -68,7 +71,7 @@ def physical_type(t: pa.DataType) -> str:
         return "BOOLEAN"
     if pa.types.is_integer(t):
         return "INT32" if t.bit_width <= 32 else "INT64"
-    if pa.types.is_float32(t) or pa.types.is_float16(t):
+    if pa.types.is_float32(t):
         return "FLOAT"
     if pa.types.is_float64(t):
         return "DOUBLE"
@@ -81,9 +84,14 @@ def physical_type(t: pa.DataType) -> str:
         or pa.types.is_large_binary(t)
     ):
         return "BINARY"
-    if pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
-        # DECIMAL over FLBA, like the reference's logical-type layering
-        # (LogicalTypeAnnotation.java:296-377 on PrimitiveType FLBA)
+    if (
+        pa.types.is_fixed_size_binary(t)
+        or pa.types.is_decimal(t)
+        or pa.types.is_float16(t)
+    ):
+        # DECIMAL and FLOAT16 over FLBA, like the reference's logical-type
+        # layering (LogicalTypeAnnotation.java:296-377 on PrimitiveType
+        # FLBA; Float16 rides FLBA(2) per parquet-format 2.10)
         return "FIXED_LEN_BYTE_ARRAY"
     raise NotImplementedError(f"unsupported arrow type {t}")
 
@@ -176,7 +184,11 @@ def shred(field_name: str, arr) -> list[PhysicalColumn]:
         start = dense.offset * width
         flat = buf[start : start + len(dense) * width]
         return [
-            PhysicalColumn(field_name, "FIXED_LEN_BYTE_ARRAY", flat.reshape(-1, width), null_mask)
+            PhysicalColumn(
+                field_name, "FIXED_LEN_BYTE_ARRAY",
+                flat.reshape(-1, width), null_mask,
+                f16=pa.types.is_float16(t),
+            )
         ]
     if ptype == "BINARY":
         if arr.null_count:
@@ -268,7 +280,11 @@ def assemble(field: pa.Field, chunks: dict[str, tuple]) -> pa.Array:
     if ptype == "FIXED_LEN_BYTE_ARRAY":
         vals = np.ascontiguousarray(values, np.uint8)
         width = vals.shape[1]
-        storage = t if pa.types.is_decimal(t) else pa.binary(width)
+        # decimal and float16 are themselves fixed-width primitives: build
+        # them straight from the byte buffer (no binary->halffloat cast
+        # exists in arrow)
+        direct = pa.types.is_decimal(t) or pa.types.is_float16(t)
+        storage = t if direct else pa.binary(width)
         arr = pa.Array.from_buffers(
             storage, len(vals), [None, pa.py_buffer(vals)]
         )

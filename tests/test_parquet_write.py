@@ -393,3 +393,80 @@ def test_merge_encrypted_inputs_and_output(tmp_path):
     )
     got = read_table_encrypted(out, FileDecryption(footer_key=fk))
     assert got.cast(t.schema).equals(t)
+
+
+# ------------------------------- FLOAT16 logical type (FLBA-2, field 15)
+
+
+def test_float16_roundtrip_and_interop(tmp_path):
+    """float16 writes as FLBA(2) + FLOAT16 logical type (parquet-format
+    2.10; LogicalTypeAnnotation float16): our readers and pyarrow both
+    recover halffloat exactly."""
+    import numpy as np
+
+    from rayenc.parquet_compat import read_table_conformance
+    from rayenc.parquet_read_enc import read_table_encrypted
+
+    vals = np.array([1.5, -2.25, 0.0, 65504.0, -0.0, 3.1], np.float16)
+    t = pa.table({"h": pa.array(vals), "i": pa.array(range(6), pa.int64())})
+    path = str(tmp_path / "f16.parquet")
+    parquet_write.write_table(t, path, row_group_size=3)
+    for reader in (read_table_encrypted, read_table_conformance):
+        got = reader(path)
+        assert got.column("h").type == pa.float16()
+        assert got.column("h").to_pylist() == vals.tolist()
+    back = pq.read_table(path)
+    assert back.column("h").type == pa.float16()
+    assert back.column("h").to_pylist() == vals.tolist()
+
+
+def test_float16_statistics_order_and_zero_rule(tmp_path):
+    """FLOAT16 stats order numerically (Float16Statistics): bounds are the
+    2-byte halves, a zero min widens to -0.0 / zero max to +0.0, and NaN
+    suppresses the bounds entirely."""
+    import numpy as np
+
+    from rayenc.parquet_read_enc import EncryptedFile
+
+    t = pa.table({"h": pa.array(np.array([0.0, 2.5, 7.0], np.float16))})
+    path = str(tmp_path / "f16s.parquet")
+    parquet_write.write_table(t, path)
+    st = EncryptedFile(path).chunk_meta(0, 0)[12]
+    assert np.frombuffer(st[6], "<f2")[0] == 0.0
+    assert np.signbit(np.frombuffer(st[6], "<f2")[0])  # min +0.0 -> -0.0
+    assert np.frombuffer(st[5], "<f2")[0] == np.float16(7.0)
+
+    t2 = pa.table({"h": pa.array(np.array([1.0, np.nan], np.float16))})
+    path2 = str(tmp_path / "f16n.parquet")
+    parquet_write.write_table(t2, path2)
+    md = EncryptedFile(path2).chunk_meta(0, 0)
+    assert md.get(12) is None or md[12].get(5) is None
+
+
+def test_float16_reads_foreign_file(tmp_path):
+    """A pyarrow-written FLOAT16 file decodes through our conformance
+    reader with the halffloat type recovered."""
+    import numpy as np
+
+    from rayenc.parquet_compat import read_table_conformance
+
+    vals = np.arange(20, dtype=np.float16) / 4
+    path = str(tmp_path / "pa_f16.parquet")
+    pq.write_table(pa.table({"h": pa.array(vals)}), path)
+    got = read_table_conformance(path)
+    assert got.column("h").type == pa.float16()
+    assert got.column("h").to_pylist() == vals.tolist()
+
+
+def test_float16_with_nulls(tmp_path):
+    import numpy as np
+
+    from rayenc.parquet_read_enc import read_table_encrypted
+
+    arr = pa.array([np.float16(1.5), None, np.float16(-8.0), None],
+                   pa.float16())
+    t = pa.table({"h": arr})
+    path = str(tmp_path / "f16null.parquet")
+    parquet_write.write_table(t, path)
+    got = read_table_encrypted(path)
+    assert got.column("h").to_pylist() == arr.to_pylist()
