@@ -229,3 +229,156 @@ class FileDecryption:
         if k is None:
             raise ValueError(f"no key available for column {dotted_path!r}")
         return k
+
+
+# ----------------------- external key material (FileSystemKeyMaterialStore)
+
+KEY_MATERIAL_FILE_PREFIX = "_KEY_MATERIAL_FOR_"
+KEY_MATERIAL_TEMP_PREFIX = "_TMP"
+KEY_MATERIAL_FILE_SUFFIX = ".json"
+FOOTER_KEY_ID_IN_FILE = "footerKey"  # KeyMaterial.FOOTER_KEY_ID_IN_FILE
+COLUMN_KEY_ID_PREFIX = "columnKey"  # KeyMaterial.COLUMN_KEY_ID_IN_FILE_PREFIX
+
+
+def key_material_store_path(parquet_path: str, temp: bool = False) -> str:
+    """Sidecar path next to the parquet file
+    (`HadoopFSKeyMaterialStore.initialize:53-56`):
+    ``[_TMP]_KEY_MATERIAL_FOR_<file name>.json`` in the same directory."""
+    import os as _os
+
+    d, name = _os.path.split(parquet_path)
+    prefix = (KEY_MATERIAL_TEMP_PREFIX if temp else "") + KEY_MATERIAL_FILE_PREFIX
+    return _os.path.join(d, prefix + name + KEY_MATERIAL_FILE_SUFFIX)
+
+
+def external_key_metadata(key_reference: str) -> bytes:
+    """Key metadata stored IN the parquet file when the material lives in
+    the sidecar (`KeyMetadata.java:41-52`): type + internalStorage=false +
+    the reference into the store."""
+    import json
+
+    return json.dumps(
+        {
+            "keyMaterialType": "PKMT1",
+            "internalStorage": False,
+            "keyReference": key_reference,
+        }
+    ).encode()
+
+
+def write_key_material_store(
+    parquet_path: str, material: "dict[str, str]", temp: bool = False
+) -> str:
+    """Persist {key id in file -> key material JSON string} as the sidecar
+    (`HadoopFSKeyMaterialStore.saveMaterial:77-88`, a Jackson string map)."""
+    import json
+
+    path = key_material_store_path(parquet_path, temp)
+    with open(path, "w") as f:
+        json.dump(material, f)
+    return path
+
+
+def read_key_material_store(parquet_path: str) -> "dict[str, str]":
+    import json
+
+    with open(key_material_store_path(parquet_path)) as f:
+        return json.load(f)
+
+
+def make_external_encryption(
+    parquet_path: str,
+    footer_key: bytes,
+    footer_master_id: str,
+    column_keys: "dict[str, tuple[bytes, str]] | None" = None,
+    kms_wrap=None,
+    **kwargs,
+) -> "FileEncryption":
+    """FileEncryption whose key material is written to the sidecar store
+    instead of the file (FileKeyWrapper with a KeyMaterialStore:
+    `FileKeyWrapper.java:160-180`): each key's double-wrapped PKMT1
+    material lands in `_KEY_MATERIAL_FOR_<name>.json` under "footerKey" /
+    "columnKey<N>", and the in-file metadata carries only the reference.
+    ``column_keys`` maps dotted column paths to (key, master key id)."""
+    material: dict[str, str] = {
+        FOOTER_KEY_ID_IN_FILE: double_wrapped_key_material(
+            footer_key, footer_master_id, True, kms_wrap=kms_wrap
+        ).decode()
+    }
+    col_key_bytes: dict[str, bytes] = {}
+    col_meta: dict[str, bytes] = {}
+    for i, (dotted, (key, master)) in enumerate(
+        sorted((column_keys or {}).items()), start=1
+    ):
+        ref = f"{COLUMN_KEY_ID_PREFIX}{i}"
+        material[ref] = double_wrapped_key_material(
+            key, master, False, kms_wrap=kms_wrap
+        ).decode()
+        col_key_bytes[dotted] = key
+        col_meta[dotted] = external_key_metadata(ref)
+    write_key_material_store(parquet_path, material)
+    return FileEncryption(
+        footer_key=footer_key,
+        column_keys=col_key_bytes,
+        footer_key_metadata=external_key_metadata(FOOTER_KEY_ID_IN_FILE),
+        column_key_metadata=col_meta,
+        **kwargs,
+    )
+
+
+def unwrap_key_material_entry(material_json: str, kms_unwrap=None) -> "tuple[bytes, str]":
+    """(DEK, masterKeyID) from one PKMT1 material string — the
+    `FileKeyUnwrapper.getDEKandMasterID` step. ``kms_unwrap(wrapped, master)
+    -> bytes`` defaults to the trivial base64 test KMS."""
+    import json
+
+    km = json.loads(material_json)
+    master = km.get("masterKeyID", "")
+    unwrap = kms_unwrap or (lambda wrapped, m: base64.b64decode(wrapped))
+    if not km.get("doubleWrapping"):
+        return unwrap(km["wrappedDEK"], master), master
+    kek = unwrap(km["wrappedKEK"], master)
+    kek_id = base64.b64decode(km["keyEncryptionKeyID"])
+    nonce_ct = base64.b64decode(km["wrappedDEK"])
+    dek = _aesgcm(kek).decrypt(nonce_ct[:NONCE_LEN], nonce_ct[NONCE_LEN:], kek_id)
+    return dek, master
+
+
+def rotate_master_keys(
+    folder: str, kms_unwrap=None, kms_wrap=None
+) -> "list[str]":
+    """`KeyToolkit.rotateMasterKeys:200-264` for external key material:
+    for every parquet file in ``folder`` with a sidecar store, unwrap each
+    DEK through the old KMS state, re-wrap it with a FRESH KEK under the
+    same master key id through the new KMS state, write a `_TMP` store,
+    then atomically replace the live one. The parquet files themselves are
+    never touched — only the sidecars change. Returns the rotated files.
+    Raises on internal-storage files (no sidecar), matching the
+    reference's UnsupportedOperationException."""
+    import json
+    import os as _os
+
+    rotated = []
+    for name in sorted(_os.listdir(folder)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        fpath = _os.path.join(folder, name)
+        store_path = key_material_store_path(fpath)
+        if not _os.path.exists(store_path):
+            raise ValueError(
+                f"key rotation needs external key material; no sidecar for {fpath}"
+            )
+        with open(store_path) as f:
+            store = json.load(f)
+        kek, kek_id = os.urandom(16), os.urandom(16)  # fresh KEK per file
+        new_store = {}
+        for ref, material in store.items():
+            dek, master = unwrap_key_material_entry(material, kms_unwrap)
+            new_store[ref] = double_wrapped_key_material(
+                dek, master, ref == FOOTER_KEY_ID_IN_FILE,
+                kek=kek, kek_id=kek_id, kms_wrap=kms_wrap,
+            ).decode()
+        tmp = write_key_material_store(fpath, new_store, temp=True)
+        _os.replace(tmp, store_path)
+        rotated.append(fpath)
+    return rotated

@@ -207,20 +207,30 @@ def _walk_schema(elems):
     return leaves
 
 
-def _unwrap_key_material(key_metadata: bytes, dec: FileDecryption) -> bytes | None:
-    """Unwrap parquet-mr/pyarrow internal key material (PKMT1 JSON): single
-    wrapping resolves the DEK straight through the KMS; DOUBLE wrapping
+def _unwrap_key_material(
+    key_metadata: bytes, dec: FileDecryption, path: str | None = None
+) -> bytes | None:
+    """Unwrap parquet-mr/pyarrow key material (PKMT1 JSON): single wrapping
+    resolves the DEK straight through the KMS; DOUBLE wrapping
     (`crypto/keytools/FileKeyUnwrapper.java:119-144`, the Spark default)
     unwraps the KEK through the KMS under the master key, then decrypts the
     DEK locally with AAD = raw kekID bytes (KeyToolkit.decryptKeyLocally).
-    Returns None when the metadata isn't that shape (caller falls back to
-    explicit keys)."""
+    internalStorage=false metadata carries only a keyReference — the
+    material itself is fetched from the `_KEY_MATERIAL_FOR_<name>.json`
+    sidecar next to the file (`KeyMetadata.java:41-52` +
+    `HadoopFSKeyMaterialStore`). Returns None when the metadata isn't that
+    shape (caller falls back to explicit keys)."""
     import json
 
     try:
         km = json.loads(key_metadata)
         if km.get("keyMaterialType") != "PKMT1":
             return None
+        if km.get("internalStorage") is False and "keyReference" in km:
+            if path is None:
+                return None
+            store = pcrypt.read_key_material_store(path)
+            km = json.loads(store[km["keyReference"]])
         master = km.get("masterKeyID", "")
         if not km.get("doubleWrapping"):
             return dec.unwrap(km["wrappedDEK"], master)
@@ -306,7 +316,7 @@ class EncryptedFile:
         if self.dec.footer_key is not None:
             return self.dec.footer_key
         if key_metadata:
-            k = _unwrap_key_material(key_metadata, self.dec)
+            k = _unwrap_key_material(key_metadata, self.dec, self.path)
             if k is not None:
                 return k
         raise ValueError(f"no footer key available for {self.path}")
@@ -316,7 +326,7 @@ class EncryptedFile:
         if k is not None:
             return k
         if key_metadata:
-            k = _unwrap_key_material(key_metadata, self.dec)
+            k = _unwrap_key_material(key_metadata, self.dec, self.path)
             if k is not None:
                 return k
         if self.footer_key is not None:

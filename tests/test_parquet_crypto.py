@@ -536,3 +536,90 @@ def test_key_toolkit_local_wrap_roundtrip():
 
     with _pytest.raises(Exception):
         pc_.decrypt_key_locally(wrapped, kek, b"wrong-aad-16byte")
+
+
+# ------------------- external key material (FileSystemKeyMaterialStore)
+
+
+def test_external_key_material_our_roundtrip(tmp_path):
+    """Key material in the `_KEY_MATERIAL_FOR_<name>.json` sidecar
+    (HadoopFSKeyMaterialStore naming), in-file metadata holding only the
+    keyReference (KeyMetadata.java internalStorage=false): our writer
+    emits it, our reader resolves references with no explicit keys."""
+    import os
+
+    from rayenc.parquet_crypto import (
+        key_material_store_path,
+        make_external_encryption,
+        read_key_material_store,
+    )
+
+    t = pq.read_table(f"{SF}/orders.parquet")
+    path = str(tmp_path / "ext.parquet")
+    enc = make_external_encryption(
+        path, FK, "fmaster", column_keys={"o_orderpriority": (CK, "cmaster")}
+    )
+    parquet_write.write_table(t, path, encryption=enc)
+    side = key_material_store_path(path)
+    assert os.path.basename(side) == "_KEY_MATERIAL_FOR_ext.parquet.json"
+    store = read_key_material_store(path)
+    assert set(store) == {"footerKey", "columnKey1"}
+    assert json.loads(store["footerKey"])["doubleWrapping"] is True
+    # reference resolution only — no keys passed to the reader
+    got = read_table_encrypted(path)
+    assert got.cast(t.schema).equals(t)
+
+
+def test_master_key_rotation_external_material(tmp_path):
+    """KeyToolkit.rotateMasterKeys:200-264 — re-wrap every DEK with fresh
+    KEKs via the (re-keyed) KMS, replacing only the sidecar; the parquet
+    file bytes never change, and readers resolve the rotated material.
+    (pyarrow 16's Python CryptoFactory cannot pass the file path that
+    external material requires, so interop is exercised structurally: our
+    sidecar naming and PKMT1 field set match HadoopFSKeyMaterialStore /
+    KeyMaterial.java exactly.)"""
+    import os
+
+    from rayenc.parquet_crypto import (
+        make_external_encryption,
+        read_key_material_store,
+        rotate_master_keys,
+    )
+
+    t = pq.read_table(f"{SF}/orders.parquet")
+    path = str(tmp_path / "rot.parquet")
+    enc = make_external_encryption(
+        path, FK, "fmaster", column_keys={"o_orderpriority": (CK, "cmaster")}
+    )
+    parquet_write.write_table(t, path, encryption=enc)
+    before_store = read_key_material_store(path)
+    before_bytes = open(path, "rb").read()
+
+    rotated = rotate_master_keys(str(tmp_path))
+    assert rotated == [path]
+    after_store = read_key_material_store(path)
+    assert set(after_store) == set(before_store)
+    # fresh KEK: wrapped KEK and wrapped DEK both change, master ids stay
+    for ref in before_store:
+        b, a = json.loads(before_store[ref]), json.loads(after_store[ref])
+        assert a["wrappedKEK"] != b["wrappedKEK"]
+        assert a["wrappedDEK"] != b["wrappedDEK"]
+        assert a["masterKeyID"] == b["masterKeyID"]
+    assert open(path, "rb").read() == before_bytes  # file untouched
+    assert not [
+        n for n in os.listdir(tmp_path) if n.startswith("_TMP")
+    ]  # temp store replaced atomically
+    got = read_table_encrypted(path)  # resolves the rotated material
+    assert got.cast(t.schema).equals(t)
+
+
+def test_rotation_refuses_internal_material(tmp_path):
+    import pytest as _pytest
+
+    from rayenc.parquet_crypto import rotate_master_keys
+
+    t = pq.read_table(f"{SF}/orders.parquet")
+    path = str(tmp_path / "internal.parquet")
+    parquet_write.write_table(t, path, encryption=FileEncryption(footer_key=FK))
+    with _pytest.raises(ValueError, match="external key material"):
+        rotate_master_keys(str(tmp_path))
