@@ -23,6 +23,9 @@ Parquet FILE inspection / surgery (all take --key HEX for encrypted files):
     python -m rayenc.cli show-bloom-filter FILE --column c [--test-value v]
     python -m rayenc.cli show-column-index FILE [--column c]
     python -m rayenc.cli show-size-statistics FILE [--column c]
+    python -m rayenc.cli show-geospatial-statistics FILE [--column c]
+    python -m rayenc.cli footer FILE.parquet           # raw footer JSON
+    python -m rayenc.cli scan FILE.parquet|DIR         # full decode + timing
     python -m rayenc.cli merge A.parquet B.parquet -o OUT.parquet
     python -m rayenc.cli reencrypt FILE -o OUT [--in-key HEX] [--out-key HEX]
 
@@ -383,6 +386,54 @@ def cmd_show_geo_stats(args):
         print("no geospatial statistics")
 
 
+def cmd_footer(args):
+    """ShowFooterCommand analog: dump the raw parquet footer as JSON from
+    OUR thrift compact parser (field ids preserved; --raw skips the
+    field-name annotation). Works on encrypted footers with --key."""
+    f = _enc_file(args)
+
+    def jsonable(v):
+        if isinstance(v, bytes):
+            try:
+                s = v.decode()
+                return s if s.isprintable() else "0x" + v.hex()
+            except UnicodeDecodeError:
+                return "0x" + v.hex()
+        if isinstance(v, dict):
+            return {str(k): jsonable(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [jsonable(x) for x in v]
+        return v
+
+    print(json.dumps(jsonable(f.md), indent=2))
+
+
+def cmd_scan(args):
+    """ScanCommand analog: decode every value of the file/container and
+    report rows scanned + wall time (a read-path exerciser)."""
+    import time
+
+    t0 = time.perf_counter()
+    if os.path.isdir(args.file):
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False)
+        from .pipeline import decode_dataset
+
+        n = decode_dataset(args.file).count()
+    else:
+        from .parquet_crypto import FileDecryption
+        from .parquet_read_enc import read_table_encrypted
+
+        dec = None
+        if getattr(args, "key", None):
+            dec = FileDecryption(footer_key=bytes.fromhex(args.key))
+        n = read_table_encrypted(args.file, dec).num_rows
+    dt = time.perf_counter() - t0
+    print(f"scanned {n} rows in {dt:.3f} s ({n / max(dt, 1e-9):,.0f} rows/s)")
+
+
 def cmd_merge(args):
     """Merge parquet files into one (one row group per input) — the
     ParquetRewriter multi-input stitch."""
@@ -550,6 +601,8 @@ def main(argv=None):
         ("show-column-index", cmd_show_column_index),
         ("show-size-statistics", cmd_show_size_stats),
         ("show-geospatial-statistics", cmd_show_geo_stats),
+        ("footer", cmd_footer),
+        ("scan", cmd_scan),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("file")

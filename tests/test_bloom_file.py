@@ -229,3 +229,22 @@ def test_adaptive_bloom_file_roundtrip(tmp_path):
     keys = t.column("l_orderkey").to_pylist()
     for v in (keys[0], keys[-1], keys[len(keys) // 2]):
         assert all(bloom_might_contain(path, "l_orderkey", v))
+
+
+def test_cli_footer_and_scan(tmp_path, capsys):
+    """ShowFooterCommand / ScanCommand analogs over a written file."""
+    import os
+
+    from rayenc.cli import main
+
+    t = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                      columns=["l_orderkey"])
+    path = str(tmp_path / "fs.parquet")
+    parquet_write.write_table(t, path)
+    main(["footer", path])
+    out = capsys.readouterr().out
+    doc = __import__("json").loads(out)
+    assert doc["1"] == 2 and doc["3"] == t.num_rows  # version, num_rows
+    main(["scan", path])
+    out = capsys.readouterr().out
+    assert f"scanned {t.num_rows} rows" in out
