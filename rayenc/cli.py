@@ -386,6 +386,22 @@ def cmd_show_geo_stats(args):
         print("no geospatial statistics")
 
 
+def cmd_check_stats(args):
+    """CheckParquet251Command analog: report whether the file's binary
+    min/max statistics are trustworthy given its created_by (PARQUET-251
+    corrupt-stats bug in parquet-mr < 1.8.0)."""
+    from .created_by import should_ignore_statistics
+
+    f = _enc_file(args)
+    print(f"created_by: {f.created_by!r}")
+    bad = should_ignore_statistics(f.created_by, "BYTE_ARRAY")
+    if bad:
+        print("binary statistics: CORRUPT (ignored by filtered reads; "
+              "PARQUET-251/297)")
+    else:
+        print("binary statistics: OK")
+
+
 def cmd_footer(args):
     """ShowFooterCommand analog: dump the raw parquet footer as JSON from
     OUR thrift compact parser (field ids preserved; --raw skips the
@@ -603,6 +619,7 @@ def main(argv=None):
         ("show-geospatial-statistics", cmd_show_geo_stats),
         ("footer", cmd_footer),
         ("scan", cmd_scan),
+        ("check-stats", cmd_check_stats),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("file")

@@ -299,6 +299,8 @@ class EncryptedFile:
             for e in self.md.get(5, [])
             if 1 in e and 2 in e
         }
+        cb = self.md.get(6)
+        self.created_by = cb.decode(errors="replace") if cb else None
 
     # -- keys / algorithm ---------------------------------------------------
 
@@ -707,12 +709,24 @@ def read_table_filtered(
     )
     dict_cache: dict = {}
 
+    # PARQUET-251 gate: binary min/max from parquet-mr < 1.8.0 (or files
+    # with missing/unparseable created_by) are corrupt and must not prune
+    # (CorruptStatistics.shouldIgnoreStatistics)
+    from .created_by import should_ignore_statistics
+
+    distrust_binary = should_ignore_statistics(f.created_by, "BYTE_ARRAY")
+
     def rg_leaf_fn(rg_ord):
         def fn(leaf: P.Leaf) -> bool:
             ci = leaf_ord[leaf.col]
             lf = f.leaves[ci]
             md = f.chunk_meta(rg_ord, ci)
-            b = _chunk_stat_bounds(md, lf)
+            if distrust_binary and lf.ptype in (
+                "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"
+            ):
+                b = None
+            else:
+                b = _chunk_stat_bounds(md, lf)
             if b is not None and not P.leaf_vs_bounds(leaf, b[0], b[1]):
                 return False
             if leaf.op in ("==", "in"):
