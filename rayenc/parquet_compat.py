@@ -739,6 +739,13 @@ def _decode_values(body, n, encoding, ptype, dictionary, type_length=0):
             return d.reshape(n, type_length)
         return o, d
     if encoding == BYTE_STREAM_SPLIT:
+        if ptype == "FIXED_LEN_BYTE_ARRAY":
+            # extended BSS over FLBA (format 2.11): k byte planes of width
+            # type_length, transposed back to (n, type_length) rows
+            return np.ascontiguousarray(
+                np.frombuffer(body, np.uint8, count=n * type_length)
+                .reshape(type_length, n).T
+            )
         dt = {"FLOAT": np.float32, "DOUBLE": np.float64, "INT32": np.int32, "INT64": np.int64}[ptype]
         return bytestream_split.decode(body, n, dt)
     raise NotImplementedError(f"encoding {encoding}")

@@ -516,6 +516,12 @@ def _encode_column_pages(
         page_rows=config.page_rows,
         max_dict_bytes=config.max_dict_bytes,
         fsst=False,  # parquet-legal candidates only
+        column_encodings={
+            k: v
+            for k, v in config.column_encodings.items()
+            if v in PARQUET_LEGAL
+        },
+        disable_dictionary=config.disable_dictionary,
     )
     if def_levels is None:
         slot_ranges = None
@@ -553,14 +559,33 @@ def _encode_column_pages(
         if (
             col.ptype == "FIXED_LEN_BYTE_ARRAY"
             and enc_name in ("BYTE_STREAM_SPLIT", "DELTA_BYTE_ARRAY")
+            and cfg.column_encodings.get(col.name) != enc_name
         ):
-            # spec-legal for FLBA but common readers (DuckDB) only accept
-            # BSS for FLOAT/DOUBLE and DELTA_BYTE_ARRAY for BYTE_ARRAY —
-            # keep output widely readable
+            # spec-legal for FLBA (format 2.11 extended BSS) but common
+            # readers (DuckDB) only accept BSS for FLOAT/DOUBLE and
+            # DELTA_BYTE_ARRAY for BYTE_ARRAY — keep auto-selected output
+            # widely readable; an explicit column_encodings override is
+            # honored (our readers decode both)
             continue
         cand = _plan_candidate(col, enc_name, ranges, cfg)
         if cand is not None:
             cands.append(cand)
+    if not cands:
+        # an override that can't plan for this chunk (or a non-parquet
+        # encoding) falls back to the automatic candidate set
+        auto = sel.EncodeConfig(
+            page_size=cfg.page_size, page_rows=cfg.page_rows,
+            max_dict_bytes=cfg.max_dict_bytes, fsst=False,
+        )
+        for enc_name in sel.candidates_for(col, st, auto):
+            if enc_name not in PARQUET_LEGAL or (
+                col.ptype == "FIXED_LEN_BYTE_ARRAY"
+                and enc_name in ("BYTE_STREAM_SPLIT", "DELTA_BYTE_ARRAY")
+            ):
+                continue
+            cand = _plan_candidate(col, enc_name, ranges, auto)
+            if cand is not None:
+                cands.append(cand)
     # V1 RLE data pages (BOOLEAN) carry a 4-byte LE length prefix per page
     # (RunLengthBitPackingHybridValuesWriter.getBytes) — count it in the
     # size comparison so RLE only wins when it wins framed.

@@ -470,3 +470,67 @@ def test_float16_with_nulls(tmp_path):
     parquet_write.write_table(t, path)
     got = read_table_encrypted(path)
     assert got.column("h").to_pylist() == arr.to_pylist()
+
+
+# ---------------- per-column encoding overrides + extended BSS over FLBA
+
+
+def test_parquet_column_encoding_overrides_apply(tmp_path):
+    """column_encodings must reach the parquet encode planner (it was
+    rebuilt without overrides); DELTA_BINARY_PACKED forced on an int
+    column shows up in the chunk's encodings list."""
+    import numpy as np
+
+    from rayenc.parquet_read_enc import EncryptedFile, read_table_encrypted
+
+    t = pa.table({"i": pa.array(np.arange(5000, dtype=np.int64))})
+    path = str(tmp_path / "dbp.parquet")
+    parquet_write.write_table(
+        t, path, EncodeConfig(column_encodings={"i": "DELTA_BINARY_PACKED"})
+    )
+    assert 5 in EncryptedFile(path).chunk_meta(0, 0)[2]  # DELTA_BINARY_PACKED
+    assert read_table_encrypted(path).equals(t)
+
+
+def test_flba_byte_stream_split_override(tmp_path):
+    """Extended BYTE_STREAM_SPLIT over FLBA (format 2.11) via explicit
+    override: float16 byte planes transpose, read back by our readers AND
+    pyarrow; auto-selection still avoids it for DuckDB compatibility."""
+    import numpy as np
+
+    from rayenc.parquet_compat import read_table_conformance
+    from rayenc.parquet_read_enc import EncryptedFile, read_table_encrypted
+
+    vals = np.linspace(-100, 100, 5000).astype(np.float16)
+    t = pa.table({"h": pa.array(vals)})
+    path = str(tmp_path / "bss.parquet")
+    parquet_write.write_table(
+        t, path,
+        EncodeConfig(column_encodings={"h": "BYTE_STREAM_SPLIT"},
+                     compression="zstd"),
+    )
+    assert 9 in EncryptedFile(path).chunk_meta(0, 0)[2]  # BYTE_STREAM_SPLIT
+    for rd in (read_table_encrypted, read_table_conformance):
+        assert rd(path).column("h").to_pylist() == vals.tolist()
+    assert pq.read_table(path).column("h").to_pylist() == vals.tolist()
+    auto = str(tmp_path / "auto.parquet")
+    parquet_write.write_table(t, auto, EncodeConfig(compression="zstd"))
+    import os
+
+    # byte planes compress far better than row-major halves
+    assert os.path.getsize(path) < 0.5 * os.path.getsize(auto)
+    assert 9 not in EncryptedFile(auto).chunk_meta(0, 0)[2]
+
+
+def test_non_parquet_override_falls_back(tmp_path):
+    """An FSST override (container-only encoding) on a parquet file must
+    fall back to automatic candidates, not crash or emit illegal pages."""
+    from rayenc.parquet_read_enc import read_table_encrypted
+
+    t = pa.table({"s": pa.array(["ab" * (i % 37) for i in range(500)])})
+    path = str(tmp_path / "fsst.parquet")
+    parquet_write.write_table(
+        t, path, EncodeConfig(column_encodings={"s": "FSST"})
+    )
+    assert read_table_encrypted(path).equals(t)
+    assert pq.read_table(path).equals(t)
