@@ -509,9 +509,13 @@ def _bounds_fmt(leaf):
     """struct format for ColumnIndex / Statistics bounds of one leaf —
     unsigned logical ints compare in the unsigned domain (mirrors the
     write-side unsigned stats fix; TYPE_DEFINED_ORDER for UINT_* sorts
-    unsigned, so the stored bytes exceed the signed max for large values)."""
+    unsigned, so the stored bytes exceed the signed max for large values);
+    FLOAT16 FLBA-2 bounds decode as IEEE half floats, so float predicates
+    on halffloat columns prune numerically."""
     if leaf.unsigned and leaf.ptype in _MINMAX_FMT_UNSIGNED:
         return _MINMAX_FMT_UNSIGNED[leaf.ptype]
+    if getattr(leaf, "f16", False) and leaf.ptype == "FIXED_LEN_BYTE_ARRAY":
+        return "<e"  # half float
     return _MINMAX_FMT.get(leaf.ptype)
 
 

@@ -213,6 +213,13 @@ def leaf_mask(leaf: Leaf, arr):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if (
+        pa.types.is_float16(arr.type)
+        and leaf.op != "udp"
+    ):
+        # arrow compute has no halffloat comparison kernels; the float32
+        # widening is exact, so verdicts are unchanged
+        arr = arr.cast(pa.float32())
     if leaf.op == "udp":
         return _as_bool_array(leaf.value.keep(arr))
     if leaf.op in ("in", "not_in"):

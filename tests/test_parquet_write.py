@@ -534,3 +534,28 @@ def test_non_parquet_override_falls_back(tmp_path):
     )
     assert read_table_encrypted(path).equals(t)
     assert pq.read_table(path).equals(t)
+
+
+def test_float16_predicate_pushdown(tmp_path):
+    """Predicates on halffloat columns: FLBA-2 stats bounds decode as IEEE
+    halves ('<e'), pages/groups prune numerically, and the exact filter
+    widens to float32 (arrow has no halffloat comparison kernels)."""
+    import numpy as np
+
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig as EC
+
+    vals = np.linspace(-10, 10, 10000).astype(np.float16)
+    t = pa.table({
+        "h": pa.array(vals),
+        "i": pa.array(np.arange(10000, dtype=np.int64)),
+    })
+    path = str(tmp_path / "f16p.parquet")
+    parquet_write.write_table(t, path, EC(page_rows=1000), row_group_size=2000)
+    got = read_table_filtered(path, [("h", ">", 9.0)])
+    assert got.num_rows == int((vals.astype(np.float32) > 9.0).sum())
+    # out-of-range predicate: stats veto every row group -> empty result
+    assert read_table_filtered(path, [("h", ">", 100.0)]).num_rows == 0
+    assert read_table_filtered(path, [("h", "<=", -10.0)]).num_rows == int(
+        (vals.astype(np.float32) <= -10.0).sum()
+    )
