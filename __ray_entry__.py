@@ -1114,6 +1114,39 @@ def _geospatial_stats(sf_dir: str):
     )
 
 
+def _weighted_mix_documents(sf_dir: str):
+    """Deterministic weighted source mixing (training-data composition):
+    one map_batches pass keeps each row with its source's fraction via the
+    Knuth multiplicative key hash — membership is a pure function of
+    (doc_id, salt), so the SQL oracle reproduces the mix row for row."""
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    return sample.weighted_mix(
+        ds, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        salt=7,
+    )
+
+
+def _train_val_split_documents(sf_dir: str):
+    """Deterministic hash train/val split labels (no RNG: retried tasks
+    and re-sharded runs agree on membership)."""
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return sample.split_column(ds, "doc_id", 0.1, salt=3)
+
+
 def _chunk_documents(sf_dir: str):
     """Fixed-size character chunking of every document (context-window prep)
     across the Dataset; DuckDB reproduces the chunks with substr +
@@ -1226,6 +1259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
     q["pushdown_filter_or"] = _pushdown_filter_or
     q["geospatial_stats"] = _geospatial_stats
+    q["weighted_mix_documents"] = _weighted_mix_documents
+    q["train_val_split_documents"] = _train_val_split_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -1325,6 +1360,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT min(l_discount) AS xmin, max(l_discount) AS xmax,"
         " min(l_tax) AS ymin, max(l_tax) AS ymax,"
         " CAST(1 AS BIGINT) AS geo_type FROM lineitem"
+    )
+    def _knuth_pred(frac, salt):
+        thr = int(frac * (1 << 32))
+        return (
+            f"((CAST(doc_id AS HUGEINT) + {salt}) * 2654435761)"
+            f" % 18446744073709551616 % 4294967296 < {thr}"
+        )
+
+    o["weighted_mix_documents"] = (
+        "SELECT doc_id, source FROM documents WHERE "
+        + " OR ".join(
+            f"(source = '{s}' AND {_knuth_pred(f, 7)})"
+            for s, f in (
+                ("src0", 1.0), ("src1", 0.5), ("src2", 0.25), ("src3", 0.1)
+            )
+        )
+    )
+    o["train_val_split_documents"] = (
+        "SELECT doc_id, CASE WHEN "
+        + _knuth_pred(0.1, 3)
+        + " THEN 'val' ELSE 'train' END AS split FROM documents"
     )
     o["pushdown_filter_or"] = (
         "SELECT * FROM lineitem WHERE (l_returnflag = 'A' OR l_quantity < 3.0)"

@@ -1,0 +1,107 @@
+"""Deterministic sampling, weighted source mixing and train/val splits.
+
+Training-data composition ("30% wiki, 70% web") needs sampling that is
+(a) deterministic — re-runs and retried tasks pick the same rows, (b)
+vectorized, and (c) coordination-free — any worker can decide membership
+from the row alone. All three come from bucketing each row's integer key
+with the Knuth multiplicative hash ((key+salt) * 2654435761 mod 2^64,
+low 32 bits) and comparing against fraction * 2^32. The same arithmetic
+is expressible in ANSI SQL (HUGEINT product, double modulo), so every
+operator here is oracle-checkable row for row, unlike RNG-based
+`Dataset.random_sample`.
+
+Single pass over the Dataset: per-source fractions ride along as a plain
+dict captured in the batch closure (tiny, constant), so mixing N sources
+costs one `map_batches`, not N filtered re-reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KNUTH = np.uint64(2654435761)
+_U32 = np.uint64(0xFFFFFFFF)
+BUCKETS = 1 << 32
+
+
+def bucket_of(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """uint32 bucket per key: ((key + salt) * 2654435761 mod 2^64) low 32
+    bits. SQL: ((CAST(k AS HUGEINT) + salt) * 2654435761) %
+    18446744073709551616 % 4294967296."""
+    with np.errstate(over="ignore"):
+        return (
+            (keys.astype(np.uint64) + np.uint64(salt)) * KNUTH
+        ) & _U32
+
+
+def sample_sql_predicate(key_col: str, fraction: float, salt: int = 0) -> str:
+    """The DuckDB-compatible predicate matching hash_sample row for row."""
+    thr = int(fraction * BUCKETS)
+    return (
+        f"((CAST({key_col} AS HUGEINT) + {salt}) * 2654435761)"
+        f" % 18446744073709551616 % 4294967296 < {thr}"
+    )
+
+
+def hash_sample(ds, key_col: str, fraction: float, salt: int = 0):
+    """Keep ~fraction of rows, chosen deterministically by key hash."""
+    thr = np.uint64(int(fraction * BUCKETS))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bucket_of(keys, salt) < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_mix(ds, key_col: str, group_col: str, fractions: dict, salt: int = 0):
+    """One-pass weighted mixing: keep each row with its group's fraction
+    (e.g. {"wiki": 1.0, "web": 0.25}). Groups absent from ``fractions``
+    are dropped. Deterministic in the key, so a retried block reproduces
+    exactly the same mix."""
+    thr = {g: np.uint64(int(f * BUCKETS)) for g, f in fractions.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        b = bucket_of(keys, salt)
+        limits = np.zeros(len(batch), np.uint64)
+        for g, t in thr.items():
+            limits[groups == g] = t
+        return batch.filter(pa.array(b < limits))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def train_val_split(ds, key_col: str, val_fraction: float, salt: int = 0):
+    """(train_ds, val_ds): disjoint, exhaustive, deterministic — membership
+    depends only on (key, salt), so documents never leak across the split
+    between runs or after re-sharding."""
+    thr = np.uint64(int(val_fraction * BUCKETS))
+
+    def side(is_val):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            m = bucket_of(keys, salt) < thr
+            return batch.filter(pa.array(m if is_val else ~m))
+
+        return fn
+
+    return (
+        ds.map_batches(side(False), batch_format="pyarrow"),
+        ds.map_batches(side(True), batch_format="pyarrow"),
+    )
+
+
+def split_column(ds, key_col: str, val_fraction: float, salt: int = 0,
+                 out_col: str = "split"):
+    """Single-pass variant labelling each row 'train' / 'val'."""
+    thr = np.uint64(int(val_fraction * BUCKETS))
+
+    def label(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        lab = np.where(bucket_of(keys, salt) < thr, "val", "train")
+        return batch.append_column(out_col, pa.array(lab))
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -368,3 +368,72 @@ def test_pack_sequences_invariants():
     flat_in = [v for n in lens for v in range(int(n))]
     flat_out = [v for x in p.column("tokens").to_pylist() for v in x]
     assert flat_in == flat_out
+
+
+# ------------------------- deterministic sampling / mixing / splitting
+
+
+def test_hash_sample_deterministic_and_proportional(ray_session):
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    s1 = sorted(r["doc_id"] for r in sample.hash_sample(ds, "doc_id", 0.3, salt=1).take_all())
+    s2 = sorted(r["doc_id"] for r in sample.hash_sample(ds, "doc_id", 0.3, salt=1).take_all())
+    assert s1 == s2  # pure function of (key, salt)
+    n = ds.count()
+    assert 0.15 * n < len(s1) < 0.45 * n
+    # a larger fraction with the same salt is a superset (nested samples)
+    s_big = set(r["doc_id"] for r in sample.hash_sample(ds, "doc_id", 0.6, salt=1).take_all())
+    assert set(s1) <= s_big
+
+
+def test_weighted_mix_single_pass(ray_session):
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    mixed = sample.weighted_mix(
+        ds, "doc_id", "source", {"src0": 1.0, "src1": 0.0}, salt=2
+    ).take_all()
+    srcs = {r["source"] for r in mixed}
+    assert "src1" not in srcs  # fraction 0 drops everything
+    n_src0 = sum(1 for r in ds.take_all() if r["source"] == "src0")
+    assert sum(1 for r in mixed if r["source"] == "src0") == n_src0  # 1.0 keeps all
+    assert srcs <= {"src0"}  # groups without a fraction are dropped
+
+
+def test_train_val_split_disjoint_exhaustive(ray_session):
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    tr, va = sample.train_val_split(ds, "doc_id", 0.2, salt=9)
+    t = set(r["doc_id"] for r in tr.take_all())
+    v = set(r["doc_id"] for r in va.take_all())
+    assert not (t & v)
+    assert len(t) + len(v) == ds.count()
+    # split_column labels agree with the two-dataset split
+    lab = sample.split_column(ds, "doc_id", 0.2, salt=9).take_all()
+    assert {r["doc_id"] for r in lab if r["split"] == "val"} == v
+
+
+def test_sample_sql_predicate_matches_numpy():
+    import numpy as np
+
+    import duckdb
+
+    from rayenc.ops import sample
+
+    keys = np.arange(0, 5000, dtype=np.int64)
+    mask = sample.bucket_of(keys, salt=5) < np.uint64(int(0.37 * sample.BUCKETS))
+    pred = sample.sample_sql_predicate("k", 0.37, salt=5)
+    got = duckdb.sql(
+        f"SELECT count(*) FROM range(5000) t(k) WHERE {pred}"
+    ).fetchone()[0]
+    assert got == int(mask.sum())
