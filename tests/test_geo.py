@@ -340,3 +340,48 @@ def test_cli_show_geospatial_statistics(tmp_path, capsys):
     main(["show-geospatial-statistics", path])
     out = capsys.readouterr().out
     assert "file g:" in out and "x=[-1.0, 5.0]" in out and "Point (XY)" in out
+
+
+# ----------------------------------------------------- property (hypothesis)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(finite, finite), min_size=1, max_size=20),
+    st.booleans(),
+)
+def test_property_multipoint_bbox(coords, big_endian):
+    """bbox of a multipoint == numpy min/max of its coordinates, either
+    byte order."""
+    out = (b"\x00" if big_endian else b"\x01") + struct.pack(
+        (">" if big_endian else "<") + "II", 4, len(coords)
+    )
+    for x, y in coords:
+        out += wkb_point(x, y, big_endian=big_endian)
+    stats = geo.GeospatialStatistics()
+    stats.update_wkb(out)
+    xs = np.array([c[0] for c in coords])
+    ys = np.array([c[1] for c in coords])
+    assert stats.bbox.xmin == xs.min() and stats.bbox.xmax == xs.max()
+    assert stats.bbox.ymin == ys.min() and stats.bbox.ymax == ys.max()
+    assert stats.types.types == {4}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(finite, finite, finite), min_size=1, max_size=12))
+def test_property_linestring_z_roundtrip_through_footer(coords):
+    """footer dict round trip preserves the XYZ envelope exactly."""
+    s = geo.GeospatialStatistics()
+    s.update_wkb(wkb_linestring(coords))
+    back = geo.from_footer_dict(geo.to_footer_dict(s))
+    for f in ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax"):
+        assert getattr(back.bbox, f) == getattr(s.bbox, f)
+    assert back.types.types == {1002}
