@@ -73,6 +73,34 @@ def encrypt_module(key: bytes, plaintext: bytes, aad: bytes) -> bytes:
     return struct.pack("<i", len(body)) + body
 
 
+def encrypt_module_ctr(key: bytes, plaintext: bytes) -> bytes:
+    """AES_GCM_CTR_V1 page module: 4-byte LE length | 12-byte nonce |
+    CTR ciphertext (no tag, no AAD). The CTR IV is nonce || 32-bit counter
+    starting at 1 (AesCtrEncryptor.java:45-47)."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    nonce = os.urandom(NONCE_LEN)
+    iv = nonce + b"\x00\x00\x00\x01"
+    enc = Cipher(algorithms.AES(key), modes.CTR(iv)).encryptor()
+    ct = enc.update(bytes(plaintext)) + enc.finalize()
+    body = nonce + ct
+    return struct.pack("<i", len(body)) + body
+
+
+def decrypt_module_ctr(key: bytes, buf, offset: int) -> tuple[bytes, int]:
+    """Inverse of encrypt_module_ctr (AesCtrDecryptor semantics)."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    b = bytes(buf[offset : offset + SIZE_LEN])
+    (length,) = struct.unpack("<i", b)
+    start = offset + SIZE_LEN
+    body = bytes(buf[start : start + length])
+    nonce, ct = body[:NONCE_LEN], body[NONCE_LEN:]
+    iv = nonce + b"\x00\x00\x00\x01"
+    dec = Cipher(algorithms.AES(key), modes.CTR(iv)).decryptor()
+    return dec.update(ct) + dec.finalize(), start + length
+
+
 def decrypt_module(key: bytes, buf, offset: int, aad: bytes) -> tuple[bytes, int]:
     """Decrypt one framed module at ``buf[offset:]``; returns (plaintext,
     offset just past the module). Raises on tag mismatch (wrong key/AAD)."""
@@ -183,11 +211,17 @@ class FileEncryption:
     store_aad_prefix: bool = True
     footer_key_metadata: bytes | None = None
     column_key_metadata: dict[str, bytes] = field(default_factory=dict)
+    # "AES_GCM_V1" (every module GCM) or "AES_GCM_CTR_V1" (page bodies in
+    # CTR without tags — the faster mode; thrift modules stay GCM:
+    # InternalFileEncryptor.getDataModuleEncryptor:71-84)
+    algorithm: str = "AES_GCM_V1"
 
     def __post_init__(self):
         _aesgcm(self.footer_key)  # validate length
         for k in self.column_keys.values():
             _aesgcm(k)
+        if self.algorithm not in ("AES_GCM_V1", "AES_GCM_CTR_V1"):
+            raise ValueError(f"unsupported algorithm {self.algorithm}")
 
     def make_file_aad(self) -> tuple[bytes, bytes]:
         """(aad_file_unique, file_aad)."""

@@ -305,10 +305,17 @@ class EncryptedFile:
     # -- keys / algorithm ---------------------------------------------------
 
     def _load_algorithm(self, alg_union: dict) -> None:
-        if 1 not in alg_union:
-            raise NotImplementedError("only AES_GCM_V1 is supported")
-        gcm = alg_union[1]
-        self.algorithm = "AES_GCM_V1"
+        if 1 in alg_union:
+            gcm = alg_union[1]
+            self.algorithm = "AES_GCM_V1"
+        elif 2 in alg_union:
+            # AES_GCM_CTR_V1: same union field shape; page bodies are CTR
+            gcm = alg_union[2]
+            self.algorithm = "AES_GCM_CTR_V1"
+        else:
+            raise NotImplementedError(
+                "only AES_GCM_V1 / AES_GCM_CTR_V1 are supported"
+            )
         stored_prefix = gcm.get(1, b"")
         supply = gcm.get(3, False)
         prefix = self.dec.aad_prefix if (supply or not stored_prefix) else stored_prefix
@@ -411,7 +418,8 @@ class EncryptedFile:
             pages = _plain_page_iter(raw, num_values, self.path, leaf.dotted)
         else:
             pages = _encrypted_page_iter(
-                raw, key, self.file_aad, rg_ord, col_ord, num_values, has_dict
+                raw, key, self.file_aad, rg_ord, col_ord, num_values,
+                has_dict, ctr_pages=self.algorithm == "AES_GCM_CTR_V1",
             )
         return _decode_page_stream(
             pages, num_values, leaf.max_rep, leaf.max_def, leaf.ptype,
@@ -419,12 +427,19 @@ class EncryptedFile:
         )
 
 
-def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict):
+def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict,
+                         ctr_pages=False):
     """Walk an encrypted chunk: each page is [header module][body module]
     (V1/dict) or [header module][plaintext levels][values module] (V2).
     AAD mismatches surface as InvalidTag — the GCM tag doubles as the
-    module-type/ordinal check."""
+    module-type/ordinal check. With ``ctr_pages`` (AES_GCM_CTR_V1) page
+    BODIES decrypt in CTR without tags; headers remain GCM."""
     import zlib
+
+    def body_module(buf, off, aad):
+        if ctr_pages:
+            return pcrypt.decrypt_module_ctr(key, buf, off)
+        return pcrypt.decrypt_module(key, buf, off, aad)
 
     pos = 0
     remaining = num_values
@@ -444,8 +459,8 @@ def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict):
             lv = h.v2_rep_bytes + h.v2_def_bytes
             levels = raw[pos : pos + lv]
             body_start = pos
-            vals_pt, pos = pcrypt.decrypt_module(
-                key, raw,
+            vals_pt, pos = body_module(
+                raw,
                 pos + lv,
                 pcrypt.module_aad(file_aad, pcrypt.M_DATA_PAGE, rg, col, page_ord),
             )
@@ -458,8 +473,8 @@ def _encrypted_page_iter(raw, key, file_aad, rg, col, num_values, has_dict):
         else:
             mt = pcrypt.M_DICT_PAGE if expect_dict else pcrypt.M_DATA_PAGE
             body_start = pos
-            body_pt, pos = pcrypt.decrypt_module(
-                key, raw, pos,
+            body_pt, pos = body_module(
+                raw, pos,
                 pcrypt.module_aad(
                     file_aad, mt, rg, col, -1 if expect_dict else page_ord
                 ),

@@ -40,12 +40,15 @@ class _ChunkCrypto:
     and column ordinals; the page ordinal counts data pages only
     (ColumnChunkPageWriteStore.java pageOrdinal semantics, starting at -1)."""
 
-    def __init__(self, key: bytes, file_aad: bytes, rg: int, col: int):
+    def __init__(self, key: bytes, file_aad: bytes, rg: int, col: int,
+                 ctr_pages: bool = False):
         self.key = key
         self.file_aad = file_aad
         self.rg = rg
         self.col = col
         self.page_ord = -1
+        # AES_GCM_CTR_V1: page BODIES use CTR (no tag); headers stay GCM
+        self.ctr_pages = ctr_pages
 
     def next_page(self) -> None:
         self.page_ord += 1
@@ -61,6 +64,8 @@ class _ChunkCrypto:
         return pcrypt.encrypt_module(self.key, hdr, self._aad(mt, not dict_page))
 
     def page(self, body: bytes, dict_page: bool = False) -> bytes:
+        if self.ctr_pages:
+            return pcrypt.encrypt_module_ctr(self.key, body)
         mt = pcrypt.M_DICT_PAGE if dict_page else pcrypt.M_DATA_PAGE
         return pcrypt.encrypt_module(self.key, body, self._aad(mt, not dict_page))
 
@@ -838,7 +843,10 @@ def _write_row_group(
             if file_crypto is not None:
                 props, file_aad = file_crypto
                 key, uses_col_key = props.key_for(".".join(leaf.path))
-                crypto = _ChunkCrypto(key, file_aad, rg_ord, col_ord)
+                crypto = _ChunkCrypto(
+                    key, file_aad, rg_ord, col_ord,
+                    ctr_pages=props.algorithm == "AES_GCM_CTR_V1",
+                )
                 meta.crypto_key = key
                 meta.uses_col_key = uses_col_key
                 meta.rg_ord, meta.col_ord = rg_ord, col_ord
@@ -1261,9 +1269,10 @@ def _emit_column_meta_fields(cc: _W, meta: _Column, redact: bool = False) -> Non
 def _emit_encryption_algorithm(
     w: _W, fid: int, props: "pcrypt.FileEncryption", aad_file_unique: bytes
 ) -> None:
-    """EncryptionAlgorithm union (AES_GCM_V1 member only)."""
+    """EncryptionAlgorithm union: AesGcmV1 (member 1) or AesGcmCtrV1
+    (member 2, same field shape)."""
     w.begin_struct(fid)
-    w.begin_struct(1)  # AesGcmV1
+    w.begin_struct(2 if props.algorithm == "AES_GCM_CTR_V1" else 1)
     if props.aad_prefix is not None and props.store_aad_prefix:
         w.binary(1, props.aad_prefix)
     w.binary(2, aad_file_unique)

@@ -623,3 +623,64 @@ def test_rotation_refuses_internal_material(tmp_path):
     parquet_write.write_table(t, path, encryption=FileEncryption(footer_key=FK))
     with _pytest.raises(ValueError, match="external key material"):
         rotate_master_keys(str(tmp_path))
+
+
+# --------------------------------------- AES_GCM_CTR_V1 (CTR page bodies)
+
+
+def test_gcm_ctr_our_roundtrip(tmp_path):
+    """AES_GCM_CTR_V1: page bodies in CTR (nonce + ciphertext, no tag,
+    counter starts at 1 — AesCtrEncryptor.java:45-47), thrift modules
+    (headers/footer/metadata) stay GCM."""
+    t = pq.read_table(f"{SF}/orders.parquet")
+    path = str(tmp_path / "ctr.parquet")
+    parquet_write.write_table(
+        t, path, row_group_size=5000,
+        encryption=FileEncryption(
+            footer_key=FK, column_keys={"o_orderpriority": CK},
+            algorithm="AES_GCM_CTR_V1",
+        ),
+    )
+    got = read_table_encrypted(
+        path, FileDecryption(footer_key=FK, column_keys={"o_orderpriority": CK})
+    )
+    assert got.cast(t.schema).equals(t)
+    # wrong footer key still fails loudly (footer module stays GCM)
+    with pytest.raises(Exception):
+        read_table_encrypted(path, FileDecryption(footer_key=b"X" * 16))
+
+
+def test_gcm_ctr_pyarrow_interop(tmp_path):
+    """Bidirectional with pyarrow's AES_GCM_CTR_V1."""
+    pe, factory, kms_cfg = _factory()
+    t = pq.read_table(f"{SF}/orders.parquet")
+    conf = pe.EncryptionConfiguration(
+        footer_key="fmaster",
+        column_keys={"cmaster": ["o_orderpriority"]},
+        encryption_algorithm="AES_GCM_CTR_V1",
+        data_key_length_bits=128,
+        internal_key_material=True,
+        double_wrapping=False,
+    )
+    props = factory.file_encryption_properties(kms_cfg, conf)
+    pa_path = str(tmp_path / "pa-ctr.parquet")
+    with pq.ParquetWriter(pa_path, t.schema, encryption_properties=props) as w:
+        w.write_table(t)
+    got = read_table_encrypted(pa_path)
+    assert got.cast(t.schema).equals(t)
+
+    our_path = str(tmp_path / "ours-ctr.parquet")
+    parquet_write.write_table(
+        t, our_path,
+        encryption=FileEncryption(
+            footer_key=FK, column_keys={"o_orderpriority": CK},
+            footer_key_metadata=_key_material(FK, "fmaster", True),
+            column_key_metadata={
+                "o_orderpriority": _key_material(CK, "cmaster", False)
+            },
+            algorithm="AES_GCM_CTR_V1",
+        ),
+    )
+    dprops = factory.file_decryption_properties(kms_cfg, pe.DecryptionConfiguration())
+    got2 = pq.ParquetFile(our_path, decryption_properties=dprops).read()
+    assert got2.cast(t.schema).equals(t)
