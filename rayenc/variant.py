@@ -46,7 +46,21 @@ P_INT16 = 4
 P_INT32 = 5
 P_INT64 = 6
 P_DOUBLE = 7
+P_DECIMAL4 = 8
+P_DECIMAL8 = 9
+P_DECIMAL16 = 10
+P_DATE = 11
+P_TIMESTAMP = 12  # micros, UTC-adjusted
+P_TIMESTAMP_NTZ = 13  # micros, no zone
+P_FLOAT = 14
+P_BINARY = 15
 P_STRING = 16
+P_TIME_NTZ = 17  # micros since midnight
+P_TIMESTAMP_NANOS = 18
+P_TIMESTAMP_NANOS_NTZ = 19
+P_UUID = 20
+
+_EPOCH = None  # lazy datetime(1970,1,1, tzinfo=utc)
 
 
 def _offset_size(max_value: int) -> int:
@@ -128,6 +142,53 @@ def encode_value(obj, meta: Metadata) -> bytes:
         return bytes([(P_INT64 << 2) | B_PRIMITIVE]) + struct.pack("<q", obj)
     if isinstance(obj, float):
         return bytes([(P_DOUBLE << 2) | B_PRIMITIVE]) + struct.pack("<d", obj)
+    import datetime as _dt
+    import decimal as _dec
+    import uuid as _uuid
+
+    if isinstance(obj, _dec.Decimal):
+        # decimal4/8/16: 1-byte scale + little-endian signed unscaled
+        sign, digits, exp = obj.as_tuple()
+        scale = -exp if exp < 0 else 0
+        # exact unscaled from the digit tuple (scaleb() rounds at the
+        # context precision for >28-digit decimals)
+        unscaled = int("".join(map(str, digits))) * (10 ** max(exp, 0))
+        if sign:
+            unscaled = -unscaled
+        for p, size in ((P_DECIMAL4, 4), (P_DECIMAL8, 8), (P_DECIMAL16, 16)):
+            if -(1 << (size * 8 - 1)) <= unscaled < (1 << (size * 8 - 1)):
+                return (
+                    bytes([(p << 2) | B_PRIMITIVE, scale])
+                    + unscaled.to_bytes(size, "little", signed=True)
+                )
+        raise ValueError(f"decimal out of range: {obj}")
+    if isinstance(obj, _dt.datetime):  # before date: datetime IS a date
+        if obj.tzinfo is not None:
+            delta = obj - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            p = P_TIMESTAMP
+        else:
+            delta = obj - _dt.datetime(1970, 1, 1)
+            p = P_TIMESTAMP_NTZ
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return bytes([(p << 2) | B_PRIMITIVE]) + struct.pack("<q", micros)
+    if isinstance(obj, _dt.date):
+        days = (obj - _dt.date(1970, 1, 1)).days
+        return bytes([(P_DATE << 2) | B_PRIMITIVE]) + struct.pack("<i", days)
+    if isinstance(obj, _dt.time):
+        micros = (
+            (obj.hour * 3600 + obj.minute * 60 + obj.second) * 1_000_000
+            + obj.microsecond
+        )
+        return bytes([(P_TIME_NTZ << 2) | B_PRIMITIVE]) + struct.pack("<q", micros)
+    if isinstance(obj, _uuid.UUID):
+        return bytes([(P_UUID << 2) | B_PRIMITIVE]) + obj.bytes  # big-endian
+    if isinstance(obj, (bytes, bytearray)):
+        b = bytes(obj)
+        return (
+            bytes([(P_BINARY << 2) | B_PRIMITIVE])
+            + struct.pack("<i", len(b))
+            + b
+        )
     if isinstance(obj, str):
         b = obj.encode()
         if len(b) < 64:
@@ -196,6 +257,54 @@ def decode_value(buf: bytes, meta: Metadata, pos: int = 0):
         if info == P_STRING:
             (n,) = struct.unpack_from("<i", buf, pos)
             return buf[pos + 4 : pos + 4 + n].decode()
+        import datetime as _dt
+        import decimal as _dec
+        import uuid as _uuid
+
+        if info in (P_DECIMAL4, P_DECIMAL8, P_DECIMAL16):
+            size = {P_DECIMAL4: 4, P_DECIMAL8: 8, P_DECIMAL16: 16}[info]
+            scale = buf[pos]
+            unscaled = int.from_bytes(
+                buf[pos + 1 : pos + 1 + size], "little", signed=True
+            )
+            # tuple construction is context-free (scaleb rounds >28 digits)
+            return _dec.Decimal(
+                (
+                    1 if unscaled < 0 else 0,
+                    tuple(int(c) for c in str(abs(unscaled))),
+                    -scale,
+                )
+            )
+        if info == P_DATE:
+            (days,) = struct.unpack_from("<i", buf, pos)
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+        if info in (P_TIMESTAMP, P_TIMESTAMP_NTZ):
+            (micros,) = struct.unpack_from("<q", buf, pos)
+            base = _dt.datetime(
+                1970, 1, 1,
+                tzinfo=_dt.timezone.utc if info == P_TIMESTAMP else None,
+            )
+            return base + _dt.timedelta(microseconds=micros)
+        if info == P_FLOAT:
+            return struct.unpack_from("<f", buf, pos)[0]
+        if info == P_BINARY:
+            (n,) = struct.unpack_from("<i", buf, pos)
+            return bytes(buf[pos + 4 : pos + 4 + n])
+        if info == P_TIME_NTZ:
+            (micros,) = struct.unpack_from("<q", buf, pos)
+            return (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+            ).time()
+        if info in (P_TIMESTAMP_NANOS, P_TIMESTAMP_NANOS_NTZ):
+            (nanos,) = struct.unpack_from("<q", buf, pos)
+            base = _dt.datetime(
+                1970, 1, 1,
+                tzinfo=_dt.timezone.utc if info == P_TIMESTAMP_NANOS else None,
+            )
+            # datetime holds micros; sub-micro nanos round to nearest
+            return base + _dt.timedelta(microseconds=round(nanos / 1000))
+        if info == P_UUID:
+            return _uuid.UUID(bytes=bytes(buf[pos : pos + 16]))
         raise NotImplementedError(f"variant primitive {info}")
     if basic == B_SHORT_STR:
         return buf[pos : pos + info].decode()
@@ -283,9 +392,29 @@ def variant_to_json(col) -> pa.Array:
             meta_cache[mb] = meta
         out.append(
             json.dumps(decode_value(vcol[i], meta), sort_keys=True,
-                       separators=(",", ":"))
+                       separators=(",", ":"), default=_json_default)
         )
     return pa.array(out, pa.string())
+
+
+def _json_default(v):
+    """JSON renderings of the non-JSON variant primitives (VariantUtil
+    toJson shapes): decimals exact as strings, temporals ISO-8601,
+    binary base64, uuid canonical."""
+    import base64 as _b64
+    import datetime as _dt
+    import decimal as _dec
+    import uuid as _uuid
+
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return _b64.b64encode(bytes(v)).decode()
+    if isinstance(v, _uuid.UUID):
+        return str(v)
+    raise TypeError(type(v))
 
 
 _ARROW_OF = {"int64": pa.int64(), "double": pa.float64(), "string": pa.string(),

@@ -89,3 +89,78 @@ def test_shred_dataset(ray_session):
     ds = ray.data.from_arrow(t)
     out = V.shred_variant_dataset(ds, "props", {"k": "int64"}).to_pandas()
     assert sorted(out["props$k"]) == sorted(i * 3 for i in range(100))
+
+
+# --------------------- full primitive set (decimal/temporal/binary/uuid)
+
+
+def test_variant_extended_primitives_roundtrip():
+    """All spec primitives beyond JSON's native set (VariantEncoding.md
+    ids 8-20): decimal4/8/16, date, timestamp ±tz, float, binary, time,
+    uuid — exact encode/decode round trips, nested included."""
+    import datetime as dt
+    import decimal
+    import uuid
+
+    from rayenc.variant import Metadata, decode_value, encode_value
+
+    m = Metadata()
+    vals = [
+        decimal.Decimal("123.45"),  # decimal4
+        decimal.Decimal("-9999999999999.999"),  # decimal8
+        decimal.Decimal("12345678901234567890.123456789"),  # decimal16
+        dt.date(2024, 2, 29),
+        dt.datetime(2024, 1, 2, 3, 4, 5, 123456, tzinfo=dt.timezone.utc),
+        dt.datetime(1969, 12, 31, 23, 59, 59),  # ntz, pre-epoch
+        dt.time(13, 45, 30, 250000),
+        b"\x00\x01raw",
+        uuid.UUID("12345678-1234-5678-1234-567812345678"),
+        {"k": [decimal.Decimal("0.5"), dt.date(1970, 1, 1), None]},
+    ]
+    for v in vals:
+        assert decode_value(encode_value(v, m), m) == v
+
+
+def test_variant_float_and_nanos_decode():
+    """Foreign-written primitives we decode but never produce: float4 and
+    nanosecond timestamps."""
+    import datetime as dt
+    import struct
+
+    from rayenc.variant import (
+        B_PRIMITIVE,
+        Metadata,
+        P_FLOAT,
+        P_TIMESTAMP_NANOS,
+        decode_value,
+    )
+
+    m = Metadata()
+    f = bytes([(P_FLOAT << 2) | B_PRIMITIVE]) + struct.pack("<f", 1.5)
+    assert decode_value(f, m) == 1.5
+    nanos = 1_500_000_000  # 1.5 s
+    ts = bytes([(P_TIMESTAMP_NANOS << 2) | B_PRIMITIVE]) + struct.pack("<q", nanos)
+    assert decode_value(ts, m) == dt.datetime(
+        1970, 1, 1, 0, 0, 1, 500000, tzinfo=dt.timezone.utc
+    )
+
+
+def test_variant_json_rendering_of_extended_types():
+    import pyarrow as pa
+
+    import datetime as dt
+    import decimal
+
+    from rayenc.variant import Metadata, encode_value, variant_to_json
+
+    m = Metadata()
+    v = encode_value(
+        {"d": decimal.Decimal("1.50"), "t": dt.date(2024, 1, 2), "b": b"\x01"},
+        m,
+    )
+    col = pa.StructArray.from_arrays(
+        [pa.array([m.to_bytes()], pa.binary()), pa.array([v], pa.binary())],
+        ["metadata", "value"],
+    )
+    (j,) = variant_to_json(col).to_pylist()
+    assert '"d":"1.50"' in j and '"t":"2024-01-02"' in j and '"b":"AQ=="' in j
