@@ -1147,6 +1147,22 @@ def _train_val_split_documents(sf_dir: str):
     return sample.split_column(ds, "doc_id", 0.1, salt=3)
 
 
+def _sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-min timeout): one groupby(user)
+    shuffle co-locates each user's events, per-group numpy computes the
+    session boundaries; DuckDB reproduces the sessions with LAG + windowed
+    SUM (rayenc/ops/sessions.py)."""
+    import ray
+
+    from rayenc.ops import sessions
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return sessions.sessionize(ds)
+
+
 def _chunk_documents(sf_dir: str):
     """Fixed-size character chunking of every document (context-window prep)
     across the Dataset; DuckDB reproduces the chunks with substr +
@@ -1260,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pushdown_filter_or"] = _pushdown_filter_or
     q["geospatial_stats"] = _geospatial_stats
     q["weighted_mix_documents"] = _weighted_mix_documents
+    q["sessionize_events"] = _sessionize_events
     q["train_val_split_documents"] = _train_val_split_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
@@ -1361,6 +1378,10 @@ def oracle_sql() -> dict[str, str]:
         " min(l_tax) AS ymin, max(l_tax) AS ymax,"
         " CAST(1 AS BIGINT) AS geo_type FROM lineitem"
     )
+    from rayenc.ops.sessions import sessionize_sql
+
+    o["sessionize_events"] = sessionize_sql()
+
     def _knuth_pred(frac, salt):
         thr = int(frac * (1 << 32))
         return (

@@ -437,3 +437,63 @@ def test_sample_sql_predicate_matches_numpy():
         f"SELECT count(*) FROM range(5000) t(k) WHERE {pred}"
     ).fetchone()[0]
     assert got == int(mask.sum())
+
+
+# ------------------------------------------------- sessionization (events)
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import datetime as dt
+
+    import ray
+
+    from rayenc.ops import sessions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions split by a 2-hour gap
+        {"event_id": 1, "user_id": 1, "ts": base, "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": base + dt.timedelta(minutes=10), "value": 2.0},
+        {"event_id": 3, "user_id": 1, "ts": base + dt.timedelta(hours=2), "value": 4.0},
+        # user 2: single event
+        {"event_id": 4, "user_id": 2, "ts": base, "value": 8.0},
+        # gap exactly == timeout stays in-session (strict > breaks)
+        {"event_id": 5, "user_id": 3, "ts": base, "value": 1.0},
+        {"event_id": 6, "user_id": 3, "ts": base + dt.timedelta(seconds=1800), "value": 1.0},
+    ]
+    ds = ray.data.from_items(rows)
+    got = sorted(
+        sessions.sessionize(ds).take_all(),
+        key=lambda r: (r["user_id"], r["session_id"]),
+    )
+    assert [(r["user_id"], r["session_id"], r["n_events"], r["sum_value"])
+            for r in got] == [
+        (1, 0, 2, 3.0), (1, 1, 1, 4.0), (2, 0, 1, 8.0), (3, 0, 2, 2.0),
+    ]
+    assert got[0]["session_end"] - got[0]["session_start"] == dt.timedelta(
+        minutes=10
+    )
+
+
+def test_sessionize_matches_sql_oracle(ray_session):
+    import duckdb
+
+    import ray
+
+    from rayenc.ops import sessions
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    got = sessions.sessionize(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = con.execute(sessions.sessionize_sql()).fetchdf()
+    key = ["user_id", "session_id"]
+    g = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    w = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    for c in ("session_start", "session_end"):
+        w[c] = w[c].astype("datetime64[us]")
+    assert g.equals(w)
