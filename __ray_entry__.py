@@ -1147,6 +1147,20 @@ def _train_val_split_documents(sf_dir: str):
     return sample.split_column(ds, "doc_id", 0.1, salt=3)
 
 
+def _token_topk_documents(sf_dir: str):
+    """Exact heavy hitters over document tokens: per-batch value_counts
+    combiner -> (token, count) groupby-sum -> distinct-token sort; only
+    distinct tokens ever shuffle (rayenc/ops/text.py token_topk)."""
+    import ray
+
+    from rayenc.ops import text as text_ops
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return text_ops.token_topk(ds, k=20)
+
+
 def _sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min timeout): one groupby(user)
     shuffle co-locates each user's events, per-group numpy computes the
@@ -1277,6 +1291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["geospatial_stats"] = _geospatial_stats
     q["weighted_mix_documents"] = _weighted_mix_documents
     q["sessionize_events"] = _sessionize_events
+    q["token_topk_documents"] = _token_topk_documents
     q["train_val_split_documents"] = _train_val_split_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
@@ -1381,6 +1396,11 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["token_topk_documents"] = (
+        "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+        " SELECT unnest(string_split(text, ' ')) AS token FROM documents)"
+        " GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20"
+    )
 
     def _knuth_pred(frac, salt):
         thr = int(frac * (1 << 32))

@@ -196,3 +196,38 @@ def pack_sequences(batch: pa.Table, tokens_col: str = "tokens",
             ),
         }
     )
+
+
+def token_topk(ds, k: int = 20, text_col: str = "text"):
+    """Exact heavy hitters: top-k whitespace tokens by total count.
+
+    Scale shape: each batch pre-aggregates its own token counts (arrow
+    split + value_counts — a combiner), so the groupby shuffle moves one
+    (token, partial_count) row per distinct token per block instead of
+    every token occurrence; the final sort ranks only distinct tokens.
+    Ties break on the token string so output is deterministic.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["token", "cnt"])
+
+    return (
+        counts.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )

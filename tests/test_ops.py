@@ -497,3 +497,23 @@ def test_sessionize_matches_sql_oracle(ray_session):
     for c in ("session_start", "session_end"):
         w[c] = w[c].astype("datetime64[us]")
     assert g.equals(w)
+
+
+def test_token_topk_exact(ray_session):
+    import duckdb
+
+    import ray
+
+    from rayenc.ops import text as text_ops
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    got = text_ops.token_topk(ds, k=10).to_pandas()
+    assert list(got.columns) == ["token", "cnt"]
+    # monotone non-increasing counts; deterministic tie-break by token
+    assert (got["cnt"].diff().dropna() <= 0).all()
+    want = duckdb.sql(f"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM read_parquet('{SF}/documents.parquet'))
+        GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10""").fetchdf()
+    assert got.reset_index(drop=True).equals(want)
