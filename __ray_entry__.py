@@ -1147,6 +1147,31 @@ def _train_val_split_documents(sf_dir: str):
     return sample.split_column(ds, "doc_id", 0.1, salt=3)
 
 
+def _sketch_summary_documents(sf_dir: str):
+    """Mergeable-sketch summary (rows-only: estimates are approximate by
+    construction): HyperLogLog distinct texts + Count-Min frequencies of
+    three probe tokens; per-block partials of fixed size (2^p registers /
+    d*w cells) merge on the driver — the shuffle payload is independent
+    of input size (rayenc/ops/sketch.py)."""
+    import ray
+
+    from rayenc.ops import sketch
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    hll = sketch.hll_distinct(ds, "text", p=12)
+    cms = sketch.cms_token_counts(ds, ["the", "data", "join"])
+    return pa.table(
+        {
+            "hll_distinct_texts": pa.array([int(round(hll))], pa.int64()),
+            "cms_the": pa.array([cms["the"]], pa.int64()),
+            "cms_data": pa.array([cms["data"]], pa.int64()),
+            "cms_join": pa.array([cms["join"]], pa.int64()),
+        }
+    )
+
+
 def _token_topk_documents(sf_dir: str):
     """Exact heavy hitters over document tokens: per-batch value_counts
     combiner -> (token, count) groupby-sum -> distinct-token sort; only
@@ -1292,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["weighted_mix_documents"] = _weighted_mix_documents
     q["sessionize_events"] = _sessionize_events
     q["token_topk_documents"] = _token_topk_documents
+    q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events

@@ -517,3 +517,81 @@ def test_token_topk_exact(ray_session):
           FROM read_parquet('{SF}/documents.parquet'))
         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10""").fetchdf()
     assert got.reset_index(drop=True).equals(want)
+
+
+# ------------------------------------------------ sketches (HLL, Count-Min)
+
+
+def test_hll_accuracy_and_merge():
+    from rayenc.ops.sketch import HyperLogLog
+
+    rng = np.random.default_rng(1)
+    h = HyperLogLog(14)
+    x = rng.integers(0, 2**64, 200_000, dtype=np.uint64)
+    h.add_hashes(x)
+    assert abs(h.estimate() - 200_000) / 200_000 < 0.03  # ~3 sigma at p=14
+    # duplicates don't move the estimate
+    h.add_hashes(x[:50_000])
+    assert abs(h.estimate() - 200_000) / 200_000 < 0.03
+    # merged partials == single-pass registers
+    a, b, c = HyperLogLog(12), HyperLogLog(12), HyperLogLog(12)
+    a.add_hashes(x[:120_000]); b.add_hashes(x[100_000:]); c.add_hashes(x)
+    a.merge(b)
+    assert (a.registers == c.registers).all()
+    # serialization round trip
+    back = HyperLogLog.from_bytes(a.to_bytes())
+    assert back.p == 12 and (back.registers == a.registers).all()
+
+
+def test_hll_small_range_linear_counting():
+    from rayenc.ops.sketch import HyperLogLog
+
+    h = HyperLogLog(12)
+    x = np.random.default_rng(2).integers(0, 2**64, 300, dtype=np.uint64)
+    h.add_hashes(x)
+    assert abs(h.estimate() - 300) < 15
+
+
+def test_cms_overcount_only_and_merge():
+    from rayenc.ops.sketch import CountMin
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**64, 5000, dtype=np.uint64)
+    counts = rng.integers(1, 100, 5000).astype(np.int64)
+    s = CountMin(1 << 14, 4)
+    s.add_hashes(keys, counts)
+    est = s.query_hashes(keys)
+    assert (est >= counts).all()  # never undercounts
+    assert (est == counts).mean() > 0.95  # mostly exact at this load
+    # merge == single pass
+    a, b = CountMin(1 << 14, 4), CountMin(1 << 14, 4)
+    a.add_hashes(keys[:3000], counts[:3000])
+    b.add_hashes(keys[3000:], counts[3000:])
+    a.merge(b)
+    assert (a.table == s.table).all()
+
+
+def test_distributed_sketches_over_documents(ray_session):
+    import duckdb
+
+    import ray
+
+    from rayenc.ops import sketch
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    est = sketch.hll_distinct(ds, "text", p=12)
+    assert abs(est - exact) / exact < 0.05
+    truth = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""SELECT token, COUNT(*) FROM (SELECT unnest(string_split(text,' '))
+            AS token FROM read_parquet('{SF}/documents.parquet'))
+            GROUP BY token"""
+        ).fetchall()
+    }
+    cm = sketch.cms_token_counts(ds, ["the", "data", "zzz_absent"])
+    assert cm["the"] >= truth.get("the", 0)
+    assert cm["zzz_absent"] <= 2  # tiny table: collisions ~0
