@@ -451,11 +451,15 @@ def cmd_scan(args):
 
 
 def cmd_merge(args):
-    """Merge parquet files into one (one row group per input) — the
-    ParquetRewriter multi-input stitch."""
-    from .rewrite import merge_parquet
+    """Merge parquet files into one — the ParquetRewriter multi-input
+    stitch. --raw copies column chunks verbatim (no value re-encode);
+    default re-encodes through our writers."""
+    from .rewrite import merge_parquet, merge_parquet_raw
 
-    merge_parquet(args.inputs, args.out)
+    if getattr(args, "raw", False):
+        merge_parquet_raw(args.inputs, args.out)
+    else:
+        merge_parquet(args.inputs, args.out)
     print(f"merged {len(args.inputs)} files -> {args.out}")
 
 
@@ -634,6 +638,8 @@ def main(argv=None):
     mg = sub.add_parser("merge")
     mg.add_argument("inputs", nargs="+")
     mg.add_argument("-o", "--out", required=True)
+    mg.add_argument("--raw", action="store_true",
+                    help="copy chunks verbatim (no re-encode)")
     mg.set_defaults(fn=cmd_merge)
 
     re_ = sub.add_parser("reencrypt")

@@ -1282,6 +1282,38 @@ def _emit_encryption_algorithm(
     w.end_struct()
 
 
+def _emit_schema_elem(w: "_W", e: dict) -> None:
+    """One SchemaElement from the _schema_body dict shape."""
+    ew = _W()
+    if "type" in e:
+        ew.i(1, e["type"])
+    if "type_length" in e:
+        ew.i(2, e["type_length"])
+    if "rep" in e:
+        ew.i(3, e["rep"])
+    ew.string(4, e["name"])
+    if "children" in e:
+        ew.i(5, e["children"])
+    if e.get("converted") is not None:
+        ew.i(6, e["converted"])
+    if "scale" in e:
+        ew.i(7, e["scale"])
+        ew.i(8, e["precision"])
+    if e.get("logical") is not None:
+        e["logical"](ew)
+    if e.get("geo") is not None:
+        spec = e["geo"]
+        ew.begin_struct(10)  # logicalType
+        ew.begin_struct(17 if spec.kind == "geometry" else 18)
+        if spec.crs:
+            ew.string(1, spec.crs)
+        if spec.kind == "geography" and spec.algorithm is not None:
+            ew.i(2, spec.algorithm)  # EdgeInterpolationAlgorithm
+        ew.end_struct()
+        ew.end_struct()
+    w.out += ew.stop()
+
+
 def _file_metadata(table: pa.Table, row_groups, crypto=None, geo=None) -> bytes:
     w = _W()
     w.i(1, 2)  # version
@@ -1298,34 +1330,7 @@ def _file_metadata(table: pa.Table, row_groups, crypto=None, geo=None) -> bytes:
 
     w.begin_list(2, 12, len(elems))
     for e in elems:
-        ew = _W()
-        if "type" in e:
-            ew.i(1, e["type"])
-        if "type_length" in e:
-            ew.i(2, e["type_length"])
-        if "rep" in e:
-            ew.i(3, e["rep"])
-        ew.string(4, e["name"])
-        if "children" in e:
-            ew.i(5, e["children"])
-        if e.get("converted") is not None:
-            ew.i(6, e["converted"])
-        if "scale" in e:
-            ew.i(7, e["scale"])
-            ew.i(8, e["precision"])
-        if e.get("logical") is not None:
-            e["logical"](ew)
-        if e.get("geo") is not None:
-            spec = e["geo"]
-            ew.begin_struct(10)  # logicalType
-            ew.begin_struct(17 if spec.kind == "geometry" else 18)
-            if spec.crs:
-                ew.string(1, spec.crs)
-            if spec.kind == "geography" and spec.algorithm is not None:
-                ew.i(2, spec.algorithm)  # EdgeInterpolationAlgorithm
-            ew.end_struct()
-            ew.end_struct()
-        w.out += ew.stop()
+        _emit_schema_elem(w, e)
     w.i64(3, table.num_rows)
 
     w.begin_list(4, 12, len(row_groups))

@@ -271,3 +271,179 @@ def merge_parquet(
     tables = [t.cast(schema) for t in tables]
     parquet_write.write_tables(tables, path_out, config, encryption)
     return path_out
+
+
+# ---------------------- zero-re-encode parquet merge (raw chunk stitching)
+
+# thrift compact field types of ColumnMetaData (parquet.thrift), used to
+# re-emit a parsed {fid: value} dict byte-compatibly. ("i32"/"i64" differ
+# only in the type nibble; values are zigzag varints either way.)
+_STATISTICS_SPEC = {1: "bin", 2: "bin", 3: "i64", 4: "i64", 5: "bin",
+                    6: "bin", 7: "bool", 8: "bool"}
+_PAGE_ENC_SPEC = {1: "i32", 2: "i32", 3: "i32"}
+_SIZE_STATS_SPEC = {1: "i64", 2: ("list", "i64"), 3: ("list", "i64")}
+_BBOX_SPEC = {i: "dbl" for i in range(1, 9)}
+_GEO_SPEC = {1: ("struct", _BBOX_SPEC), 2: ("list", "i32")}
+_COLUMN_META_SPEC = {
+    1: "i32", 2: ("list", "i32"), 3: ("list", "bin"), 4: "i32", 5: "i64",
+    6: "i64", 7: "i64", 9: "i64", 10: "i64", 11: "i64",
+    12: ("struct", _STATISTICS_SPEC),
+    13: ("list", ("struct", _PAGE_ENC_SPEC)),
+    14: "i64", 15: "i32",
+    16: ("struct", _SIZE_STATS_SPEC),
+    17: ("struct", _GEO_SPEC),
+}
+# ColumnMetaData fields holding absolute file offsets to shift on copy
+_CM_OFFSET_FIELDS = (9, 10, 11, 14)
+
+
+def _emit_typed(w, fid, ftype, val):
+    from .parquet_write import _W, _wvarint, _zigzag
+
+    if ftype == "i32":
+        w.i(fid, val)
+    elif ftype == "i64":
+        w.i64(fid, val)
+    elif ftype == "bin":
+        w.binary(fid, val if isinstance(val, bytes) else str(val).encode())
+    elif ftype == "bool":
+        w.boolean(fid, bool(val))
+    elif ftype == "dbl":
+        w.dbl(fid, val)
+    elif isinstance(ftype, tuple) and ftype[0] == "list":
+        et = ftype[1]
+        etype = (
+            {"i32": 5, "i64": 6, "bin": 8}[et] if isinstance(et, str) else 12
+        )
+        w.begin_list(fid, etype, len(val))
+        for v in val:
+            if et in ("i32", "i64"):
+                _wvarint(w.out, _zigzag(int(v)))
+            elif et == "bin":
+                b = v if isinstance(v, bytes) else str(v).encode()
+                _wvarint(w.out, len(b))
+                w.out += b
+            else:  # struct element
+                sw = _W()
+                _emit_struct_fields(sw, ftype[1][1], v)
+                w.out += sw.stop()
+    elif isinstance(ftype, tuple) and ftype[0] == "struct":
+        w.begin_struct(fid)
+        _emit_struct_fields(w, ftype[1], val)
+        w.end_struct()
+    else:
+        raise ValueError(ftype)
+
+
+def _emit_struct_fields(w, spec: dict, values: dict) -> None:
+    for fid in sorted(values):
+        if fid in spec:
+            _emit_typed(w, fid, spec[fid], values[fid])
+
+
+def merge_parquet_raw(paths_in: "list[str]", path_out: str) -> str:
+    """Merge parquet files WITHOUT re-encoding: every column chunk's raw
+    bytes are copied verbatim and only the footer offsets shift — the
+    actual `rewrite/ParquetRewriter.java` stitching (its no-transform path
+    copies chunks wholesale). Statistics, encodings, size statistics and
+    geospatial statistics carry over untouched; bloom filters are copied
+    with their offsets shifted; page indexes are dropped (the OffsetIndex
+    embeds absolute page offsets — readers fall back to chunk stats).
+    Requires plaintext files with identical schemas (AAD module ordinals
+    make encrypted chunk copy a re-encrypt job: use ``reencrypt_parquet``).
+    """
+    from .parquet_read_enc import EncryptedFile
+    from .parquet_write import _W
+
+    files = [EncryptedFile(p) for p in paths_in]
+    if any(f.algorithm for f in files):
+        raise ValueError("merge_parquet_raw requires plaintext inputs")
+    base = files[0]
+    for f in files[1:]:
+        if [lf.path for lf in f.leaves] != [lf.path for lf in base.leaves]:
+            raise ValueError("all inputs must share one schema")
+
+    out = bytearray(b"PAR1")
+    merged_rgs = []  # (list of (cc fields dict ready), rows)
+    blooms = []  # (new_cc, bloom bytes) pending placement
+    for f in files:
+        for rg_ord, (rg_fields, ccs) in enumerate(
+            (rg, rg[1]) for rg in f.row_groups
+        ):
+            new_ccs = []
+            for ci, cc in enumerate(ccs):
+                md = dict(cc[3])  # plaintext ColumnMetaData
+                # chunk byte range: dictionary (or first data) page .. end
+                start = md.get(11, md[9])
+                if md.get(10):
+                    start = min(start, md[10])
+                length = md[7]
+                shift = len(out) - start
+                out += f.raw[start : start + length]
+                for fid in _CM_OFFSET_FIELDS:
+                    if fid in md and fid != 14:
+                        md[fid] = md[fid] + shift
+                if 14 in md:  # bloom moves to its own region later
+                    blooms.append(
+                        (md, bytes(f.raw[md[14] : md[14] + md.get(15, 0)]))
+                    )
+                new_ccs.append(md)
+            merged_rgs.append((new_ccs, f.row_groups[rg_ord].get(3, 0)))
+    for md, bloom_bytes in blooms:
+        md[14] = len(out)
+        out += bloom_bytes
+
+    # footer: schema elements re-emitted from the FIRST input's raw footer
+    # region is not possible generically, so rebuild via parquet_write on
+    # the shared arrow schema (identical by construction) + raw row groups
+    schema = base.arrow_schema()
+    from .parquet_write import _schema_body
+
+    w = _W()
+    w.i(1, 2)
+    body = []
+    for fld in schema:
+        body += _schema_body(fld)
+    elems = [{"name": "schema", "children": len(schema.names)}] + body
+    w.begin_list(2, 12, len(elems))
+    from .parquet_write import _emit_schema_elem
+
+    for e in elems:
+        _emit_schema_elem(w, e)
+    w.i64(3, sum(rows for _, rows in merged_rgs))
+    w.begin_list(4, 12, len(merged_rgs))
+    for ccs, rows in merged_rgs:
+        rg = _W()
+        rg.begin_list(1, 12, len(ccs))
+        for md in ccs:
+            cc = _W()
+            cc.i64(2, md.get(11, md[9]))  # file_offset
+            cc.begin_struct(3)
+            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
+            cc.end_struct()
+            rg.out += cc.stop()
+        rg.i64(2, sum(m[6] for m in ccs))
+        rg.i64(3, rows)
+        w.out += rg.stop()
+    from .parquet_write import _arrow_schema_b64
+
+    kv = _W()
+    w.begin_list(5, 12, 1)
+    kv.string(1, "ARROW:schema")
+    kv.string(2, _arrow_schema_b64(schema))
+    w.out += kv.stop()
+    w.string(6, "rayenc 0.1")
+    if merged_rgs:
+        w.begin_list(7, 12, len(merged_rgs[0][0]))
+        for _ in merged_rgs[0][0]:
+            co = _W()
+            co.begin_struct(1)
+            co.end_struct()
+            w.out += co.stop()
+    footer = w.stop()
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path_out, "wb") as fo:
+        fo.write(out)
+    return path_out
