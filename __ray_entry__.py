@@ -988,6 +988,30 @@ def _variant_roundtrip_events(sf_dir: str):
     return ds.map_batches(rt, batch_format="pyarrow")
 
 
+def _merge_parquet_raw(sf_dir: str):
+    """Zero-re-encode merge: three files written by OUR writer, stitched
+    by verbatim chunk copy + offset-shifted footer (`merge_parquet_raw`,
+    the ParquetRewriter no-transform path), then read back by pyarrow."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.rewrite import merge_parquet_raw
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    third = max(1, t.num_rows // 3)
+    parts = [t.slice(0, third), t.slice(third, third), t.slice(2 * third)]
+    ins = []
+    for i, p in enumerate(parts):
+        path = tempfile.mktemp(suffix=f"-raw{i}.parquet", dir="/tmp")
+        parquet_write.write_table(p, path)
+        ins.append(path)
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    merge_parquet_raw(ins, out)
+    got = pq.read_table(out)
+    assert pq.ParquetFile(out).metadata.num_row_groups == 3
+    return got.cast(t.schema)
+
+
 def _merge_parquet_files(sf_dir: str):
     """Split orders into three files, stitch them back into ONE parquet file
     (one row group per input — ParquetRewriter merge shape) with our writer,
@@ -1311,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conformance_read_nested"] = _conformance_read_nested
     q["bloom_point_lookup"] = _bloom_point_lookup
     q["merge_parquet_files"] = _merge_parquet_files
+    q["merge_parquet_raw"] = _merge_parquet_raw
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
     q["pushdown_filter_or"] = _pushdown_filter_or
     q["geospatial_stats"] = _geospatial_stats
@@ -1411,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_write_roundtrip"] = "SELECT * FROM lineitem"
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
     o["merge_parquet_files"] = "SELECT * FROM orders"
+    o["merge_parquet_raw"] = "SELECT * FROM orders"
     o["pushdown_filter_parquet"] = (
         "SELECT * FROM lineitem WHERE l_orderkey < 500 AND l_quantity >= 10.0"
     )
