@@ -450,6 +450,15 @@ def cmd_scan(args):
     print(f"scanned {n} rows in {dt:.3f} s ({n / max(dt, 1e-9):,.0f} rows/s)")
 
 
+def cmd_prune(args):
+    """PruneColumnsCommand analog for parquet FILES: drop columns by raw
+    chunk copy — no value re-encode."""
+    from .rewrite import prune_parquet_raw
+
+    prune_parquet_raw(args.file, args.out, args.drop)
+    print(f"pruned {args.drop} -> {args.out}")
+
+
 def cmd_merge(args):
     """Merge parquet files into one — the ParquetRewriter multi-input
     stitch. --raw copies column chunks verbatim (no value re-encode);
@@ -634,6 +643,12 @@ def main(argv=None):
         if name == "show-dictionary":
             sp.add_argument("-n", type=int, default=20)
         sp.set_defaults(fn=fn)
+
+    pr = sub.add_parser("prune")
+    pr.add_argument("file")
+    pr.add_argument("-o", "--out", required=True)
+    pr.add_argument("--drop", nargs="+", required=True)
+    pr.set_defaults(fn=cmd_prune)
 
     mg = sub.add_parser("merge")
     mg.add_argument("inputs", nargs="+")

@@ -447,3 +447,99 @@ def merge_parquet_raw(paths_in: "list[str]", path_out: str) -> str:
     with open(path_out, "wb") as fo:
         fo.write(out)
     return path_out
+
+
+def prune_parquet_raw(path_in: str, path_out: str, drop: "list[str]") -> str:
+    """Drop top-level columns from a parquet file WITHOUT re-encoding
+    (PruneColumnsCommand / ParquetRewriter prune): kept chunks copy
+    verbatim, the footer rewrites with the surviving schema and shifted
+    offsets. Flat top-level drops on plaintext files."""
+    import pyarrow as pa
+
+    from .parquet_read_enc import EncryptedFile
+    from .parquet_write import (
+        _W,
+        _arrow_schema_b64,
+        _emit_schema_elem,
+        _schema_body,
+    )
+
+    f = EncryptedFile(path_in)
+    if f.algorithm:
+        raise ValueError("prune_parquet_raw requires a plaintext input")
+    dropset = set(drop)
+    missing = dropset - {lf.path[0] for lf in f.leaves}
+    if missing:
+        raise ValueError(f"no such columns: {sorted(missing)}")
+    keep = [i for i, lf in enumerate(f.leaves) if lf.path[0] not in dropset]
+    if not keep:
+        raise ValueError("cannot drop every column")
+    for i in keep:
+        if len(f.leaves[i].path) > 1:
+            raise ValueError("nested schemas need the re-encode rewriter")
+
+    schema = f.arrow_schema()
+    kept_schema = pa.schema(
+        [schema.field(n) for n in schema.names if n not in dropset],
+        metadata=None,
+    )
+    out = bytearray(b"PAR1")
+    merged_rgs = []
+    for rg in f.row_groups:
+        new_ccs = []
+        for ci in keep:
+            md = dict(rg[1][ci][3])
+            start = md.get(11, md[9])
+            if md.get(10):
+                start = min(start, md[10])
+            shift = len(out) - start
+            out += f.raw[start : start + md[7]]
+            for fid in _CM_OFFSET_FIELDS:
+                if fid in md:
+                    md[fid] = md[fid] + shift
+            new_ccs.append(md)
+        merged_rgs.append((new_ccs, rg.get(3, 0)))
+
+    w = _W()
+    w.i(1, 2)
+    body = []
+    for fld in kept_schema:
+        body += _schema_body(fld)
+    elems = [{"name": "schema", "children": len(kept_schema.names)}] + body
+    w.begin_list(2, 12, len(elems))
+    for e in elems:
+        _emit_schema_elem(w, e)
+    w.i64(3, f.num_rows)
+    w.begin_list(4, 12, len(merged_rgs))
+    for ccs, rows in merged_rgs:
+        rg = _W()
+        rg.begin_list(1, 12, len(ccs))
+        for md in ccs:
+            cc = _W()
+            cc.i64(2, md.get(11, md[9]))
+            cc.begin_struct(3)
+            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
+            cc.end_struct()
+            rg.out += cc.stop()
+        rg.i64(2, sum(m[6] for m in ccs))
+        rg.i64(3, rows)
+        w.out += rg.stop()
+    kv = _W()
+    w.begin_list(5, 12, 1)
+    kv.string(1, "ARROW:schema")
+    kv.string(2, _arrow_schema_b64(kept_schema))
+    w.out += kv.stop()
+    w.string(6, "rayenc 0.1")
+    w.begin_list(7, 12, len(keep))
+    for _ in keep:
+        co = _W()
+        co.begin_struct(1)
+        co.end_struct()
+        w.out += co.stop()
+    footer = w.stop()
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path_out, "wb") as fo:
+        fo.write(out)
+    return path_out

@@ -626,3 +626,31 @@ def test_merge_parquet_raw_rejects_mismatch(tmp_path):
     # explicit plaintext check fires)
     with _pytest.raises(ValueError, match="plaintext|footer key"):
         merge_parquet_raw([p1, p3], str(tmp_path / "y.parquet"))
+
+
+def test_prune_parquet_raw(tmp_path):
+    """prune_parquet_raw drops columns by chunk copy: surviving chunks are
+    bit-identical, the schema shrinks, and every reader agrees."""
+    import pytest as _pytest
+
+    from rayenc.parquet_read_enc import EncryptedFile, read_table_encrypted
+    from rayenc.rewrite import prune_parquet_raw
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    src = str(tmp_path / "in.parquet")
+    parquet_write.write_table(t, src, row_group_size=2000)
+    out = str(tmp_path / "out.parquet")
+    prune_parquet_raw(src, out, ["l_partkey", "l_shipdate"])
+    want = t.drop_columns(["l_partkey", "l_shipdate"])
+    got = read_table_encrypted(out)
+    assert got.cast(want.schema).equals(want)
+    assert pq.read_table(out).cast(want.schema).equals(want)
+    assert "l_partkey" not in pq.read_schema(out).names
+    # statistics survive on a kept column
+    f = EncryptedFile(out)
+    names = [lf.path[0] for lf in f.leaves]
+    assert 12 in f.chunk_meta(0, names.index("l_orderkey"))
+    with _pytest.raises(ValueError, match="no such columns"):
+        prune_parquet_raw(src, out, ["nope"])
+    with _pytest.raises(ValueError, match="every column"):
+        prune_parquet_raw(src, out, list(t.column_names))
