@@ -459,6 +459,15 @@ def cmd_prune(args):
     print(f"pruned {args.drop} -> {args.out}")
 
 
+def cmd_mask(args):
+    """ColumnMaskingCommand analog for parquet FILES: masked string
+    columns re-encode as content hashes, every other chunk copies raw."""
+    from .rewrite import mask_parquet_raw
+
+    mask_parquet_raw(args.file, args.out, args.mask)
+    print(f"masked {args.mask} -> {args.out}")
+
+
 def cmd_merge(args):
     """Merge parquet files into one — the ParquetRewriter multi-input
     stitch. --raw copies column chunks verbatim (no value re-encode);
@@ -649,6 +658,12 @@ def main(argv=None):
     pr.add_argument("-o", "--out", required=True)
     pr.add_argument("--drop", nargs="+", required=True)
     pr.set_defaults(fn=cmd_prune)
+
+    mk = sub.add_parser("mask")
+    mk.add_argument("file")
+    mk.add_argument("-o", "--out", required=True)
+    mk.add_argument("--mask", nargs="+", required=True)
+    mk.set_defaults(fn=cmd_mask)
 
     mg = sub.add_parser("merge")
     mg.add_argument("inputs", nargs="+")

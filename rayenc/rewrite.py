@@ -543,3 +543,122 @@ def prune_parquet_raw(path_in: str, path_out: str, drop: "list[str]") -> str:
     with open(path_out, "wb") as fo:
         fo.write(out)
     return path_out
+
+
+def mask_parquet_raw(path_in: str, path_out: str, mask: "list[str]") -> str:
+    """ColumnMaskingCommand analog for parquet FILES, hybrid stitch:
+    masked string columns re-encode as their 16-hex content hashes
+    (`mask_hash` semantics); every OTHER chunk copies verbatim with
+    shifted offsets — masking cost scales with the masked columns only.
+    Plaintext inputs; masked columns must be flat strings."""
+    import pyarrow as pa
+
+    from . import selector as sel
+    from .parquet_read_enc import EncryptedFile, _read_struct_full
+    from .parquet_write import (
+        _W,
+        _Column,
+        _arrow_schema_b64,
+        _emit_column_meta_fields,
+        _emit_schema_elem,
+        _encode_column_pages,
+        _schema_body,
+    )
+    from .parquet_compat import assemble_flat
+    from .schema import shred
+
+    f = EncryptedFile(path_in)
+    if f.algorithm:
+        raise ValueError("mask_parquet_raw requires a plaintext input")
+    maskset = set(mask)
+    names = [lf.path[0] for lf in f.leaves]
+    missing = maskset - set(names)
+    if missing:
+        raise ValueError(f"no such columns: {sorted(missing)}")
+    schema = f.arrow_schema()
+    for c in maskset:
+        t = schema.field(c).type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise ValueError(f"hash masking is defined for string columns: {c}")
+
+    cfg = sel.EncodeConfig()
+    out = bytearray(b"PAR1")
+    merged_rgs = []
+    for rg_ord, rg in enumerate(f.row_groups):
+        new_ccs = []
+        for ci, lf in enumerate(f.leaves):
+            if lf.path[0] not in maskset:
+                md = dict(rg[1][ci][3])
+                start = md.get(11, md[9])
+                if md.get(10):
+                    start = min(start, md[10])
+                shift = len(out) - start
+                out += f.raw[start : start + md[7]]
+                for fid in _CM_OFFSET_FIELDS:
+                    if fid in md:
+                        md[fid] = md[fid] + shift
+                new_ccs.append(md)
+                continue
+            # masked column: decode this chunk, hash, re-encode in place
+            r = f.decode_leaf(rg_ord, ci)
+            arr = assemble_flat(r, schema.field(lf.path[0]).type)
+            col = shred(lf.path[0], arr)[0]
+            col = mask_hash(col)
+            meta = _Column([lf.path[0]], "BINARY", lf.max_rep, lf.max_def)
+            if lf.max_def == 0:
+                _encode_column_pages(col, out, meta, cfg)
+            else:
+                dfv = (~(col.null_mask if col.null_mask is not None
+                         else np.zeros(col.logical_count, bool))).astype(np.uint8)
+                _encode_column_pages(
+                    col, out, meta, cfg, def_levels=dfv, max_def=1
+                )
+            mw = _W()
+            _emit_column_meta_fields(mw, meta)
+            md, _ = _read_struct_full(mw.stop(), 0)
+            new_ccs.append(md)
+        merged_rgs.append((new_ccs, rg.get(3, 0)))
+
+    w = _W()
+    w.i(1, 2)
+    body = []
+    for fld in schema:
+        body += _schema_body(fld)
+    elems = [{"name": "schema", "children": len(schema.names)}] + body
+    w.begin_list(2, 12, len(elems))
+    for e in elems:
+        _emit_schema_elem(w, e)
+    w.i64(3, f.num_rows)
+    w.begin_list(4, 12, len(merged_rgs))
+    for ccs, rows in merged_rgs:
+        rg = _W()
+        rg.begin_list(1, 12, len(ccs))
+        for md in ccs:
+            cc = _W()
+            cc.i64(2, md.get(11, md[9]))
+            cc.begin_struct(3)
+            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
+            cc.end_struct()
+            rg.out += cc.stop()
+        rg.i64(2, sum(m[6] for m in ccs))
+        rg.i64(3, rows)
+        w.out += rg.stop()
+    kv = _W()
+    w.begin_list(5, 12, 1)
+    kv.string(1, "ARROW:schema")
+    kv.string(2, _arrow_schema_b64(schema))
+    w.out += kv.stop()
+    w.string(6, "rayenc 0.1")
+    w.begin_list(7, 12, len(f.leaves))
+    for _ in f.leaves:
+        co = _W()
+        co.begin_struct(1)
+        co.end_struct()
+        w.out += co.stop()
+    footer = w.stop()
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path_out, "wb") as fo:
+        fo.write(out)
+    return path_out

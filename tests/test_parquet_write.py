@@ -654,3 +654,38 @@ def test_prune_parquet_raw(tmp_path):
         prune_parquet_raw(src, out, ["nope"])
     with _pytest.raises(ValueError, match="every column"):
         prune_parquet_raw(src, out, list(t.column_names))
+
+
+def test_mask_parquet_raw_hybrid(tmp_path):
+    """Hybrid mask: the masked string column re-encodes as 16-hex content
+    hashes (equal inputs -> equal masks, NDV preserved); every other
+    chunk is a verbatim copy."""
+    import pytest as _pytest
+
+    from rayenc.parquet_read_enc import EncryptedFile, read_table_encrypted
+    from rayenc.rewrite import mask_parquet_raw
+
+    t = pq.read_table(f"{SF}/orders.parquet")
+    src = str(tmp_path / "in.parquet")
+    parquet_write.write_table(t, src, row_group_size=5000)
+    out = str(tmp_path / "m.parquet")
+    mask_parquet_raw(src, out, ["o_orderpriority"])
+    got = read_table_encrypted(out)
+    assert got.num_rows == t.num_rows and got.column_names == t.column_names
+    op = got.column("o_orderpriority").to_pylist()
+    orig = t.column("o_orderpriority").to_pylist()
+    assert all(len(v) == 16 for v in op)
+    assert len(set(op)) == len(set(orig))  # bijection on distinct values
+    m = dict(zip(orig, op))
+    assert all(m[o] == v for o, v in zip(orig, op))
+    rest = t.drop_columns(["o_orderpriority"])
+    assert got.drop_columns(["o_orderpriority"]).cast(rest.schema).equals(rest)
+    # unmasked chunk payloads are bit-identical to the source
+    fi, fo = EncryptedFile(src), EncryptedFile(out)
+    ci = [lf.path[0] for lf in fi.leaves].index("o_custkey")
+    mi, mo = fi.chunk_meta(0, ci), fo.chunk_meta(0, ci)
+    s0, d0 = mi.get(11, mi[9]), mo.get(11, mo[9])
+    assert bytes(fi.raw[s0 : s0 + mi[7]]) == bytes(fo.raw[d0 : d0 + mo[7]])
+    assert pq.read_table(out).num_rows == t.num_rows
+    with _pytest.raises(ValueError, match="string"):
+        mask_parquet_raw(src, out, ["o_custkey"])
