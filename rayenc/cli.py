@@ -547,6 +547,20 @@ def cmd_convert_csv(args):
 def cmd_transcode(args):
     from .selector import EncodeConfig
 
+    if getattr(args, "raw", False):
+        # TransCompressionCommand path: pages recompress, values untouched
+        from .rewrite import transcompress_parquet_raw
+
+        for p in args.inputs:
+            dst = (
+                args.out
+                if len(args.inputs) == 1
+                else os.path.join(args.out, os.path.basename(p))
+            )
+            transcompress_parquet_raw(p, dst, args.compress)
+            print(f"recompressed {p} -> {dst}")
+        return
+
     ray = _ray()
     from rayenc import pipeline
 
@@ -630,6 +644,8 @@ def main(argv=None):
     tc.add_argument("--compress", default=None,
                     help="page codec: snappy|gzip|zstd|brotli|lz4")
     tc.add_argument("--page-version", default="1.0", choices=["1.0", "2.0"])
+    tc.add_argument("--raw", action="store_true",
+                    help="recompress pages only (no value re-encode)")
     tc.set_defaults(fn=cmd_transcode)
 
     for name, fn in (

@@ -130,6 +130,8 @@ class PageHeader:
     v2_def_bytes: int = 0
     v2_rep_bytes: int = 0
     v2_is_compressed: bool = True
+    v2_num_nulls: int = 0
+    v2_num_rows: int = 0
     header_len: int = 0
     crc: int | None = None
 
@@ -163,6 +165,8 @@ def read_page_header(buf, i=0) -> PageHeader:
         h.v2_def_bytes = d[5]
         h.v2_rep_bytes = d[6]
         h.v2_is_compressed = d.get(7, True)
+        h.v2_num_nulls = d.get(2, 0)
+        h.v2_num_rows = d.get(3, h.num_values)
     return h
 
 

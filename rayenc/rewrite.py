@@ -662,3 +662,178 @@ def mask_parquet_raw(path_in: str, path_out: str, mask: "list[str]") -> str:
     with open(path_out, "wb") as fo:
         fo.write(out)
     return path_out
+
+
+def transcompress_parquet_raw(
+    path_in: str, path_out: str, compression: "str | None"
+) -> str:
+    """TransCompressionCommand analog: change the page compression codec
+    WITHOUT decoding values — each page body is decompressed and
+    recompressed as opaque bytes, headers re-emitted with the new sizes
+    (and refreshed CRCs), and the footer carries the original statistics
+    and encodings with only codec/size/offset fields updated
+    (`rewrite/ParquetRewriter.java` recompress path, `:845`). Plaintext
+    flat-or-nested files; V1, V2 and dictionary pages."""
+    import zlib
+
+    import pyarrow as pa
+
+    from .parquet_compat import read_page_header
+    from .parquet_read_enc import EncryptedFile
+    from .parquet_write import (
+        _CODEC_ID,
+        _W,
+        _arrow_schema_b64,
+        _emit_schema_elem,
+        _schema_body,
+    )
+
+    f = EncryptedFile(path_in)
+    if f.algorithm:
+        raise ValueError("transcompress_parquet_raw requires plaintext input")
+    new_codec = pa.Codec(compression) if compression else None
+    new_codec_id = _CODEC_ID[compression] if compression else 0
+    codec_names = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
+                   6: "zstd", 7: "lz4_raw"}
+
+    out = bytearray(b"PAR1")
+    merged_rgs = []
+    for rg_ord, rg in enumerate(f.row_groups):
+        new_ccs = []
+        for ci, lf in enumerate(f.leaves):
+            md = dict(rg[1][ci][3])
+            old_name = codec_names.get(md.get(4, 0))
+            old_codec = pa.Codec(old_name) if old_name else None
+            start = md.get(11, md[9])
+            if md.get(10):
+                start = min(start, md[10])
+            raw = f.raw[start : start + md[7]]
+            chunk_start = len(out)
+            new_dict_off = new_data_off = None
+            pos = 0
+            consumed = 0
+            has_dict = 11 in md and md[11] is not None and md[11] >= 0
+            expect_dict = has_dict
+            while consumed < md[5] and pos < len(raw):
+                h = read_page_header(raw, pos)
+                body = bytes(raw[pos + h.header_len : pos + h.header_len + h.compressed_size])
+                if h.type == 3:  # V2: levels stay plain, values recompress
+                    lv = h.v2_rep_bytes + h.v2_def_bytes
+                    vals = body[lv:]
+                    if old_codec and h.v2_is_compressed:
+                        vals = old_codec.decompress(
+                            vals, h.uncompressed_size - lv
+                        ).to_pybytes()
+                    new_vals = (
+                        new_codec.compress(vals).to_pybytes()
+                        if new_codec
+                        else vals
+                    )
+                    new_body = body[:lv] + new_vals
+                else:
+                    plain_body = (
+                        old_codec.decompress(body, h.uncompressed_size).to_pybytes()
+                        if old_codec
+                        else body
+                    )
+                    new_body = (
+                        new_codec.compress(plain_body).to_pybytes()
+                        if new_codec
+                        else plain_body
+                    )
+                crc = (zlib.crc32(new_body) & 0xFFFFFFFF) if h.crc is not None else None
+                hw = _W()
+                hw.i(1, h.type)
+                hw.i(2, h.uncompressed_size)
+                hw.i(3, len(new_body))
+                if crc is not None:
+                    hw.i(4, crc - (1 << 32) if crc >= (1 << 31) else crc)
+                if h.type == 0:
+                    hw.begin_struct(5)
+                    hw.i(1, h.num_values)
+                    hw.i(2, h.encoding)
+                    hw.i(3, h.def_level_encoding)
+                    hw.i(4, h.rep_level_encoding if h.rep_level_encoding is not None else h.def_level_encoding)
+                    hw.end_struct()
+                elif h.type == 2:
+                    hw.begin_struct(7)
+                    hw.i(1, h.num_values)
+                    hw.i(2, h.encoding)
+                    hw.end_struct()
+                else:  # V2
+                    hw.begin_struct(8)
+                    hw.i(1, h.num_values)
+                    hw.i(2, h.v2_num_nulls)
+                    hw.i(3, h.v2_num_rows)
+                    hw.i(4, h.encoding)
+                    hw.i(5, h.v2_def_bytes)
+                    hw.i(6, h.v2_rep_bytes)
+                    hw.boolean(7, new_codec is not None)
+                    hw.end_struct()
+                if expect_dict and h.type == 2:
+                    new_dict_off = len(out)
+                    expect_dict = False
+                elif new_data_off is None and h.type in (0, 3):
+                    new_data_off = len(out)
+                out += hw.stop()
+                out += new_body
+                if h.type in (0, 3):
+                    consumed += h.num_values
+                pos += h.header_len + h.compressed_size
+            md[4] = new_codec_id
+            md[7] = len(out) - chunk_start
+            md[9] = new_data_off if new_data_off is not None else chunk_start
+            if new_dict_off is not None:
+                md[11] = new_dict_off
+            else:
+                md.pop(11, None)
+            md.pop(10, None)
+            md.pop(14, None)  # blooms not carried (offsets were chunk-external)
+            md.pop(15, None)
+            new_ccs.append(md)
+        merged_rgs.append((new_ccs, rg.get(3, 0)))
+
+    schema = f.arrow_schema()
+    w = _W()
+    w.i(1, 2)
+    body = []
+    for fld in schema:
+        body += _schema_body(fld)
+    elems = [{"name": "schema", "children": len(schema.names)}] + body
+    w.begin_list(2, 12, len(elems))
+    for e in elems:
+        _emit_schema_elem(w, e)
+    w.i64(3, f.num_rows)
+    w.begin_list(4, 12, len(merged_rgs))
+    for ccs, rows in merged_rgs:
+        rgw = _W()
+        rgw.begin_list(1, 12, len(ccs))
+        for md in ccs:
+            cc = _W()
+            cc.i64(2, md.get(11, md[9]))
+            cc.begin_struct(3)
+            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
+            cc.end_struct()
+            rgw.out += cc.stop()
+        rgw.i64(2, sum(m[6] for m in ccs))
+        rgw.i64(3, rows)
+        w.out += rgw.stop()
+    kv = _W()
+    w.begin_list(5, 12, 1)
+    kv.string(1, "ARROW:schema")
+    kv.string(2, _arrow_schema_b64(schema))
+    w.out += kv.stop()
+    w.string(6, "rayenc 0.1")
+    w.begin_list(7, 12, len(f.leaves))
+    for _ in f.leaves:
+        co = _W()
+        co.begin_struct(1)
+        co.end_struct()
+        w.out += co.stop()
+    footer = w.stop()
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path_out, "wb") as fo:
+        fo.write(out)
+    return path_out

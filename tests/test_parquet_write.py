@@ -689,3 +689,51 @@ def test_mask_parquet_raw_hybrid(tmp_path):
     assert pq.read_table(out).num_rows == t.num_rows
     with _pytest.raises(ValueError, match="string"):
         mask_parquet_raw(src, out, ["o_custkey"])
+
+
+@pytest.mark.parametrize("src_comp,src_ver,dst", [
+    (None, "1.0", "zstd"), ("gzip", "2.0", "snappy"), ("zstd", "1.0", None),
+])
+def test_transcompress_parquet_raw(tmp_path, src_comp, src_ver, dst):
+    """Page-level recompression without value decode: every page body is
+    treated as opaque bytes, headers re-emit with fresh sizes/CRCs, the
+    footer keeps statistics/encodings and only codec fields change."""
+    from rayenc.parquet_read_enc import EncryptedFile, read_table_encrypted
+    from rayenc.rewrite import transcompress_parquet_raw
+
+    t = pq.read_table(f"{SF}/lineitem.parquet")
+    src = str(tmp_path / "in.parquet")
+    parquet_write.write_table(
+        t, src,
+        EncodeConfig(compression=src_comp, parquet_page_version=src_ver),
+        row_group_size=2000,
+    )
+    out = str(tmp_path / "out.parquet")
+    transcompress_parquet_raw(src, out, dst)
+    got = read_table_encrypted(out)
+    assert got.cast(t.schema).equals(t)
+    assert pq.read_table(out).cast(t.schema).equals(t)
+    fi, fo = EncryptedFile(src), EncryptedFile(out)
+    mi, mo = fi.chunk_meta(0, 0), fo.chunk_meta(0, 0)
+    assert mo.get(12) == mi.get(12)  # statistics survive untouched
+    assert mo[2] == mi[2]  # encodings survive
+    want_codec = {"zstd": 6, "snappy": 1, None: 0}[dst]
+    assert mo[4] == want_codec
+
+
+def test_transcompress_v2_with_nulls(tmp_path):
+    """DataPageHeaderV2 num_nulls/num_rows must survive the header
+    re-emit (they were not parsed before this round)."""
+    from rayenc.rewrite import transcompress_parquet_raw
+
+    vals = [None if i % 7 == 0 else float(i) for i in range(5000)]
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    src = str(tmp_path / "in.parquet")
+    parquet_write.write_table(
+        t, src,
+        EncodeConfig(compression="gzip", parquet_page_version="2.0"),
+        row_group_size=2000,
+    )
+    out = str(tmp_path / "out.parquet")
+    transcompress_parquet_raw(src, out, "zstd")
+    assert pq.read_table(out).cast(t.schema).equals(t)
