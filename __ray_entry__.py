@@ -988,6 +988,62 @@ def _variant_roundtrip_events(sf_dir: str):
     return ds.map_batches(rt, batch_format="pyarrow")
 
 
+def _mask_parquet_file(sf_dir: str):
+    """Hybrid file masking (`mask_parquet_raw`): the masked string column
+    re-encodes as content hashes (a bijection on values — distinct count
+    preserved), other chunks copy verbatim. The oracle checks the
+    invariants the mask guarantees."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.rewrite import mask_parquet_raw
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    src = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(t, src, row_group_size=5000)
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    mask_parquet_raw(src, out, ["o_orderpriority"])
+    got = pq.read_table(out)
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "n_rows": pa.array([got.num_rows], pa.int64()),
+            "ndv_masked": pa.array(
+                [pc.count_distinct(got.column("o_orderpriority")).as_py()],
+                pa.int64(),
+            ),
+            "sum_total": pa.array(
+                [
+                    round(
+                        pc.sum(got.column("o_totalprice")).as_py(), 2
+                    )
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _transcompress_parquet_file(sf_dir: str):
+    """Page-level recompression without value decode
+    (`transcompress_parquet_raw`): read back must be bit-equal."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.rewrite import transcompress_parquet_raw
+    from rayenc.selector import EncodeConfig
+
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    src = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    parquet_write.write_table(
+        t, src, EncodeConfig(compression=None), row_group_size=5000
+    )
+    out = tempfile.mktemp(suffix=".parquet", dir="/tmp")
+    transcompress_parquet_raw(src, out, "zstd")
+    return pq.read_table(out).cast(t.schema)
+
+
 def _merge_parquet_raw(sf_dir: str):
     """Zero-re-encode merge: three files written by OUR writer, stitched
     by verbatim chunk copy + offset-shifted footer (`merge_parquet_raw`,
@@ -1336,6 +1392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_point_lookup"] = _bloom_point_lookup
     q["merge_parquet_files"] = _merge_parquet_files
     q["merge_parquet_raw"] = _merge_parquet_raw
+    q["mask_parquet_file"] = _mask_parquet_file
+    q["transcompress_parquet_file"] = _transcompress_parquet_file
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
     q["pushdown_filter_or"] = _pushdown_filter_or
     q["geospatial_stats"] = _geospatial_stats
@@ -1437,6 +1495,12 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
     o["merge_parquet_files"] = "SELECT * FROM orders"
     o["merge_parquet_raw"] = "SELECT * FROM orders"
+    o["mask_parquet_file"] = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        " CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_masked,"
+        " ROUND(SUM(o_totalprice), 2) AS sum_total FROM orders"
+    )
+    o["transcompress_parquet_file"] = "SELECT * FROM orders"
     o["pushdown_filter_parquet"] = (
         "SELECT * FROM lineitem WHERE l_orderkey < 500 AND l_quantity >= 10.0"
     )

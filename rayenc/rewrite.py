@@ -837,3 +837,100 @@ def transcompress_parquet_raw(
     with open(path_out, "wb") as fo:
         fo.write(out)
     return path_out
+
+
+def rename_parquet_raw(path_in: str, path_out: str, renames: "dict[str, str]") -> str:
+    """Rename top-level columns WITHOUT re-encoding (ParquetRewriter
+    rename): chunks copy verbatim; only SchemaElement names, the
+    path_in_schema lists and the embedded Arrow schema change."""
+    import pyarrow as pa
+
+    from .parquet_read_enc import EncryptedFile
+    from .parquet_write import (
+        _W,
+        _arrow_schema_b64,
+        _emit_schema_elem,
+        _schema_body,
+    )
+
+    f = EncryptedFile(path_in)
+    if f.algorithm:
+        raise ValueError("rename_parquet_raw requires a plaintext input")
+    names = [lf.path[0] for lf in f.leaves]
+    missing = set(renames) - set(names)
+    if missing:
+        raise ValueError(f"no such columns: {sorted(missing)}")
+    schema = f.arrow_schema()
+    new_schema = pa.schema(
+        [
+            pa.field(renames.get(fl.name, fl.name), fl.type, fl.nullable)
+            for fl in schema
+        ],
+        metadata=None,
+    )
+    out = bytearray(b"PAR1")
+    merged_rgs = []
+    for rg in f.row_groups:
+        new_ccs = []
+        for ci, lf in enumerate(f.leaves):
+            md = dict(rg[1][ci][3])
+            start = md.get(11, md[9])
+            if md.get(10):
+                start = min(start, md[10])
+            shift = len(out) - start
+            out += f.raw[start : start + md[7]]
+            for fid in _CM_OFFSET_FIELDS:
+                if fid in md:
+                    md[fid] = md[fid] + shift
+            if lf.path[0] in renames:
+                new_path = [renames[lf.path[0]].encode()] + [
+                    p.encode() if isinstance(p, str) else p
+                    for p in lf.path[1:]
+                ]
+                md[3] = new_path
+            new_ccs.append(md)
+        merged_rgs.append((new_ccs, rg.get(3, 0)))
+
+    w = _W()
+    w.i(1, 2)
+    body = []
+    for fld in new_schema:
+        body += _schema_body(fld)
+    elems = [{"name": "schema", "children": len(new_schema.names)}] + body
+    w.begin_list(2, 12, len(elems))
+    for e in elems:
+        _emit_schema_elem(w, e)
+    w.i64(3, f.num_rows)
+    w.begin_list(4, 12, len(merged_rgs))
+    for ccs, rows in merged_rgs:
+        rgw = _W()
+        rgw.begin_list(1, 12, len(ccs))
+        for md in ccs:
+            cc = _W()
+            cc.i64(2, md.get(11, md[9]))
+            cc.begin_struct(3)
+            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
+            cc.end_struct()
+            rgw.out += cc.stop()
+        rgw.i64(2, sum(m[6] for m in ccs))
+        rgw.i64(3, rows)
+        w.out += rgw.stop()
+    kv = _W()
+    w.begin_list(5, 12, 1)
+    kv.string(1, "ARROW:schema")
+    kv.string(2, _arrow_schema_b64(new_schema))
+    w.out += kv.stop()
+    w.string(6, "rayenc 0.1")
+    w.begin_list(7, 12, len(f.leaves))
+    for _ in f.leaves:
+        co = _W()
+        co.begin_struct(1)
+        co.end_struct()
+        w.out += co.stop()
+    footer = w.stop()
+    out += footer
+    out += len(footer).to_bytes(4, "little")
+    out += b"PAR1"
+    with open(path_out, "wb") as fo:
+        fo.write(out)
+    return path_out

@@ -737,3 +737,18 @@ def test_transcompress_v2_with_nulls(tmp_path):
     out = str(tmp_path / "out.parquet")
     transcompress_parquet_raw(src, out, "zstd")
     assert pq.read_table(out).cast(t.schema).equals(t)
+
+
+def test_rename_parquet_raw(tmp_path):
+    from rayenc.parquet_read_enc import read_table_encrypted
+    from rayenc.rewrite import rename_parquet_raw
+
+    t = pq.read_table(f"{SF}/nation.parquet")
+    src = str(tmp_path / "in.parquet")
+    parquet_write.write_table(t, src)
+    out = str(tmp_path / "rn.parquet")
+    rename_parquet_raw(src, out, {"n_name": "nation_name"})
+    got = pq.read_table(out)
+    assert got.column_names == ["n_nationkey", "nation_name", "n_regionkey"]
+    assert got.column("nation_name").to_pylist() == t.column("n_name").to_pylist()
+    assert read_table_encrypted(out).column_names == got.column_names
