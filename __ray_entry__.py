@@ -1266,6 +1266,27 @@ def _token_topk_documents(sf_dir: str):
     return text_ops.token_topk(ds, k=20)
 
 
+def _broadcast_join_orders(sf_dir: str):
+    """Broadcast hash join: customer (small side) rides the object store
+    once via ray.put; orders stream through map_batches joining each
+    batch with arrow's hash-join kernel — no all-to-all shuffle
+    (rayenc/ops/join.py)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops.join import broadcast_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).rename_columns(["o_custkey", "c_name", "c_nationkey"])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return broadcast_join(ds, cust, "o_custkey")
+
+
 def _sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min timeout): one groupby(user)
     shuffle co-locates each user's events, per-group numpy computes the
@@ -1399,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["geospatial_stats"] = _geospatial_stats
     q["weighted_mix_documents"] = _weighted_mix_documents
     q["sessionize_events"] = _sessionize_events
+    q["broadcast_join_orders"] = _broadcast_join_orders
     q["token_topk_documents"] = _token_topk_documents
     q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
@@ -1512,6 +1534,10 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["broadcast_join_orders"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
     o["token_topk_documents"] = (
         "SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
         " SELECT unnest(string_split(text, ' ')) AS token FROM documents)"

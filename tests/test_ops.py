@@ -595,3 +595,49 @@ def test_distributed_sketches_over_documents(ray_session):
     cm = sketch.cms_token_counts(ds, ["the", "data", "zzz_absent"])
     assert cm["the"] >= truth.get("the", 0)
     assert cm["zzz_absent"] <= 2  # tiny table: collisions ~0
+
+
+# ----------------------------------------------------- broadcast hash join
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from rayenc.ops.join import broadcast_join
+
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename_columns(["o_custkey", "c_name"])
+    ds = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    got = broadcast_join(ds, cust, "o_custkey").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT o_orderkey, o_custkey, c_name
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+        ON o.o_custkey = c.c_custkey""").fetchdf()
+    k = sorted(got.columns)
+    assert got[k].sort_values(k).reset_index(drop=True).equals(
+        want[k].sort_values(k).reset_index(drop=True)
+    )
+    # left outer keeps every order even when the dim row is absent
+    lo = broadcast_join(ds, cust.slice(0, 5), "o_custkey",
+                        join_type="left outer")
+    assert lo.count() == ds.count()
+
+
+def test_broadcast_join_size_guard(ray_session):
+    import pyarrow as pa
+
+    import ray
+
+    from rayenc.ops.join import broadcast_join
+
+    big = pa.table({"k": pa.array(range(1000))})
+    ds = ray.data.from_items([{"k": 1}])
+    with pytest.raises(ValueError, match="broadcast"):
+        broadcast_join(ds, big, "k", max_broadcast_bytes=100)
