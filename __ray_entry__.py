@@ -1266,6 +1266,28 @@ def _token_topk_documents(sf_dir: str):
     return text_ops.token_topk(ds, k=20)
 
 
+def _shuffle_join_lineitem(sf_dir: str):
+    """Bucketed big-big join: lineitem and orders each exchange once on
+    the key-hash bucket; co-located buckets join with the arrow kernel
+    inside map_groups (rayenc/ops/join.py shuffle_join)."""
+    import ray
+
+    from rayenc.ops.join import shuffle_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    return shuffle_join(li, orders, "o_orderkey")
+
+
 def _broadcast_join_orders(sf_dir: str):
     """Broadcast hash join: customer (small side) rides the object store
     once via ray.put; orders stream through map_batches joining each
@@ -1421,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["weighted_mix_documents"] = _weighted_mix_documents
     q["sessionize_events"] = _sessionize_events
     q["broadcast_join_orders"] = _broadcast_join_orders
+    q["shuffle_join_lineitem"] = _shuffle_join_lineitem
     q["token_topk_documents"] = _token_topk_documents
     q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
@@ -1534,6 +1557,10 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["shuffle_join_lineitem"] = (
+        "SELECT l.l_orderkey AS o_orderkey, l.l_quantity, o.o_custkey"
+        " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
     o["broadcast_join_orders"] = (
         "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey"
         " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"

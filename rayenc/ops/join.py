@@ -53,3 +53,99 @@ def broadcast_join(
         )
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def shuffle_join(
+    left,
+    right,
+    keys,
+    join_type: str = "inner",
+    right_suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """Big-big equality join: both Datasets bucket by key hash (ONE
+    all-to-all exchange each), co-located buckets join with arrow's
+    hash-join kernel inside map_groups. Skew bound: a bucket must fit in
+    a worker — salt hot keys upstream if one key dominates.
+
+    Implementation shape (Ray Data has no native join): rows are tagged
+    with their side, the two datasets union, and `groupby(bucket)` hands
+    each bucket's rows of BOTH sides to one task, which splits by tag and
+    joins. The tag column is a single int8; the bucket id derives from a
+    multiplicative hash of the first key column."""
+    import numpy as np
+
+    if isinstance(keys, str):
+        keys = [keys]
+    key0 = keys[0]
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key0).to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                b = (
+                    (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.uint64(33)
+                ) % np.uint64(num_buckets)
+            return batch.append_column(
+                "__bucket", pa.array(b.astype(np.int64))
+            ).append_column(
+                "__side", pa.array(np.full(len(batch), side, np.int8))
+            )
+
+        return fn
+
+    # align schemas for the union: each side carries only its own columns,
+    # the other side's filled with nulls
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+
+    l_cols = [c for c in left.schema().names]
+    r_cols = [c for c in right.schema().names]
+
+    def widen(side_cols, other_cols, other_types):
+        def fn(batch: pa.Table) -> pa.Table:
+            for name, typ in zip(other_cols, other_types):
+                batch = batch.append_column(
+                    name, pa.nulls(len(batch), typ)
+                )
+            return batch
+
+        return fn
+
+    l_sch, r_sch = left.schema(), right.schema()
+    r_missing = [c for c in r_cols if c not in l_cols]
+    l_missing = [c for c in l_cols if c not in r_cols]
+    lt = lt.map_batches(
+        widen(l_cols, r_missing,
+              [r_sch.base_schema.field(c).type for c in r_missing]),
+        batch_format="pyarrow",
+    )
+    rt = rt.map_batches(
+        widen(r_cols, l_missing,
+              [l_sch.base_schema.field(c).type for c in l_missing]),
+        batch_format="pyarrow",
+    )
+
+    def select_sorted(batch: pa.Table) -> pa.Table:
+        return batch.select(sorted(batch.column_names))
+
+    lt = lt.map_batches(select_sorted, batch_format="pyarrow")
+    rt = rt.map_batches(select_sorted, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        l = batch.filter(pa.array(side == 0)).select(
+            l_cols
+        )
+        r = batch.filter(pa.array(side == 1)).select(r_cols)
+        out = l.join(
+            r.combine_chunks(), keys=keys, join_type=join_type,
+            right_suffix=right_suffix, use_threads=False,
+        )
+        return out
+
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

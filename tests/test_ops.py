@@ -641,3 +641,25 @@ def test_broadcast_join_size_guard(ray_session):
     ds = ray.data.from_items([{"k": 1}])
     with pytest.raises(ValueError, match="broadcast"):
         broadcast_join(ds, big, "k", max_broadcast_bytes=100)
+
+
+def test_shuffle_join_matches_broadcast(ray_session):
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from rayenc.ops.join import broadcast_join, shuffle_join
+
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename_columns(["o_custkey", "c_name"])
+    ds = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    right = ray.data.from_arrow(cust)
+    a = shuffle_join(ds, right, "o_custkey", num_buckets=8).to_pandas()
+    b = broadcast_join(ds, cust, "o_custkey").to_pandas()
+    k = sorted(a.columns)
+    assert a[k].sort_values(k).reset_index(drop=True).equals(
+        b[k].sort_values(k).reset_index(drop=True)
+    )
