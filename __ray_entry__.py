@@ -1266,6 +1266,29 @@ def _token_topk_documents(sf_dir: str):
     return text_ops.token_topk(ds, k=20)
 
 
+def _asof_join_events(sf_dir: str):
+    """As-of join (time-series enrichment): every click picks the latest
+    view at-or-before it per user — one groupby(user) exchange, then
+    lexsort + searchsorted inside the group (rayenc/ops/join.py
+    asof_join). DuckDB's native ASOF JOIN is the oracle."""
+    import ray
+
+    from rayenc.ops.join import asof_join
+
+    cols = ["event_id", "ts", "user_id", "value", "event_type"]
+    ev = lambda: ray.data.read_parquet(  # noqa: E731
+        os.path.join(sf_dir, "events.parquet"), columns=cols
+    )
+    clicks = ev().filter(lambda r: r["event_type"] == "click")
+    views = ev().filter(lambda r: r["event_type"] == "view").map_batches(
+        lambda b: b.select(["user_id", "ts", "value"]).rename_columns(
+            ["user_id", "ts", "view_value"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(clicks, views, by="user_id", on="ts")
+
+
 def _shuffle_join_lineitem(sf_dir: str):
     """Bucketed big-big join: lineitem and orders each exchange once on
     the key-hash bucket; co-located buckets join with the arrow kernel
@@ -1444,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize_events"] = _sessionize_events
     q["broadcast_join_orders"] = _broadcast_join_orders
     q["shuffle_join_lineitem"] = _shuffle_join_lineitem
+    q["asof_join_events"] = _asof_join_events
     q["token_topk_documents"] = _token_topk_documents
     q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
@@ -1557,6 +1581,13 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["asof_join_events"] = (
+        "SELECT c.event_id, c.ts, c.user_id, c.value, c.event_type,"
+        " v.view_value FROM (SELECT * FROM events WHERE event_type='click') c"
+        " ASOF LEFT JOIN (SELECT user_id, ts, value AS view_value FROM events"
+        " WHERE event_type='view') v"
+        " ON c.user_id = v.user_id AND c.ts >= v.ts"
+    )
     o["shuffle_join_lineitem"] = (
         "SELECT l.l_orderkey AS o_orderkey, l.l_quantity, o.o_custkey"
         " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"

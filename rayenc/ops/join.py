@@ -149,3 +149,102 @@ def shuffle_join(
     return both.groupby("__bucket").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str,
+    right_cols: "list[str] | None" = None,
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """As-of join: each left row picks the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (the time-series
+    enrichment join; DuckDB's ASOF JOIN semantics — left rows with no
+    prior right row keep nulls).
+
+    Shape: tagged union + one groupby(by) exchange co-locates both sides
+    per group; inside the group a lexsort + np.searchsorted matches every
+    left row in O(n log n) — no per-row loops. The partitioning
+    assumption is per-group locality (same as sessionization)."""
+    import numpy as np
+
+    l_cols = list(left.schema().names)
+    r_cols_all = list(right.schema().names)
+    rc = right_cols or [c for c in r_cols_all if c not in (by, on)]
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(len(batch), side, np.int8))
+            )
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+
+    def widen(other_cols, other_types):
+        def fn(batch: pa.Table) -> pa.Table:
+            for name, typ in zip(other_cols, other_types):
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+            return batch
+
+        return fn
+
+    l_sch, r_sch = left.schema().base_schema, right.schema().base_schema
+    r_missing = [c for c in r_cols_all if c not in l_cols]
+    l_missing = [c for c in l_cols if c not in r_cols_all]
+    lt = lt.map_batches(
+        widen(r_missing, [r_sch.field(c).type for c in r_missing]),
+        batch_format="pyarrow",
+    )
+    rt = rt.map_batches(
+        widen(l_missing, [l_sch.field(c).type for c in l_missing]),
+        batch_format="pyarrow",
+    )
+
+    def select_sorted(batch: pa.Table) -> pa.Table:
+        return batch.select(sorted(batch.column_names))
+
+    both = lt.map_batches(select_sorted, batch_format="pyarrow").union(
+        rt.map_batches(select_sorted, batch_format="pyarrow")
+    )
+
+    out_names = [c if c not in l_cols else c for c in rc]
+
+    def per_group(batch: pa.Table) -> pa.Table:
+        side = batch.column("__side").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        l = batch.filter(pa.array(lmask)).select(l_cols)
+        r = batch.filter(pa.array(~lmask)).select([on] + rc)
+        l_on = l.column(on).to_numpy(zero_copy_only=False)
+        r_on = r.column(on).to_numpy(zero_copy_only=False)
+        if len(r_on) == 0:  # no right rows in this group: all-null enrich
+            out = l
+            for c in rc:
+                name = c + suffix if c in l_cols else c
+                out = out.append_column(
+                    name, pa.nulls(len(l), r.column(c).type)
+                )
+            return out
+        order = np.argsort(r_on, kind="stable")
+        r_sorted = r_on[order]
+        # latest right with r.on <= l.on -> searchsorted right side - 1
+        idx = np.searchsorted(r_sorted, l_on, side="right") - 1
+        matched = idx >= 0
+        take = np.where(matched, order[np.maximum(idx, 0)], 0)
+        out = l
+        for c in rc:
+            vals = r.column(c).take(pa.array(take, pa.int64()))
+            vals = pa.compute.if_else(
+                pa.array(matched), vals,
+                pa.nulls(len(l), vals.type),
+            )
+            name = c + suffix if c in l_cols else c
+            out = out.append_column(name, vals)
+        return out
+
+    return both.groupby(by).map_groups(per_group, batch_format="pyarrow")

@@ -663,3 +663,26 @@ def test_shuffle_join_matches_broadcast(ray_session):
     assert a[k].sort_values(k).reset_index(drop=True).equals(
         b[k].sort_values(k).reset_index(drop=True)
     )
+
+
+def test_asof_join_semantics(ray_session):
+    import datetime as dt
+
+    import ray
+
+    from rayenc.ops.join import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = ray.data.from_items([
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=m), "ev": f"L{m}"}
+        for m in (5, 15, 25)
+    ] + [{"user_id": 2, "ts": base, "ev": "L-nope"}])
+    right = ray.data.from_items([
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=m), "px": m}
+        for m in (0, 10, 20)
+    ])
+    out = {r["ev"]: r["px"] for r in
+           asof_join(left, right, by="user_id", on="ts").take_all()}
+    # each left row matches the latest right at-or-before its ts;
+    # user 2 has no right rows -> null
+    assert out == {"L5": 0, "L15": 10, "L25": 20, "L-nope": None}
