@@ -1266,6 +1266,28 @@ def _token_topk_documents(sf_dir: str):
     return text_ops.token_topk(ds, k=20)
 
 
+def _range_join_orders(sf_dir: str):
+    """Interval join of orders onto broadcast price bands
+    (rayenc/ops/join.py range_join): one vectorized mask per band per
+    batch, DuckDB inequality join as the oracle."""
+    import ray
+
+    from rayenc.ops.join import range_join
+
+    bands = pa.table(
+        {
+            "band": ["low", "mid", "high", "vip"],
+            "lo": [0.0, 50000.0, 150000.0, 300000.0],
+            "hi": [50000.0, 150000.0, 300000.0, 1e9],
+        }
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return range_join(ds, bands, "o_totalprice")
+
+
 def _asof_join_events(sf_dir: str):
     """As-of join (time-series enrichment): every click picks the latest
     view at-or-before it per user — one groupby(user) exchange, then
@@ -1468,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["broadcast_join_orders"] = _broadcast_join_orders
     q["shuffle_join_lineitem"] = _shuffle_join_lineitem
     q["asof_join_events"] = _asof_join_events
+    q["range_join_orders"] = _range_join_orders
     q["token_topk_documents"] = _token_topk_documents
     q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
@@ -1581,6 +1604,14 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["range_join_orders"] = (
+        "WITH bands(band, lo, hi) AS (VALUES"
+        " ('low',0.0,50000.0),('mid',50000.0,150000.0),"
+        " ('high',150000.0,300000.0),('vip',300000.0,1e9))"
+        " SELECT o.o_orderkey, o.o_totalprice, b.band, b.lo, b.hi"
+        " FROM orders o JOIN bands b"
+        " ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi"
+    )
     o["asof_join_events"] = (
         "SELECT c.event_id, c.ts, c.user_id, c.value, c.event_type,"
         " v.view_value FROM (SELECT * FROM events WHERE event_type='click') c"

@@ -248,3 +248,53 @@ def asof_join(
         return out
 
     return both.groupby(by).map_groups(per_group, batch_format="pyarrow")
+
+
+def range_join(
+    ds,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST,
+):
+    """Interval (range) join: each row matches every broadcast interval
+    with ``lo <= value < hi`` (inner semantics; overlapping intervals
+    produce one output row per match). The interval table broadcasts like
+    a dimension table; per batch, each interval contributes one
+    vectorized mask pass, so cost is O(num_intervals) numpy kernels per
+    batch — the right shape when intervals are banding/bucketing tables
+    (price bands, latency SLO buckets, date ranges)."""
+    import numpy as np
+
+    if intervals.nbytes > max_broadcast_bytes:
+        raise ValueError("interval table too large to broadcast")
+    intervals = intervals.combine_chunks()
+    ref = ray.put(intervals)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        lo = iv.column(lo_col).to_numpy(zero_copy_only=False)
+        hi = iv.column(hi_col).to_numpy(zero_copy_only=False)
+        parts = []
+        for i in range(len(iv)):
+            m = (v >= lo[i]) & (v < hi[i])
+            if not m.any():
+                continue
+            sub = batch.filter(pa.array(m))
+            for c in iv.column_names:
+                sub = sub.append_column(
+                    c, pa.array(np.repeat(iv.column(c)[i].as_py(), len(sub)))
+                    if not isinstance(iv.column(c)[i].as_py(), str)
+                    else pa.array([iv.column(c)[i].as_py()] * len(sub))
+                )
+            parts.append(sub)
+        if not parts:
+            out = batch.slice(0, 0)
+            for c in iv.column_names:
+                out = out.append_column(c, pa.nulls(0, iv.column(c).type))
+            return out
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

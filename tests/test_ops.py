@@ -686,3 +686,23 @@ def test_asof_join_semantics(ray_session):
     # each left row matches the latest right at-or-before its ts;
     # user 2 has no right rows -> null
     assert out == {"L5": 0, "L15": 10, "L25": 20, "L-nope": None}
+
+
+def test_range_join_overlaps_and_misses(ray_session):
+    import pyarrow as pa
+
+    import ray
+
+    from rayenc.ops.join import range_join
+
+    iv = pa.table({
+        "name": ["a", "b", "wide"],
+        "lo": [0.0, 10.0, 5.0],
+        "hi": [10.0, 20.0, 15.0],
+    })
+    ds = ray.data.from_items([{"v": 7.0}, {"v": 12.0}, {"v": 99.0}])
+    got = sorted(
+        (r["v"], r["name"]) for r in range_join(ds, iv, "v").take_all()
+    )
+    # 7 hits a+wide, 12 hits b+wide, 99 hits nothing (dropped, inner)
+    assert got == [(7.0, "a"), (7.0, "wide"), (12.0, "b"), (12.0, "wide")]
