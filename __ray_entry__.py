@@ -1044,6 +1044,38 @@ def _transcompress_parquet_file(sf_dir: str):
     return pq.read_table(out).cast(t.schema)
 
 
+def _schema_evolution_read(sf_dir: str):
+    """Merged-footer read across evolved schemas (MessageType.union /
+    ParquetFileWriter.getGlobalMetaData): lineitem split into two
+    generations written by OUR writer — gen0 (l_linenumber<=3) carries
+    (l_orderkey, l_partkey:int32, l_returnflag); gen1 (the rest) carries
+    (l_orderkey, l_partkey:int64, l_tax) — then distributed union-by-name
+    read via pipeline.read_parquet_evolved: l_partkey widens int32->int64,
+    the generation-specific columns null-fill."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.pipeline import read_parquet_evolved
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_tax"],
+    )
+    old = pc.less_equal(t.column("l_linenumber"), 3)
+    gen0 = t.filter(old).select(["l_orderkey", "l_partkey", "l_returnflag"])
+    gen0 = gen0.set_column(
+        1, "l_partkey", pc.cast(gen0.column("l_partkey"), pa.int32())
+    )
+    gen1 = t.filter(pc.invert(old)).select(["l_orderkey", "l_partkey", "l_tax"])
+    p0 = tempfile.mktemp(suffix="-gen0.parquet", dir="/tmp")
+    p1 = tempfile.mktemp(suffix="-gen1.parquet", dir="/tmp")
+    parquet_write.write_table(gen0, p0)
+    parquet_write.write_table(gen1, p1)
+    return read_parquet_evolved([p0, p1], strict=False)
+
+
 def _merge_parquet_raw(sf_dir: str):
     """Zero-re-encode merge: three files written by OUR writer, stitched
     by verbatim chunk copy + offset-shifted footer (`merge_parquet_raw`,
@@ -1480,6 +1512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_point_lookup"] = _bloom_point_lookup
     q["merge_parquet_files"] = _merge_parquet_files
     q["merge_parquet_raw"] = _merge_parquet_raw
+    q["schema_evolution_read"] = _schema_evolution_read
     q["mask_parquet_file"] = _mask_parquet_file
     q["transcompress_parquet_file"] = _transcompress_parquet_file
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
@@ -1587,6 +1620,11 @@ def oracle_sql() -> dict[str, str]:
     o["parquet_encrypted_roundtrip"] = "SELECT * FROM orders"
     o["merge_parquet_files"] = "SELECT * FROM orders"
     o["merge_parquet_raw"] = "SELECT * FROM orders"
+    o["schema_evolution_read"] = (
+        "SELECT l_orderkey, l_partkey,"
+        " CASE WHEN l_linenumber<=3 THEN l_returnflag END AS l_returnflag,"
+        " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"
+    )
     o["mask_parquet_file"] = (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"
         " CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_masked,"

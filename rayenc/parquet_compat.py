@@ -768,3 +768,186 @@ def _concat_parts(parts, ptype):
         )
         return offsets, np.concatenate(data_list)
     return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: merged-footer reads (GlobalMetaData / MessageType.union)
+# ---------------------------------------------------------------------------
+
+class IncompatibleSchemaError(ValueError):
+    """IncompatibleSchemaModificationException analog
+    (parquet-column/.../schema/GroupType.java:380, PrimitiveType.java:887)."""
+
+
+_INT_RANK = {8: 0, 16: 1, 32: 2, 64: 3}
+
+
+def _widen_types(a, b):
+    """Smallest arrow type both ``a`` and ``b`` cast into losslessly, or
+    None when there is none. This is the non-strict extension beyond
+    MessageType.union(strict=false) (which keeps the first type): numeric
+    widening the way engines evolve columns in practice (int32->int64,
+    float->double, decimal precision growth at equal scale)."""
+    import pyarrow as pa
+
+    if a.equals(b):
+        return a
+    for t in (a, b):
+        if not (
+            pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_decimal(t)
+        ):
+            return None
+    if pa.types.is_decimal(a) or pa.types.is_decimal(b):
+        if (
+            pa.types.is_decimal(a) and pa.types.is_decimal(b)
+            and a.scale == b.scale
+        ):
+            prec = max(a.precision, b.precision)
+            return pa.decimal128(prec, a.scale) if prec <= 38 else pa.decimal256(prec, a.scale)
+        return None
+    if pa.types.is_floating(a) or pa.types.is_floating(b):
+        # float+float -> wider float; int+float -> float64 (lossless for
+        # int32 and below; int64+float loses, refuse)
+        if pa.types.is_floating(a) and pa.types.is_floating(b):
+            return a if a.bit_width >= b.bit_width else b
+        i = a if pa.types.is_integer(a) else b
+        return pa.float64() if i.bit_width <= 32 else None
+    if pa.types.is_signed_integer(a) != pa.types.is_signed_integer(b):
+        # unsigned fits in the next-wider signed
+        u = a if pa.types.is_unsigned_integer(a) else b
+        s = b if u is a else a
+        if s.bit_width > u.bit_width:
+            return s
+        wider = u.bit_width * 2 if u.bit_width >= s.bit_width else s.bit_width * 2
+        return {16: pa.int16(), 32: pa.int32(), 64: pa.int64()}.get(wider)
+    return a if a.bit_width >= b.bit_width else b
+
+
+def _union_field(f, g, strict, path):
+    import pyarrow as pa
+
+    nullable = f.nullable or g.nullable
+    ft, gt = f.type, g.type
+    if pa.types.is_struct(ft) and pa.types.is_struct(gt):
+        return pa.field(
+            f.name, pa.struct(_union_fields(list(ft), list(gt), strict, path)),
+            nullable,
+        )
+    if (
+        (pa.types.is_list(ft) and pa.types.is_list(gt))
+        or (pa.types.is_large_list(ft) and pa.types.is_large_list(gt))
+    ):
+        elem = _union_field(ft.value_field, gt.value_field, strict, path + ".list")
+        return pa.field(
+            f.name,
+            pa.list_(elem) if pa.types.is_list(ft) else pa.large_list(elem),
+            nullable,
+        )
+    if ft.equals(gt):
+        return pa.field(f.name, ft, nullable)
+    if strict:
+        raise IncompatibleSchemaError(
+            f"can not merge type {gt} into {ft} at {path!r}"
+            " (MessageType.union strict: primitive type names, logical"
+            " types and FLBA lengths must match)"
+        )
+    wide = _widen_types(ft, gt)
+    if wide is None:
+        raise IncompatibleSchemaError(
+            f"can not merge type {gt} into {ft} at {path!r}: no lossless widening"
+        )
+    return pa.field(f.name, wide, nullable)
+
+
+def _union_fields(a_fields, b_fields, strict, path):
+    by_name = {f.name: f for f in b_fields}
+    if len(by_name) != len(b_fields):
+        raise IncompatibleSchemaError(f"duplicate field names under {path!r}")
+    out = []
+    for f in a_fields:
+        g = by_name.get(f.name)
+        out.append(f if g is None else _union_field(f, g, strict, f"{path}.{f.name}"))
+    seen = {f.name for f in a_fields}
+    # new fields appended in their own order, forced nullable: rows from
+    # files that predate the field have no values for it
+    # (GroupType.mergeFields "add new fields" tail loop)
+    for g in b_fields:
+        if g.name not in seen:
+            out.append(g.with_nullable(True))
+    return out
+
+
+def union_schemas(schemas, strict: bool = True):
+    """``MessageType.union`` over arrow schemas
+    (parquet-column/.../schema/MessageType.java:134-140,
+    GroupType.java:398-435): field order of the first schema with later
+    files' new fields appended; struct/list types merge recursively;
+    ``strict=True`` (the reference default) requires identical primitive
+    types, ``strict=False`` additionally widens numerics losslessly."""
+    import pyarrow as pa
+
+    uni = list(schemas[0])
+    for s in schemas[1:]:
+        uni = _union_fields(uni, list(s), strict, "")
+    return pa.schema(uni)
+
+
+def _align_array(col, t):
+    """Cast one column to its unified-schema type, recursing into structs
+    so fields added by evolution materialize as nulls."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type.equals(t):
+        return col
+    if pa.types.is_struct(t) and pa.types.is_struct(col.type):
+        have = {f.name for f in col.type}
+        children = [
+            _align_array(col.field(f.name), f.type) if f.name in have
+            else pa.nulls(len(col), f.type)
+            for f in t
+        ]
+        return pa.StructArray.from_arrays(
+            children, fields=list(t), mask=pc.is_null(col)
+        )
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+        pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+    ):
+        values = _align_array(col.values, t.value_type)
+        cls = pa.ListArray if pa.types.is_list(t) else pa.LargeListArray
+        return cls.from_arrays(col.offsets, values, mask=pc.is_null(col))
+    return pc.cast(col, t)
+
+
+def align_table(table, unified):
+    """Project one file's table onto the unified schema: present columns
+    cast/recursed, absent columns as typed nulls — what the reference's
+    read path does when the requested MessageType has fields a file lacks
+    (ColumnIOFactory builds null readers for missing paths)."""
+    import pyarrow as pa
+
+    cols = [
+        _align_array(table.column(f.name), f.type)
+        if f.name in table.column_names else pa.nulls(table.num_rows, f.type)
+        for f in unified
+    ]
+    return pa.Table.from_arrays(cols, schema=unified)
+
+
+def read_tables_evolved(paths, strict: bool = True, columns=None):
+    """Merged-footer multi-file read (ParquetFileWriter.getGlobalMetaData,
+    hadoop/ParquetFileWriter.java:2371-2395): union the file schemas, then
+    conformance-read every file with OUR decoders and align each to the
+    union — missing columns become nulls, widened columns cast. The
+    distributed variant is pipeline.read_parquet_evolved."""
+    import pyarrow as pa
+
+    schemas = [pq.ParquetFile(p).schema_arrow for p in paths]
+    uni = union_schemas(schemas, strict)
+    if columns is not None:
+        uni = pa.schema([uni.field(c) for c in columns])
+    parts = [align_table(read_table_conformance(p), uni) for p in paths]
+    return pa.concat_tables(parts)

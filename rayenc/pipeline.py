@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from . import blocks
+from . import blocks, parquet_compat
 from .selector import EncodeConfig
 
 DEFAULT_TARGET_BLOCK_BYTES = 64 << 20  # raw bytes per encode partition
@@ -858,5 +858,47 @@ def read_parquet_filtered(
     return ray.data.from_items(descs).map_batches(
         task, batch_size=1,
         concurrency=min(concurrency, len(descs)) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )
+
+
+def read_parquet_evolved(
+    paths: list[str],
+    strict: bool = True,
+    columns: list[str] | None = None,
+    concurrency: int | tuple | None = None,
+) -> "ray.data.Dataset":
+    """Distributed merged-footer read of parquet files whose schemas
+    evolved (ParquetFileWriter.getGlobalMetaData + MessageType.union):
+    the driver unions the footer schemas (footers only — no payload I/O),
+    then one task per file conformance-reads it with OUR decoders and
+    aligns to the broadcast union schema (missing columns -> nulls,
+    strict=False widens numerics). Payload bytes never touch the driver;
+    at 100 TB the footer scan is O(files) metadata reads and every
+    alignment is a per-task arrow cast."""
+    uni = parquet_compat.union_schemas(
+        [pq.ParquetFile(p).schema_arrow for p in sorted(paths)], strict
+    )
+    if columns is not None:
+        uni = pa.schema([uni.field(c) for c in columns])
+    uni_ref = ray.put(uni.serialize().to_pybytes())
+
+    def task(batch: dict):
+        from .memtune import tune_process_memory
+
+        tune_process_memory()
+        schema = pa.ipc.read_schema(pa.py_buffer(ray.get(uni_ref)))
+        for p in batch["path"]:
+            yield parquet_compat.align_table(
+                parquet_compat.read_table_conformance(str(p)), schema
+            )
+
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    return ray.data.from_items(
+        [{"path": p} for p in sorted(paths)]
+    ).map_batches(
+        task, batch_size=1,
+        concurrency=min(concurrency, len(paths)) if isinstance(concurrency, int) else concurrency,
         num_cpus=1,
     )

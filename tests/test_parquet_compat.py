@@ -614,3 +614,133 @@ def test_dictionary_fallback_mixed_pages():
     encodings = pq.ParquetFile(path).metadata.row_group(0).column(0).encodings
     assert "PLAIN" in encodings and "RLE_DICTIONARY" in encodings
     assert parquet_compat.read_table_conformance(path).equals(t)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (MessageType.union / GlobalMetaData merged-footer reads)
+# ---------------------------------------------------------------------------
+
+
+def test_union_schemas_strict_matches_reference_rules():
+    a = pa.schema([("k", pa.int64()), ("v", pa.int32())])
+    b = pa.schema([("v", pa.int32()), ("extra", pa.string())])
+    uni = parquet_compat.union_schemas([a, b])
+    # first schema's order, new fields appended nullable
+    assert uni.names == ["k", "v", "extra"]
+    assert uni.field("extra").nullable
+    # strict refuses differing primitive types (PrimitiveType.java:887)
+    c = pa.schema([("v", pa.int64())])
+    with pytest.raises(parquet_compat.IncompatibleSchemaError):
+        parquet_compat.union_schemas([a, c])
+    # FLBA length conflict (decimal precision changes byte width)
+    f1 = pa.schema([("d", pa.decimal128(10, 2))])
+    f2 = pa.schema([("d", pa.decimal128(20, 2))])
+    with pytest.raises(parquet_compat.IncompatibleSchemaError):
+        parquet_compat.union_schemas([f1, f2])
+
+
+def test_union_schemas_widening():
+    uni = parquet_compat.union_schemas(
+        [
+            pa.schema([("a", pa.int32()), ("b", pa.float32()), ("c", pa.int32()),
+                       ("d", pa.uint32()), ("e", pa.decimal128(10, 2))]),
+            pa.schema([("a", pa.int64()), ("b", pa.float64()), ("c", pa.float32()),
+                       ("d", pa.int32()), ("e", pa.decimal128(20, 2))]),
+        ],
+        strict=False,
+    )
+    assert uni.field("a").type == pa.int64()
+    assert uni.field("b").type == pa.float64()
+    assert uni.field("c").type == pa.float64()   # int32 + float -> double
+    assert uni.field("d").type == pa.int64()     # uint32 + int32 -> int64
+    assert uni.field("e").type == pa.decimal128(20, 2)
+    # int64 + float32 has no lossless widening
+    with pytest.raises(parquet_compat.IncompatibleSchemaError):
+        parquet_compat.union_schemas(
+            [pa.schema([("x", pa.int64())]), pa.schema([("x", pa.float32())])],
+            strict=False,
+        )
+    # string + int is never mergeable
+    with pytest.raises(parquet_compat.IncompatibleSchemaError):
+        parquet_compat.union_schemas(
+            [pa.schema([("x", pa.string())]), pa.schema([("x", pa.int32())])],
+            strict=False,
+        )
+
+
+def test_union_schemas_recurses_into_groups():
+    a = pa.schema([("s", pa.struct([("x", pa.int64())])),
+                   ("l", pa.list_(pa.int32()))])
+    b = pa.schema([("s", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+                   ("l", pa.list_(pa.int64()))])
+    uni = parquet_compat.union_schemas([a, b], strict=False)
+    assert uni.field("s").type == pa.struct([("x", pa.int64()), ("y", pa.string())])
+    assert uni.field("l").type == pa.list_(pa.int64())
+    # strict still recurses but refuses the widened leaf
+    with pytest.raises(parquet_compat.IncompatibleSchemaError):
+        parquet_compat.union_schemas([a, b])
+
+
+def test_read_tables_evolved_own_writer(tmp_path):
+    from rayenc import parquet_write
+
+    a = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int32()),
+                  "s": ["a", "b", "c"]})
+    b = pa.table({"k": pa.array([4, 5], pa.int64()),
+                  "v": pa.array([2 ** 40, -7], pa.int64()),
+                  "t": pa.array([0.5, 1.5], pa.float64())})
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    parquet_write.write_table(a, pa_)
+    parquet_write.write_table(b, pb)
+    got = parquet_compat.read_tables_evolved([pa_, pb], strict=False)
+    want = pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([10, 20, 30, 2 ** 40, -7], pa.int64()),
+        "s": pa.array(["a", "b", "c", None, None]),
+        "t": pa.array([None, None, None, 0.5, 1.5], pa.float64()),
+    })
+    assert got.equals(want.cast(got.schema))
+    # column projection over the union
+    got2 = parquet_compat.read_tables_evolved([pa_, pb], strict=False,
+                                              columns=["k", "t"])
+    assert got2.column_names == ["k", "t"]
+    assert got2.column("t").to_pylist() == [None, None, None, 0.5, 1.5]
+    # strict mode refuses the widened column
+    with pytest.raises(parquet_compat.IncompatibleSchemaError):
+        parquet_compat.read_tables_evolved([pa_, pb])
+
+
+def test_align_table_struct_added_subfield(tmp_path):
+    a = pa.table({"s": pa.array([{"x": 1}, None], pa.struct([("x", pa.int64())]))})
+    uni = pa.schema([
+        ("s", pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        ("n", pa.int32()),
+    ])
+    out = parquet_compat.align_table(a, uni)
+    assert out.schema.equals(uni)
+    assert out.column("s").to_pylist() == [{"x": 1, "y": None}, None]
+    assert out.column("n").to_pylist() == [None, None]
+
+
+def test_read_parquet_evolved_distributed(tmp_path, ray_session):
+    import ray
+
+    from rayenc import parquet_write, pipeline
+
+    paths = []
+    for i in range(3):
+        cols = {"k": pa.array([i * 10 + j for j in range(4)], pa.int64()),
+                "v": pa.array([j + i for j in range(4)], pa.int32())}
+        if i == 2:
+            cols["v"] = cols["v"].cast(pa.int64())
+            cols["w"] = pa.array([float(j) for j in range(4)], pa.float64())
+        p = str(tmp_path / f"f{i}.parquet")
+        parquet_write.write_table(pa.table(cols), p)
+        paths.append(p)
+    ds = pipeline.read_parquet_evolved(paths, strict=False)
+    got = pa.concat_tables(
+        [ray.get(r) for r in ds.to_arrow_refs()]
+    ).sort_by("k")
+    want = parquet_compat.read_tables_evolved(paths, strict=False).sort_by("k")
+    assert got.equals(want)
