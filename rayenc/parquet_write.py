@@ -948,13 +948,73 @@ def _page_indexes_bytes(meta: _Column):
     return ci.stop(), oi.stop()
 
 
+def _row_byte_sizes(table: pa.Table) -> "np.ndarray":
+    """Approximate in-memory bytes per row (the `memSize / recordCount`
+    estimate of InternalParquetRecordWriter.checkBlockSizeReached,
+    parquet-hadoop/.../InternalParquetRecordWriter.java:177-208, computed
+    exactly per row instead of as a running average)."""
+    import pyarrow.compute as pc
+
+    def sizes(arr, n):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_binary(t):
+            off = np.frombuffer(arr.buffers()[1], np.int32, n + 1, arr.offset * 4)
+            return np.diff(off).astype(np.int64) + 4
+        if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            off = np.frombuffer(arr.buffers()[1], np.int64, n + 1, arr.offset * 8)
+            return np.diff(off) + 8
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+            width = 4 if pa.types.is_list(t) or pa.types.is_map(t) else 8
+            lengths = np.asarray(
+                pc.list_value_length(arr).fill_null(0), np.int64
+            )
+            nv = len(arr.values) if not pa.types.is_map(t) else len(arr.keys)
+            per_elem = (
+                arr.values.nbytes / max(1, nv)
+                if not pa.types.is_map(t)
+                else (arr.keys.nbytes + arr.items.nbytes) / max(1, nv)
+            )
+            return (lengths * per_elem).astype(np.int64) + width
+        if pa.types.is_struct(t):
+            out = np.zeros(n, np.int64)
+            for i in range(t.num_fields):
+                out += sizes(arr.field(i), n)
+            return out
+        # fixed-width primitives / decimals / FLBA: uniform
+        return np.full(n, max(1, arr.nbytes // max(1, n)), np.int64)
+
+    total = np.zeros(table.num_rows, np.int64)
+    for name in table.column_names:
+        total += sizes(table.column(name), table.num_rows)
+    return total
+
+
+def _slice_by_bytes(table: pa.Table, target_bytes: int) -> "list[pa.Table]":
+    cum = np.cumsum(_row_byte_sizes(table))
+    if not len(cum) or cum[-1] <= target_bytes:
+        return [table]
+    marks = np.arange(1, int(cum[-1] // target_bytes) + 1) * target_bytes
+    cuts = np.unique(np.searchsorted(cum, marks, side="left") + 1)
+    cuts = cuts[cuts < table.num_rows]
+    bounds = [0, *cuts.tolist(), table.num_rows]
+    return [table.slice(a, b - a) for a, b in zip(bounds, bounds[1:])]
+
+
 def write_table(
     table: pa.Table,
     path: str,
     config: sel.EncodeConfig | None = None,
     row_group_size: int | None = None,
     encryption: "pcrypt.FileEncryption | None" = None,
+    row_group_bytes: int | None = None,
 ) -> None:
+    """``row_group_size`` caps rows per group; ``row_group_bytes`` flushes
+    by estimated in-memory size like the reference's 128 MiB
+    DEFAULT_BLOCK_SIZE (ParquetWriter.java) — per-row exact for
+    variable-length columns, so token tables with skewed list lengths get
+    even groups."""
     config = config or sel.EncodeConfig()
     if getattr(config, "level_encoding", "RLE") == "BIT_PACKED":
         # parquet-java reads deprecated BIT_PACKED levels big-endian
@@ -969,13 +1029,15 @@ def write_table(
             "these files — use only for parquet-java interop testing",
             stacklevel=2,
         )
-    if row_group_size is None or row_group_size >= table.num_rows:
-        slices = [table]
-    else:
+    if row_group_size is not None and row_group_size < table.num_rows:
         slices = [
             table.slice(a, row_group_size)
             for a in range(0, table.num_rows, row_group_size)
         ]
+    elif row_group_bytes is not None:
+        slices = _slice_by_bytes(table, row_group_bytes)
+    else:
+        slices = [table]
     write_tables(slices, path, config, encryption)
 
 

@@ -752,3 +752,36 @@ def test_rename_parquet_raw(tmp_path):
     assert got.column_names == ["n_nationkey", "nation_name", "n_regionkey"]
     assert got.column("nation_name").to_pylist() == t.column("n_name").to_pylist()
     assert read_table_encrypted(out).column_names == got.column_names
+
+
+def test_row_group_bytes_flush(tmp_path):
+    """Size-based row-group flush (InternalParquetRecordWriter.java:177-208
+    checkBlockSizeReached): skewed list lengths still produce near-equal
+    group byte sizes, and the file round-trips."""
+    import numpy as np
+
+    from rayenc.parquet_write import _row_byte_sizes, _slice_by_bytes
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(1, 1500, 3000)
+    t = pa.table({
+        "doc_id": [f"d{i:05d}" for i in range(3000)],
+        "tokens": pa.array([list(range(int(l))) for l in lens], pa.list_(pa.int32())),
+        "n_tok": pa.array(lens, pa.int32()),
+        "source": pa.array([f"s{i % 5}" for i in range(3000)]),
+    })
+    target = 1_000_000
+    slices = _slice_by_bytes(t, target)
+    assert len(slices) > 3
+    for s in slices[:-1]:
+        got = int(_row_byte_sizes(s).sum())
+        assert abs(got - target) <= target * 0.25 + 6000  # one max-row overshoot
+    path = str(tmp_path / "rgb.parquet")
+    parquet_write.write_table(t, path, row_group_bytes=target)
+    f = pq.ParquetFile(path)
+    assert f.metadata.num_row_groups == len(slices)
+    back = pq.read_table(path)
+    assert back.equals(t.cast(back.schema))
+    # tiny table: single group, no degenerate empty slices
+    parquet_write.write_table(t.slice(0, 3), path, row_group_bytes=target)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 1
