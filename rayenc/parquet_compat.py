@@ -661,17 +661,24 @@ def assemble_tree(field, leaves: list):
     return build(field, norm, 0, 0)
 
 
-def read_table_conformance(path: str) -> "pa.Table":
+def read_table_conformance(path: str, columns: "list[str] | None" = None) -> "pa.Table":
     """Decode a whole parquet file — flat (incl. decimal), one-level list
     (primitive or struct elements), map, and flat-struct columns, all row
     groups — with rayenc decoders only, returning a pa.Table equal to
-    pyarrow's read: the file-level conformance gate."""
+    pyarrow's read: the file-level conformance gate. ``columns`` prunes at
+    the chunk level: unlisted columns' pages are never read (column names
+    the file lacks are ignored so evolved-schema callers can pass the
+    union's names)."""
     import pyarrow as pa
 
     from .schema import _restore_nulls
 
     f = pq.ParquetFile(path)
     schema = f.schema_arrow
+    if columns is not None:
+        schema = pa.schema(
+            [schema.field(c) for c in columns if schema.get_field_index(c) >= 0]
+        )
     parts = []
     for rg in range(f.metadata.num_row_groups):
         cols = []
@@ -949,5 +956,8 @@ def read_tables_evolved(paths, strict: bool = True, columns=None):
     uni = union_schemas(schemas, strict)
     if columns is not None:
         uni = pa.schema([uni.field(c) for c in columns])
-    parts = [align_table(read_table_conformance(p), uni) for p in paths]
+    parts = [
+        align_table(read_table_conformance(p, columns=uni.names), uni)
+        for p in paths
+    ]
     return pa.concat_tables(parts)

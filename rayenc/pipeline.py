@@ -890,7 +890,10 @@ def read_parquet_evolved(
         schema = pa.ipc.read_schema(pa.py_buffer(ray.get(uni_ref)))
         for p in batch["path"]:
             yield parquet_compat.align_table(
-                parquet_compat.read_table_conformance(str(p)), schema
+                parquet_compat.read_table_conformance(
+                    str(p), columns=schema.names
+                ),
+                schema,
             )
 
     if concurrency is None:

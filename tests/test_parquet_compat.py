@@ -744,3 +744,16 @@ def test_read_parquet_evolved_distributed(tmp_path, ray_session):
     ).sort_by("k")
     want = parquet_compat.read_tables_evolved(paths, strict=False).sort_by("k")
     assert got.equals(want)
+
+
+def test_read_table_conformance_column_pruning(tmp_path):
+    t = pa.table({"a": pa.array(range(100), pa.int64()),
+                  "b": [f"s{i}" for i in range(100)],
+                  "c": pa.array([float(i) for i in range(100)])})
+    path = write(tmp_path, t)
+    got = parquet_compat.read_table_conformance(path, columns=["c", "a"])
+    assert got.column_names == ["c", "a"]
+    assert got.column("a").to_pylist() == list(range(100))
+    # unknown names are ignored (evolved-schema callers pass union names)
+    got2 = parquet_compat.read_table_conformance(path, columns=["a", "zzz"])
+    assert got2.column_names == ["a"]
