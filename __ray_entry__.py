@@ -323,6 +323,33 @@ def _ann_topk(sf_dir: str):
     return similarity.brute_force_topk(ds, mat[sel], ids[sel], k=5)
 
 
+def _ann_quantized(sf_dir: str):
+    """Int8-quantized embedding search: corpus quantized to list<int8>
+    codes + scale (4x smaller through the object store), 25 corpus rows
+    used as queries — the quantization fixed point makes each query's
+    exact copy score 1.0, so top-1 must be itself."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops import similarity
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+    sel = ids < 25
+    dq = similarity.quantize_embeddings(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
+    res = similarity.brute_force_topk_quantized(dq, mat[sel], ids[sel], k=1)
+    return res.filter(pc.equal(res.column("rank"), 1)).select(
+        ["query_id", "neighbor_id"]
+    )
+
+
 def _ann_ivf(sf_dir: str):
     """IVF approximate search (k-means centroids, nprobe partition scan)."""
     import pyarrow.parquet as pq
@@ -1536,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["parquet_write_nested"] = _parquet_write_nested
     q["events_window_agg"] = _events_window
     q["ann_topk_bruteforce"] = _ann_topk
+    q["ann_topk_quantized"] = _ann_quantized
     q["ann_topk_ivf_exhaustive"] = _ann_ivf_exhaustive
     q["ann_topk_ivf_indexed"] = _ann_ivf_indexed
     q["cosine_near_dup_planted"] = lambda sf: _cosine_near_dups(sf).select_columns(
@@ -1745,6 +1773,10 @@ def oracle_sql() -> dict[str, str]:
         "  FROM q CROSS JOIN embeddings e) t WHERE rank <= 5"
     )
     o["ann_topk_bruteforce"] = ann_sql
+    o["ann_topk_quantized"] = (
+        "SELECT vec_id AS query_id, vec_id AS neighbor_id FROM embeddings"
+        " WHERE vec_id < 25"
+    )
     o["ann_topk_ivf_exhaustive"] = ann_sql
     o["ann_topk_ivf_indexed"] = ann_sql
     o["minhash_dedup_planted"] = "SELECT doc_id FROM documents"

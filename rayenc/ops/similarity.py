@@ -335,3 +335,75 @@ def cosine_near_dup_pairs(
         )
 
     return assigned.groupby("centroid").map_groups(bucket_pairs, batch_format="pyarrow")
+
+
+def _quantize_rows(m: np.ndarray):
+    """Symmetric per-vector int8 quantization of L2-normalized rows:
+    ``code = round(v / scale)`` with ``scale = max|v| / 127`` — 4x smaller
+    than float32 at <0.5% cosine error for typical dims."""
+    m = _normalize(np.asarray(m, np.float32))
+    scale = np.abs(m).max(axis=1) / 127.0
+    scale[scale == 0] = 1.0
+    codes = np.rint(m / scale[:, None]).astype(np.int8)
+    return codes, scale.astype(np.float32)
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding"):
+    """Replace a float ``vec_col`` with int8 ``q_code`` (list<int8>) +
+    float32 ``q_scale`` — the storage/shuffle scale path for embedding
+    search: 4x fewer bytes through the object store and the encoded
+    container (int8 codes also dictionary/bit-pack far better than
+    floats). Search over the quantized corpus with
+    ``brute_force_topk_quantized``."""
+
+    def qz(batch: pa.Table) -> pa.Table:
+        codes, scale = _quantize_rows(_to_matrix(batch.column(vec_col)))
+        n, d = codes.shape if codes.size else (0, 0)
+        code_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, max(d, 1), dtype=np.int32)[: n + 1]),
+            pa.array(codes.reshape(-1)),
+        )
+        batch = batch.remove_column(batch.schema.get_field_index(vec_col))
+        return batch.append_column("q_code", code_col).append_column(
+            "q_scale", pa.array(scale)
+        )
+
+    return ds.map_batches(qz, batch_format="pyarrow")
+
+
+def brute_force_topk_quantized(
+    ds_q,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Cosine top-k over a ``quantize_embeddings`` corpus: float queries are
+    quantized with the same rule, both sides re-normalized, so identical
+    vectors score exactly 1.0 (the quantization fixed point) and ranking
+    degrades only by the int8 rounding error. Same broadcast + per-block
+    top-k + groupby reduce shape as ``brute_force_topk``."""
+    qc, _ = _quantize_rows(queries)
+    q_ref = ray.put(_normalize(qc.astype(np.float32)))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch.column("q_code")))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        scores = q @ m.T
+        kk = min(k, scores.shape[1])
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {
+                "qi": pa.array(np.repeat(np.arange(len(q)), kk)),
+                id_col: pa.array(ids[top.reshape(-1)]),
+                "score": pa.array(
+                    np.take_along_axis(scores, top, 1).reshape(-1).astype(np.float64)
+                ),
+            }
+        )
+
+    return _distributed_topk(
+        ds_q.map_batches(block_topk, batch_format="pyarrow"),
+        query_ids, k, id_col,
+    )

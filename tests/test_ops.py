@@ -706,3 +706,36 @@ def test_range_join_overlaps_and_misses(ray_session):
     )
     # 7 hits a+wide, 12 hits b+wide, 99 hits nothing (dropped, inner)
     assert got == [(7.0, "a"), (7.0, "wide"), (12.0, "b"), (12.0, "wide")]
+
+
+def test_quantized_topk(ray_session):
+    """Int8 quantization: 4x byte cut, exact self-match at the fixed point,
+    and near-exact agreement with float brute force on real embeddings."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = similarity._to_matrix(emb.column("embedding"))
+    ids = emb.column("vec_id").to_numpy()
+
+    dq = similarity.quantize_embeddings(ds)
+    t = pa.concat_tables([ray.get(r) for r in dq.to_arrow_refs()])
+    assert "embedding" not in t.column_names
+    code = t.column("q_code").combine_chunks()
+    assert code.values.type == pa.int8()
+    assert code.values.nbytes * 4 == mat.astype(np.float32).nbytes
+
+    out = similarity.brute_force_topk_quantized(dq, mat[:10], ids[:10], k=5)
+    df = out.to_pandas()
+    top1 = df[df["rank"] == 1].sort_values("query_id")
+    assert top1.neighbor_id.tolist() == sorted(ids[:10].tolist())
+    # quantized top-5 overlaps float top-5 heavily
+    exact = similarity.brute_force_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), mat[:10], ids[:10], k=5
+    ).to_pandas()
+    overlap = 0
+    for qid in ids[:10]:
+        a = set(df[df.query_id == qid].neighbor_id)
+        b = set(exact[exact.query_id == qid].neighbor_id)
+        overlap += len(a & b)
+    assert overlap >= 40  # >=80% of 50
