@@ -1114,3 +1114,32 @@ def geospatial_statistics(
             else:
                 out[leaf.dotted] = g
     return out
+
+
+def plan_byte_splits(
+    path: str, split_bytes: int, decryption=None
+) -> "dict[int, list[int]]":
+    """Assign row groups to fixed-size byte splits by midpoint — the
+    reference's HDFS-split planning rule
+    (ParquetMetadataConverter.filterFileMetaDataByMidpoint,
+    parquet-hadoop/.../ParquetMetadataConverter.java:1531-1580): a row
+    group belongs to the split whose byte range contains
+    ``start + total_compressed/2``, where ``start`` is the first chunk's
+    dictionary-page offset when present, else its data-page offset
+    (getOffset, ibid.). Every row group lands in exactly one split, so a
+    fleet of readers each handed one split covers the file exactly once
+    without coordination. Returns {split_ordinal: [row-group ordinals]}."""
+    f = EncryptedFile(path, decryption)
+    out: dict[int, list[int]] = {}
+    for rg_ord in range(len(f.row_groups)):
+        ncols = len(f.row_groups[rg_ord][1])
+        md0 = f.chunk_meta(rg_ord, 0)
+        start = md0.get(9, 0)
+        dict_off = md0.get(11)
+        if dict_off and 0 < dict_off < start:
+            start = dict_off
+        total = sum(
+            f.chunk_meta(rg_ord, c).get(7, 0) for c in range(ncols)
+        )
+        out.setdefault(int((start + total // 2) // split_bytes), []).append(rg_ord)
+    return out

@@ -684,3 +684,32 @@ def test_gcm_ctr_pyarrow_interop(tmp_path):
     dprops = factory.file_decryption_properties(kms_cfg, pe.DecryptionConfiguration())
     got2 = pq.ParquetFile(our_path, decryption_properties=dprops).read()
     assert got2.cast(t.schema).equals(t)
+
+
+def test_plan_byte_splits(tmp_path):
+    """Midpoint split planning: each row group in exactly one split, and
+    the assignment matches midpoints recomputed from pyarrow metadata."""
+    import numpy as np
+
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import plan_byte_splits
+
+    t = pa.table({"a": pa.array(np.arange(50000), pa.int64()),
+                  "b": [f"row{i}" for i in range(50000)]})
+    path = str(tmp_path / "split.parquet")
+    parquet_write.write_table(t, path, row_group_size=5000)
+    split = 64 * 1024
+    got = plan_byte_splits(path, split)
+    all_rgs = sorted(r for v in got.values() for r in v)
+    md = pq.ParquetFile(path).metadata
+    assert all_rgs == list(range(md.num_row_groups))
+    for s, rgs in got.items():
+        for rg in rgs:
+            r = md.row_group(rg)
+            c0 = r.column(0)
+            start = c0.data_page_offset
+            if c0.dictionary_page_offset and c0.dictionary_page_offset < start:
+                start = c0.dictionary_page_offset
+            total = sum(r.column(i).total_compressed_size
+                        for i in range(r.num_columns))
+            assert (start + total // 2) // split == s
