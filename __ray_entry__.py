@@ -1103,6 +1103,40 @@ def _schema_evolution_read(sf_dir: str):
     return read_parquet_evolved([p0, p1], strict=False)
 
 
+def _schema_evolution_filtered(sf_dir: str):
+    """Predicate pushdown composed with schema evolution: the same two
+    lineitem generations as schema_evolution_read, filtered with an
+    Or-tree whose branches reference generation-specific columns — rows
+    from files that predate a column get SQL null verdicts for that
+    branch (Kleene), files that carry it get the full pushdown path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.pipeline import read_parquet_evolved
+    from rayenc.predicate import Eq, Gt, Or
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_tax"],
+    )
+    old = pc.less_equal(t.column("l_linenumber"), 3)
+    gen0 = t.filter(old).select(["l_orderkey", "l_partkey", "l_returnflag"])
+    gen0 = gen0.set_column(
+        1, "l_partkey", pc.cast(gen0.column("l_partkey"), pa.int32())
+    )
+    gen1 = t.filter(pc.invert(old)).select(["l_orderkey", "l_partkey", "l_tax"])
+    p0 = tempfile.mktemp(suffix="-fgen0.parquet", dir="/tmp")
+    p1 = tempfile.mktemp(suffix="-fgen1.parquet", dir="/tmp")
+    parquet_write.write_table(gen0, p0)
+    parquet_write.write_table(gen1, p1)
+    return read_parquet_evolved(
+        [p0, p1], strict=False,
+        predicate=Or(Gt("l_tax", 0.04), Eq("l_returnflag", "A")),
+    )
+
+
 def _merge_parquet_raw(sf_dir: str):
     """Zero-re-encode merge: three files written by OUR writer, stitched
     by verbatim chunk copy + offset-shifted footer (`merge_parquet_raw`,
@@ -1540,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["merge_parquet_files"] = _merge_parquet_files
     q["merge_parquet_raw"] = _merge_parquet_raw
     q["schema_evolution_read"] = _schema_evolution_read
+    q["schema_evolution_filtered"] = _schema_evolution_filtered
     q["mask_parquet_file"] = _mask_parquet_file
     q["transcompress_parquet_file"] = _transcompress_parquet_file
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
@@ -1652,6 +1687,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey, l_partkey,"
         " CASE WHEN l_linenumber<=3 THEN l_returnflag END AS l_returnflag,"
         " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"
+    )
+    o["schema_evolution_filtered"] = (
+        "SELECT l_orderkey, l_partkey,"
+        " CASE WHEN l_linenumber<=3 THEN l_returnflag END AS l_returnflag,"
+        " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"
+        " WHERE (l_linenumber>3 AND l_tax>0.04)"
+        " OR (l_linenumber<=3 AND l_returnflag='A')"
     )
     o["mask_parquet_file"] = (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"

@@ -866,6 +866,7 @@ def read_parquet_evolved(
     paths: list[str],
     strict: bool = True,
     columns: list[str] | None = None,
+    predicate=None,
     concurrency: int | tuple | None = None,
 ) -> "ray.data.Dataset":
     """Distributed merged-footer read of parquet files whose schemas
@@ -875,26 +876,66 @@ def read_parquet_evolved(
     aligns to the broadcast union schema (missing columns -> nulls,
     strict=False widens numerics). Payload bytes never touch the driver;
     at 100 TB the footer scan is O(files) metadata reads and every
-    alignment is a per-task arrow cast."""
-    uni = parquet_compat.union_schemas(
+    alignment is a per-task arrow cast.
+
+    ``predicate`` (anything predicate.normalize accepts) composes with
+    evolution per SQL semantics: files that carry every predicate column
+    get the full pushdown read (stats + bloom + dictionary + page
+    skipping via read_table_filtered); files that predate a predicate
+    column align it to null first, so comparison leaves fail there
+    (Kleene null verdicts drop the rows) instead of erroring."""
+    from . import predicate as P
+
+    tree = P.normalize(predicate) if predicate is not None else None
+    uni_full = parquet_compat.union_schemas(
         [pq.ParquetFile(p).schema_arrow for p in sorted(paths)], strict
     )
+    uni = uni_full
     if columns is not None:
-        uni = pa.schema([uni.field(c) for c in columns])
-    uni_ref = ray.put(uni.serialize().to_pybytes())
+        uni = pa.schema([uni_full.field(c) for c in columns])
+    pred_cols = sorted(P.columns(tree)) if tree is not None else []
+    for c in pred_cols:
+        if uni_full.get_field_index(c) < 0:
+            raise ValueError(f"predicate column {c!r} in no input file")
+    ext = pa.schema(
+        list(uni)
+        + [uni_full.field(c) for c in pred_cols if uni.get_field_index(c) < 0]
+    )
+    uni_ref = ray.put((uni.serialize().to_pybytes(), ext.serialize().to_pybytes()))
 
     def task(batch: dict):
         from .memtune import tune_process_memory
+        from .parquet_read_enc import read_table_filtered
 
         tune_process_memory()
-        schema = pa.ipc.read_schema(pa.py_buffer(ray.get(uni_ref)))
+        uni_b, ext_b = ray.get(uni_ref)
+        schema = pa.ipc.read_schema(pa.py_buffer(uni_b))
+        ext_schema = pa.ipc.read_schema(pa.py_buffer(ext_b))
         for p in batch["path"]:
-            yield parquet_compat.align_table(
-                parquet_compat.read_table_conformance(
-                    str(p), columns=schema.names
-                ),
-                schema,
-            )
+            if tree is None:
+                yield parquet_compat.align_table(
+                    parquet_compat.read_table_conformance(
+                        str(p), columns=schema.names
+                    ),
+                    schema,
+                )
+                continue
+            avail = {f.name for f in pq.ParquetFile(str(p)).schema_arrow}
+            if all(c in avail for c in pred_cols):
+                t = read_table_filtered(
+                    str(p), tree,
+                    columns=[n for n in schema.names if n in avail],
+                )
+                yield parquet_compat.align_table(t, schema)
+            else:
+                t = parquet_compat.align_table(
+                    parquet_compat.read_table_conformance(
+                        str(p), columns=ext_schema.names
+                    ),
+                    ext_schema,
+                )
+                m = P.mask(tree, t)
+                yield t.filter(m).select(schema.names)
 
     if concurrency is None:
         concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))

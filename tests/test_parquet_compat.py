@@ -757,3 +757,47 @@ def test_read_table_conformance_column_pruning(tmp_path):
     # unknown names are ignored (evolved-schema callers pass union names)
     got2 = parquet_compat.read_table_conformance(path, columns=["a", "zzz"])
     assert got2.column_names == ["a"]
+
+
+def test_read_parquet_evolved_with_predicate(tmp_path, ray_session):
+    """Predicate pushdown composed with evolution: files lacking the
+    predicate column contribute no rows (SQL null semantics), files that
+    have it get the pushdown path, Or-trees mix both."""
+    import ray
+
+    from rayenc import parquet_write, pipeline
+    from rayenc.predicate import Eq, Gt, Or
+
+    a = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int32())})
+    b = pa.table({"k": pa.array([4, 5, 6], pa.int64()),
+                  "v": pa.array([40, 50, 60], pa.int64()),
+                  "t": pa.array([0.1, 0.9, 0.5], pa.float64())})
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    parquet_write.write_table(a, pa_)
+    parquet_write.write_table(b, pb)
+
+    def run(pred, cols=None):
+        ds = pipeline.read_parquet_evolved(
+            [pa_, pb], strict=False, predicate=pred, columns=cols
+        )
+        parts = [ray.get(r) for r in ds.to_arrow_refs()]
+        parts = [p for p in parts if p.num_rows]
+        return (pa.concat_tables(parts).sort_by("k") if parts
+                else pa.table({"k": pa.array([], pa.int64())}))
+
+    # predicate column only in gen1: gen0 rows all fail (null > 0.4 is null)
+    got = run(Gt("t", 0.4))
+    assert got.column("k").to_pylist() == [5, 6]
+    # both-generations column, widened type
+    got = run(Gt("v", 25))
+    assert got.column("k").to_pylist() == [3, 4, 5, 6]
+    # Or across a missing and a present column (Kleene: null OR true = true)
+    got = run(Or(Eq("t", 0.1), Eq("v", 20)))
+    assert got.column("k").to_pylist() == [2, 4]
+    # predicate column dropped from a projection that excludes it
+    got = run(Gt("t", 0.4), cols=["k"])
+    assert got.column_names == ["k"] and got.column("k").to_pylist() == [5, 6]
+    # predicate on a column no file has
+    with pytest.raises(ValueError):
+        run(Eq("zzz", 1))
