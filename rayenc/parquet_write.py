@@ -1009,6 +1009,8 @@ def write_table(
     row_group_size: int | None = None,
     encryption: "pcrypt.FileEncryption | None" = None,
     row_group_bytes: int | None = None,
+    sorting_columns: "list[tuple[str, bool, bool]] | None" = None,
+    key_value_metadata: "dict[str, str] | None" = None,
 ) -> None:
     """``row_group_size`` caps rows per group; ``row_group_bytes`` flushes
     by estimated in-memory size like the reference's 128 MiB
@@ -1038,7 +1040,10 @@ def write_table(
         slices = _slice_by_bytes(table, row_group_bytes)
     else:
         slices = [table]
-    write_tables(slices, path, config, encryption)
+    write_tables(
+        slices, path, config, encryption,
+        sorting_columns=sorting_columns, key_value_metadata=key_value_metadata,
+    )
 
 
 def write_tables(
@@ -1046,10 +1051,19 @@ def write_tables(
     path: str,
     config: sel.EncodeConfig | None = None,
     encryption: "pcrypt.FileEncryption | None" = None,
+    sorting_columns: "list[tuple[str, bool, bool]] | None" = None,
+    key_value_metadata: "dict[str, str] | None" = None,
 ) -> None:
     """Write one parquet file with one row group per input table (all the
     same schema) — the row-group stitching shape of
-    `rewrite/ParquetRewriter.java:99-127` merging multiple inputs."""
+    `rewrite/ParquetRewriter.java:99-127` merging multiple inputs.
+
+    ``sorting_columns``: declared sort order of the rows as
+    ``(leaf column name, descending, nulls_first)`` tuples, recorded as
+    SortingColumn metadata on every row group (RowGroup field 4 — the
+    ParquetProperties.sortingColumns surface); purely declarative, like
+    the reference. ``key_value_metadata``: user FileMetaData key/value
+    pairs (ParquetWriter extraMetaData)."""
     config = config or sel.EncodeConfig()
     if not slices:
         raise ValueError("write_tables needs at least one table")
@@ -1126,8 +1140,17 @@ def write_tables(
             out += bitset
             meta.bloom_len = len(out) - meta.bloom_offset
 
+    sorting = None
+    if sorting_columns:
+        dotted = [".".join(m.path) for m in row_groups[0][0]]
+        sorting = []
+        for name, desc, nulls_first in sorting_columns:
+            if name not in dotted:
+                raise ValueError(f"sorting column {name!r} is not a leaf: {dotted}")
+            sorting.append((dotted.index(name), bool(desc), bool(nulls_first)))
     footer = _file_metadata(
-        table, row_groups, crypto=crypto, geo=config.geospatial or None
+        table, row_groups, crypto=crypto, geo=config.geospatial or None,
+        sorting=sorting, extra_kv=key_value_metadata,
     )
     if encryption is None:
         out += footer
@@ -1376,7 +1399,10 @@ def _emit_schema_elem(w: "_W", e: dict) -> None:
     w.out += ew.stop()
 
 
-def _file_metadata(table: pa.Table, row_groups, crypto=None, geo=None) -> bytes:
+def _file_metadata(
+    table: pa.Table, row_groups, crypto=None, geo=None,
+    sorting=None, extra_kv=None,
+) -> bytes:
     w = _W()
     w.i(1, 2)  # version
 
@@ -1397,6 +1423,8 @@ def _file_metadata(table: pa.Table, row_groups, crypto=None, geo=None) -> bytes:
 
     w.begin_list(4, 12, len(row_groups))
     kv_pairs = [("ARROW:schema", _arrow_schema_b64(table.schema))]
+    if extra_kv:
+        kv_pairs += list(extra_kv.items())
     for columns, rg_rows in row_groups:
         rg = _W()
         rg.begin_list(1, 12, len(columns))
@@ -1453,6 +1481,16 @@ def _file_metadata(table: pa.Table, row_groups, crypto=None, geo=None) -> bytes:
             rg.out += cc.stop()
         rg.i64(2, sum(m.total_unc for m in columns))  # spec: UNCOMPRESSED size
         rg.i64(3, rg_rows)
+        if sorting:
+            # SortingColumn list (parquet.thrift RowGroup field 4; written
+            # by ParquetFileWriter from ParquetProperties.sortingColumns)
+            rg.begin_list(4, 12, len(sorting))
+            for leaf_idx, desc, nulls_first in sorting:
+                sc = _W()
+                sc.i(1, leaf_idx)
+                sc.boolean(2, desc)
+                sc.boolean(3, nulls_first)
+                rg.out += sc.stop()
         w.out += rg.stop()
     # ARROW:schema key-value metadata: readers restore the exact arrow types
     # (fixed-size lists, timestamp timezones) like pyarrow's own files

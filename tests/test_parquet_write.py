@@ -785,3 +785,35 @@ def test_row_group_bytes_flush(tmp_path):
     # tiny table: single group, no degenerate empty slices
     parquet_write.write_table(t.slice(0, 3), path, row_group_bytes=target)
     assert pq.ParquetFile(path).metadata.num_row_groups == 1
+
+
+def test_sorting_columns_and_kv_metadata(tmp_path):
+    """SortingColumn (RowGroup field 4, ParquetProperties.sortingColumns)
+    and user FileMetaData key/values (ParquetWriter extraMetaData) round
+    through pyarrow AND our own footer parser."""
+    from rayenc.parquet_read_enc import EncryptedFile
+
+    t = pa.table({"a": pa.array(range(100), pa.int64()),
+                  "b": [f"s{i}" for i in range(100)]}).sort_by(
+        [("a", "descending")]
+    )
+    path = str(tmp_path / "skv.parquet")
+    parquet_write.write_table(
+        t, path, row_group_size=40,
+        sorting_columns=[("a", True, False)],
+        key_value_metadata={"origin": "unit-test"},
+    )
+    f = pq.ParquetFile(path)
+    for rg in range(f.metadata.num_row_groups):
+        (sc,) = f.metadata.row_group(rg).sorting_columns
+        assert (sc.column_index, sc.descending, sc.nulls_first) == (0, True, False)
+    assert f.metadata.metadata[b"origin"] == b"unit-test"
+    ef = EncryptedFile(path)
+    for rg in range(len(ef.row_groups)):
+        (raw,) = ef.row_groups[rg].get(4)
+        assert (raw.get(1), raw.get(2), raw.get(3)) == (0, True, False)
+    assert pq.read_table(path).equals(t.cast(pq.read_table(path).schema))
+    with pytest.raises(ValueError):
+        parquet_write.write_table(
+            t, path, sorting_columns=[("zzz", False, False)]
+        )
