@@ -225,6 +225,17 @@ def _token_counts(sf_dir: str):
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def _scrub_pii_documents(sf_dir: str):
+    """Redact emails/phones/IPv4 from documents.text with arrow RE2
+    kernels (rayenc.ops.text.scrub_pii); the oracle runs the identical
+    RE2 patterns through DuckDB regexp_replace."""
+    from rayenc.ops import text as text_ops
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        text_ops.scrub_pii, batch_format="pyarrow"
+    )
+
+
 def _bpe_token_counts(sf_dir: str):
     from rayenc.ops import text as text_ops
 
@@ -1559,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # training-data pipeline operators (SQL-oracled where expressible)
     q["exact_dedup_documents"] = _exact_dedup
     q["token_counts_documents"] = _token_counts
+    q["scrub_pii_documents"] = _scrub_pii_documents
     q["bpe_token_counts_documents"] = _bpe_token_counts
     q["fingerprint_distinct"] = _fingerprint_distinct
     q["rewrite_prune_lineitem"] = _prune_rewrite
@@ -1657,6 +1669,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["token_counts_documents"] = (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"
+    )
+    from rayenc.ops.text import pii_sql_expr
+
+    o["scrub_pii_documents"] = (
+        f"SELECT doc_id, {pii_sql_expr('text')} AS text FROM documents"
     )
     o["bpe_token_counts_documents"] = (
         "SELECT doc_id, CAST(len(regexp_extract_all(text,"

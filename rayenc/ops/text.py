@@ -231,3 +231,35 @@ def token_topk(ds, k: int = 20, text_col: str = "text"):
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+# PII patterns shared by scrub_pii and its SQL oracle — both arrow and
+# DuckDB run RE2, so one syntax serves both sides verbatim
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails, phone numbers and IPv4 addresses from a text column
+    (the standard pre-training privacy scrub), entirely in arrow's RE2
+    kernels — no Python-level row loop. Order matters: emails first so a
+    user@host doesn't get its digits phone-matched."""
+    col = batch.column(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    return batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, col
+    )
+
+
+def pii_sql_expr(text_col: str = "text") -> str:
+    """The equivalent DuckDB expression (regexp_replace chain, 'g' flag)
+    for oracle parity with scrub_pii."""
+    expr = text_col
+    for pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr

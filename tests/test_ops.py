@@ -739,3 +739,23 @@ def test_quantized_topk(ray_session):
         b = set(exact[exact.query_id == qid].neighbor_id)
         overlap += len(a & b)
     assert overlap >= 40  # >=80% of 50
+
+
+def test_scrub_pii():
+    t = pa.table({"doc_id": [1, 2, 3, 4], "text": [
+        "mail john.doe+x@example.co.uk or call +1 (555) 123-4567",
+        "server 192.168.0.1; me@x.io",
+        "clean text", None,
+    ]})
+    out = text.scrub_pii(t).column("text").to_pylist()
+    assert out[0] == "mail <EMAIL> or call <PHONE>"
+    assert out[1] == "server <IP>; <EMAIL>"
+    assert out[2] == "clean text" and out[3] is None
+    # oracle-parity of the shared patterns through duckdb's RE2
+    import duckdb
+
+    from rayenc.ops.text import pii_sql_expr
+    want = [r[0] for r in duckdb.sql(
+        f"SELECT {pii_sql_expr()} FROM t ORDER BY doc_id"
+    ).fetchall()]
+    assert out == want
