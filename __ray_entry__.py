@@ -236,6 +236,30 @@ def _scrub_pii_documents(sf_dir: str):
     )
 
 
+def _decontaminate_documents(sf_dir: str):
+    """Test-set decontamination flags over documents: two probe spans
+    lifted verbatim from docs 0 and 1 (the planted overlap), flagged via
+    the exact-substring variant (ops.text.substring_contamination); the
+    hashed n-gram variant is pytest-covered."""
+    import pyarrow.parquet as pq
+
+    from rayenc.ops import text as text_ops
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    by_id = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    probes = [by_id[0][20:60], by_id[1][5:35]]
+
+    def f(batch):
+        return text_ops.substring_contamination(batch, probes)
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def _bpe_token_counts(sf_dir: str):
     from rayenc.ops import text as text_ops
 
@@ -1571,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["exact_dedup_documents"] = _exact_dedup
     q["token_counts_documents"] = _token_counts
     q["scrub_pii_documents"] = _scrub_pii_documents
+    q["decontaminate_documents"] = _decontaminate_documents
     q["bpe_token_counts_documents"] = _bpe_token_counts
     q["fingerprint_distinct"] = _fingerprint_distinct
     q["rewrite_prune_lineitem"] = _prune_rewrite
@@ -1674,6 +1699,12 @@ def oracle_sql() -> dict[str, str]:
 
     o["scrub_pii_documents"] = (
         f"SELECT doc_id, {pii_sql_expr('text')} AS text FROM documents"
+    )
+    o["decontaminate_documents"] = (
+        "SELECT doc_id,"
+        " (strpos(text, (SELECT substr(text,21,40) FROM documents WHERE doc_id=0)) > 0"
+        "  OR strpos(text, (SELECT substr(text,6,30) FROM documents WHERE doc_id=1)) > 0)"
+        " AS contaminated FROM documents"
     )
     o["bpe_token_counts_documents"] = (
         "SELECT doc_id, CAST(len(regexp_extract_all(text,"

@@ -263,3 +263,85 @@ def pii_sql_expr(text_col: str = "text") -> str:
         p = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
     return expr
+
+
+# ---------------------------------------------------------------- decontamination
+
+_FNV = np.uint64(1099511628211)
+
+
+def _char_ngram_hashes(texts, n: int):
+    """Rolling polynomial 64-bit hashes of every n-byte character window
+    per string (windows never cross string boundaries). Returns
+    (hashes, owner string ids)."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    arr = pc.cast(arr, pa.string())
+    buf = arr.buffers()
+    offsets = np.frombuffer(buf[1], np.int32, len(arr) + 1, arr.offset * 4)
+    data = np.frombuffer(buf[2], np.uint8) if buf[2] is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    total = int(offsets[-1]) - int(offsets[0])
+    data = data[int(offsets[0]): int(offsets[-1])]
+    if total < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    d = data.astype(np.uint64)
+    acc = np.zeros(total - n + 1, np.uint64)
+    p = np.uint64(1)
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
+        for j in range(n):
+            acc += d[j: total - n + 1 + j] * p
+            p = p * _FNV
+    sid = np.repeat(np.arange(len(arr)), np.maximum(lengths, 0))
+    keep = sid[: total - n + 1] == sid[n - 1:]
+    return acc[keep], sid[: total - n + 1][keep]
+
+
+def ngram_contamination(
+    ds, probes: "list[str]", n: int = 13,
+    text_col: str = "text", id_col: str = "doc_id",
+):
+    """Test-set decontamination flags: a document is contaminated when it
+    shares ANY length-``n`` character n-gram with any probe (benchmark /
+    eval) text — the standard n-gram-overlap decontamination rule for
+    pre-training corpora. The probe n-gram hash set is built once on the
+    driver and broadcast (``ray.put``); each batch computes rolling hashes
+    vectorized and one ``np.isin`` — nothing shuffles. Probes shorter
+    than ``n`` contribute no n-grams (hash their text as one window by
+    lowering ``n`` if that matters)."""
+    import ray
+
+    ph, _ = _char_ngram_hashes(pa.array(probes, pa.string()), n)
+    probe_ref = ray.put(np.unique(ph))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        pset = ray.get(probe_ref)
+        h, sid = _char_ngram_hashes(batch.column(text_col), n)
+        hit = np.zeros(batch.num_rows, bool)
+        if len(h) and len(pset):
+            m = np.isin(h, pset)
+            np.logical_or.at(hit, sid[m], True)
+        return pa.table(
+            {id_col: batch.column(id_col), "contaminated": pa.array(hit)}
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def substring_contamination(
+    batch: pa.Table, probes: "list[str]",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> pa.Table:
+    """Exact whole-probe containment flags (small probe lists): one arrow
+    match_substring pass per probe, OR-combined — the conservative variant
+    when the probe set fits a broadcast list of literals."""
+    col = batch.column(text_col)
+    m = None
+    for p in probes:
+        k = pc.match_substring(col, p)
+        m = k if m is None else pc.or_kleene(m, k)
+    if m is None:
+        m = pa.array(np.zeros(batch.num_rows, bool))
+    return pa.table(
+        {id_col: batch.column(id_col),
+         "contaminated": pc.fill_null(m, False)}
+    )

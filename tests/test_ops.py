@@ -759,3 +759,34 @@ def test_scrub_pii():
         f"SELECT {pii_sql_expr()} FROM t ORDER BY doc_id"
     ).fetchall()]
     assert out == want
+
+
+def test_decontamination(ray_session):
+    """Hashed n-gram decontamination flags every doc sharing a >=n char
+    span with a probe, and nothing else on real sf0.01 documents."""
+    import numpy as np
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = docs.column("text").to_pylist()
+    # probe = an exact span copied out of doc 0 (plus a never-present one)
+    probes = [texts[0][20:60], "@@this n-gram exists nowhere@@"]
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = pa.concat_tables([
+        ray.get(r) for r in text.ngram_contamination(ds, probes, n=13)
+        .to_arrow_refs()
+    ]).sort_by("doc_id")
+    flags = dict(zip(out.column("doc_id").to_pylist(),
+                     out.column("contaminated").to_pylist()))
+    assert out.num_rows == docs.num_rows
+    assert flags[docs.column("doc_id")[0].as_py()] is True
+    # every flagged doc really shares a 13-char window with the probe
+    probe = probes[0]
+    grams = {probe[i:i + 13] for i in range(len(probe) - 12)}
+    for d, t_ in zip(docs.column("doc_id").to_pylist(), texts):
+        really = any(g in t_ for g in grams)
+        assert flags[d] == really, d
+
+    # exact substring variant agrees with python membership
+    sub = text.substring_contamination(docs, [probes[0]])
+    want = [probes[0] in t_ for t_ in texts]
+    assert sub.column("contaminated").to_pylist() == want
