@@ -353,3 +353,86 @@ def test_decimal256_conformance_roundtrip(unscaled, nulls, tmp_path_factory):
     parquet_write.write_table(t, out, row_group_size=50)
     got = read_table_conformance(out)
     assert got.cast(t.schema).equals(t)
+
+
+_prim_types = st.sampled_from(
+    ["int32", "int64", "float32", "float64", "string"]
+)
+
+
+@st.composite
+def _schema_pair(draw):
+    """Two schemas over a shared name pool with random presence/types."""
+    import pyarrow as pa
+
+    names = draw(st.lists(
+        st.text("abcdef", min_size=1, max_size=4), min_size=1, max_size=6,
+        unique=True,
+    ))
+    def build():
+        fields = []
+        for n in names:
+            mode = draw(st.sampled_from(["skip", "use"]))
+            if mode == "skip":
+                continue
+            fields.append(pa.field(n, getattr(pa, draw(_prim_types))()))
+        return pa.schema(fields)
+    return build(), build()
+
+
+@given(_schema_pair())
+@settings(max_examples=60, deadline=None)
+def test_union_schemas_properties(pair):
+    """MessageType.union laws: first-schema order preserved, every input
+    field present, idempotent; non-strict widening (when it succeeds)
+    admits lossless casts from both sides."""
+    import pyarrow as pa
+
+    from rayenc.parquet_compat import IncompatibleSchemaError, union_schemas
+
+    a, b = pair
+    for strict in (True, False):
+        try:
+            u = union_schemas([a, b], strict=strict)
+        except IncompatibleSchemaError:
+            if strict:
+                continue
+            # non-strict only refuses when no lossless widening exists
+            bad = [
+                n for n in a.names if n in b.names
+                and not a.field(n).type.equals(b.field(n).type)
+            ]
+            assert bad
+            continue
+        assert u.names == a.names + [n for n in b.names if n not in a.names]
+        # idempotent: union with itself is itself
+        assert union_schemas([u, u], strict=strict).equals(u)
+        # every widened type admits a lossless cast from both input types
+        for n in u.names:
+            for s in (a, b):
+                if n in s.names:
+                    src, dst = s.field(n).type, u.field(n).type
+                    arr = pa.nulls(1, src)
+                    arr.cast(dst)  # raises if arrow deems it unsafe
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_align_table_preserves_values_property(data):
+    """align_table: present column values survive the widening cast,
+    absent columns are fully null."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayenc.parquet_compat import align_table
+
+    n = data.draw(st.integers(1, 20))
+    vals = data.draw(st.lists(
+        st.integers(-(2 ** 31) + 1, 2 ** 31 - 1), min_size=n, max_size=n
+    ))
+    t = pa.table({"x": pa.array(vals, pa.int32())})
+    uni = pa.schema([("x", pa.int64()), ("y", pa.float64())])
+    out = align_table(t, uni)
+    assert out.schema.equals(uni)
+    assert out.column("x").to_pylist() == vals
+    assert out.column("y").null_count == n
