@@ -424,6 +424,42 @@ def cmd_footer(args):
     print(json.dumps(jsonable(f.md), indent=2))
 
 
+def cmd_splits(args):
+    """Byte-range split planning (filterFileMetaDataByMidpoint): print
+    which row groups each fixed-size split owns."""
+    from .parquet_read_enc import plan_byte_splits
+
+    key = bytes.fromhex(args.key) if args.key else None
+    dec = None
+    if key is not None:
+        from .parquet_crypto import FileDecryption
+
+        dec = FileDecryption(footer_key=key)
+    plan = plan_byte_splits(args.file, args.split_bytes, dec)
+    for s in sorted(plan):
+        print(f"split {s} [{s * args.split_bytes}, "
+              f"{(s + 1) * args.split_bytes}): row groups {plan[s]}")
+
+
+def cmd_schema_union(args):
+    """Merged-footer schema across files (MessageType.union /
+    GlobalMetaData): print the union schema, or the incompatibility."""
+    import pyarrow.parquet as pq
+
+    from .parquet_compat import IncompatibleSchemaError, union_schemas
+
+    try:
+        uni = union_schemas(
+            [pq.ParquetFile(p).schema_arrow for p in args.inputs],
+            strict=not args.widen,
+        )
+    except IncompatibleSchemaError as e:
+        print(f"INCOMPATIBLE: {e}")
+        return 1
+    print(uni)
+    return 0
+
+
 def cmd_scan(args):
     """ScanCommand analog: decode every value of the file/container and
     report rows scanned + wall time (a read-path exerciser)."""
@@ -688,6 +724,18 @@ def main(argv=None):
                     help="copy chunks verbatim (no re-encode)")
     mg.set_defaults(fn=cmd_merge)
 
+    spl = sub.add_parser("splits")
+    spl.add_argument("file")
+    spl.add_argument("--split-bytes", type=int, default=128 << 20)
+    spl.add_argument("--key", default=None, help="footer key (hex)")
+    spl.set_defaults(fn=cmd_splits)
+
+    su = sub.add_parser("schema-union")
+    su.add_argument("inputs", nargs="+")
+    su.add_argument("--widen", action="store_true",
+                    help="allow lossless numeric widening (non-strict)")
+    su.set_defaults(fn=cmd_schema_union)
+
     re_ = sub.add_parser("reencrypt")
     re_.add_argument("file")
     re_.add_argument("-o", "--out", required=True)
@@ -705,7 +753,9 @@ def main(argv=None):
     import pyarrow as pa
 
     try:
-        args.fn(args)
+        rc = args.fn(args)
+        if rc:
+            sys.exit(int(rc))
     except FileNotFoundError as e:
         sys.stderr.write(f"rayenc: not found: {e.filename or e}\n")
         sys.exit(2)
