@@ -260,6 +260,22 @@ def _decontaminate_documents(sf_dir: str):
     )
 
 
+def _repetition_ratio_documents(sf_dir: str):
+    """Gopher-style repetition quality rule: per-document duplicate
+    10-gram fraction (ops.text.repetition_ratios, one rolling-hash +
+    lexsort pass per batch). Byte n-grams == char n-grams here: the
+    documents table is ASCII (verified), so the DuckDB substr oracle
+    counts the same windows."""
+    from rayenc.ops import text as text_ops
+
+    def f(batch):
+        return text_ops.repetition_ratios(batch, n=10)
+
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def _bpe_token_counts(sf_dir: str):
     from rayenc.ops import text as text_ops
 
@@ -1596,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_counts_documents"] = _token_counts
     q["scrub_pii_documents"] = _scrub_pii_documents
     q["decontaminate_documents"] = _decontaminate_documents
+    q["repetition_ratio_documents"] = _repetition_ratio_documents
     q["bpe_token_counts_documents"] = _bpe_token_counts
     q["fingerprint_distinct"] = _fingerprint_distinct
     q["rewrite_prune_lineitem"] = _prune_rewrite
@@ -1699,6 +1716,16 @@ def oracle_sql() -> dict[str, str]:
 
     o["scrub_pii_documents"] = (
         f"SELECT doc_id, {pii_sql_expr('text')} AS text FROM documents"
+    )
+    o["repetition_ratio_documents"] = (
+        "SELECT doc_id,"
+        " CASE WHEN length(text) >= 10 THEN"
+        "  1 - (COUNT(DISTINCT substr(text, i::INT, 10)) * 1.0 / COUNT(*))"
+        " END AS dup_ratio"
+        " FROM (SELECT doc_id, text,"
+        "       unnest(range(1, GREATEST(length(text) - 8, 2))) AS i"
+        "       FROM documents)"
+        " GROUP BY doc_id, length(text)"
     )
     o["decontaminate_documents"] = (
         "SELECT doc_id,"

@@ -345,3 +345,34 @@ def substring_contamination(
         {id_col: batch.column(id_col),
          "contaminated": pc.fill_null(m, False)}
     )
+
+
+def repetition_ratios(
+    batch: pa.Table, n: int = 10,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> pa.Table:
+    """Per-document repetition quality signal: the fraction of length-``n``
+    character n-grams that are duplicates of an earlier one in the same
+    document (the Gopher/MassiveText duplicate-n-gram rule used to drop
+    boilerplate-heavy pages). ``1 - distinct/total`` per doc, fully
+    vectorized: one rolling-hash pass + one lexsort over (doc, hash) —
+    no Python per-row loop. Documents shorter than ``n`` emit null."""
+    h, sid = _char_ngram_hashes(batch.column(text_col), n)
+    nrows = batch.num_rows
+    total = np.bincount(sid, minlength=nrows) if len(sid) else np.zeros(nrows, np.int64)
+    if len(h):
+        order = np.lexsort((h, sid))
+        hs, ss = h[order], sid[order]
+        new = np.ones(len(hs), bool)
+        same = (ss[1:] == ss[:-1]) & (hs[1:] == hs[:-1])
+        new[1:] = ~same
+        distinct = np.bincount(ss[new], minlength=nrows)
+    else:
+        distinct = np.zeros(nrows, np.int64)
+    ratio = 1.0 - distinct / np.maximum(total, 1)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "dup_ratio": pa.array(ratio, pa.float64(), mask=total == 0),
+        }
+    )

@@ -790,3 +790,15 @@ def test_decontamination(ray_session):
     sub = text.substring_contamination(docs, [probes[0]])
     want = [probes[0] in t_ for t_ in texts]
     assert sub.column("contaminated").to_pylist() == want
+
+
+def test_repetition_ratios():
+    t = pa.table({"doc_id": [0, 1, 2], "text": [
+        "abcabcabcabcabcabc",  # 9 windows, 3 distinct -> 2/3 duplicated
+        "abcdefghijklmnopqr",  # all distinct
+        "short",               # < n -> null
+    ]})
+    out = text.repetition_ratios(t, n=10)
+    vals = out.column("dup_ratio").to_pylist()
+    assert abs(vals[0] - 2 / 3) < 1e-12
+    assert vals[1] == 0.0 and vals[2] is None
