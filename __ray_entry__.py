@@ -1188,6 +1188,40 @@ def _schema_evolution_filtered(sf_dir: str):
     )
 
 
+def _encode_evolved_roundtrip(sf_dir: str):
+    """Evolved-schema container ingestion: the two lineitem generations of
+    schema_evolution_read encoded into ONE renc container via
+    pipeline.encode_evolved_job (union stamped per partition, fragments
+    aligned in-task), then decoded back with the standard decode path."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.pipeline import decode_dataset, encode_evolved_job
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_tax"],
+    )
+    old = pc.less_equal(t.column("l_linenumber"), 3)
+    gen0 = t.filter(old).select(["l_orderkey", "l_partkey", "l_returnflag"])
+    gen0 = gen0.set_column(
+        1, "l_partkey", pc.cast(gen0.column("l_partkey"), pa.int32())
+    )
+    gen1 = t.filter(pc.invert(old)).select(["l_orderkey", "l_partkey", "l_tax"])
+    p0 = tempfile.mktemp(suffix="-egen0.parquet", dir="/tmp")
+    p1 = tempfile.mktemp(suffix="-egen1.parquet", dir="/tmp")
+    parquet_write.write_table(gen0, p0)
+    parquet_write.write_table(gen1, p1)
+    out = tempfile.mktemp(suffix="-evcont", dir="/tmp")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_evolved_job([p0, p1], out, strict=False).materialize()
+    return decode_dataset(out)
+
+
 def _merge_parquet_raw(sf_dir: str):
     """Zero-re-encode merge: three files written by OUR writer, stitched
     by verbatim chunk copy + offset-shifted footer (`merge_parquet_raw`,
@@ -1629,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["merge_parquet_raw"] = _merge_parquet_raw
     q["schema_evolution_read"] = _schema_evolution_read
     q["schema_evolution_filtered"] = _schema_evolution_filtered
+    q["encode_evolved_roundtrip"] = _encode_evolved_roundtrip
     q["mask_parquet_file"] = _mask_parquet_file
     q["transcompress_parquet_file"] = _transcompress_parquet_file
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
@@ -1759,6 +1794,11 @@ def oracle_sql() -> dict[str, str]:
     o["merge_parquet_files"] = "SELECT * FROM orders"
     o["merge_parquet_raw"] = "SELECT * FROM orders"
     o["schema_evolution_read"] = (
+        "SELECT l_orderkey, l_partkey,"
+        " CASE WHEN l_linenumber<=3 THEN l_returnflag END AS l_returnflag,"
+        " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"
+    )
+    o["encode_evolved_roundtrip"] = (
         "SELECT l_orderkey, l_partkey,"
         " CASE WHEN l_linenumber<=3 THEN l_returnflag END AS l_returnflag,"
         " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"

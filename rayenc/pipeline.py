@@ -115,9 +115,21 @@ def plan_partitions(
 def _read_fragment(desc: dict, columns=None) -> pa.Table:
     f = pq.ParquetFile(desc["path"], memory_map=True)
     rgs = [int(r) for r in desc["row_groups"]]
+    align = desc.get("align_schema")
+    schema = None
+    if align:
+        # evolved-schema ingestion (encode_evolved_job): read only the
+        # union columns this file has, widen/null-fill to the union after
+        schema = pa.ipc.read_schema(pa.py_buffer(bytes(align)))
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        have = set(f.schema_arrow.names)
+        columns = [c for c in schema.names if c in have]
     table = f.read_row_groups(rgs, columns=columns, use_threads=False)
     if int(desc.get("row_start", -1)) >= 0:
         table = table.slice(int(desc["row_start"]), int(desc["row_count"]))
+    if schema is not None:
+        table = parquet_compat.align_table(table, schema)
     return table
 
 
@@ -330,9 +342,13 @@ def encode_job(
     concurrency: int | tuple | None = None,
     target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
     use_actors: bool = False,
+    align_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Encode parquet files into the renc container. Returns the summary
     Dataset (one small row per partition) — consuming it drives the job.
+
+    ``align_schema``: union schema for evolved inputs (see
+    encode_evolved_job) — every fragment aligns to it before encoding.
 
     use_actors=False (default) runs the stage as Ray tasks: encode state is
     per-chunk (dictionary / FSST symbol tables live for one partition, the
@@ -342,6 +358,10 @@ def encode_job(
     (``map_batches(EncodeWorker, concurrency=...)``), the shape to use when a
     stage holds cross-partition state (e.g. a corpus-trained FSST table)."""
     descs = plan_partitions(paths, target_block_bytes)
+    if align_schema is not None:
+        blob = align_schema.serialize().to_pybytes()
+        for d in descs:
+            d["align_schema"] = blob
     if resume:
         done = completed_pids(out_dir)
         descs = [d for d in descs if d["pid"] not in done]
@@ -946,3 +966,26 @@ def read_parquet_evolved(
         concurrency=min(concurrency, len(paths)) if isinstance(concurrency, int) else concurrency,
         num_cpus=1,
     )
+
+
+def encode_evolved_job(
+    paths: "list[str]",
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    strict: bool = False,
+    **kw,
+) -> "ray.data.Dataset":
+    """Ingest schema-EVOLVED parquet files into one uniform renc container:
+    the driver unions the footer schemas (MessageType.union /
+    getGlobalMetaData; strict=False widens numerics losslessly), stamps
+    every partition descriptor with the union, and runs the standard
+    encode_job — each task aligns its fragment (missing columns -> nulls,
+    widened columns cast) before encoding, so decode_dataset and every
+    predicate/projection surface see a single schema with no special
+    handling. Resume/lineage semantics are unchanged."""
+    if isinstance(paths, str):
+        paths = [paths]
+    uni = parquet_compat.union_schemas(
+        [pq.ParquetFile(p).schema_arrow for p in sorted(paths)], strict
+    )
+    return encode_job(paths, out_dir, config, align_schema=uni, **kw)

@@ -324,3 +324,34 @@ def test_decode_dataset_in_predicate(tmp_path):
     # empty member set inside bounds of nothing -> no rows
     got3 = pipeline.decode_dataset(out, predicate=[("k", "in", [1000, 2000])]).to_pandas()
     assert len(got3) == 0
+
+
+def test_encode_evolved_job(ray_session, tmp_path):
+    """Evolved parquet generations ingest into ONE uniform container:
+    widened/null-filled at encode time, decode needs no special handling,
+    resume still skips completed partitions."""
+    import ray
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_tables_evolved
+
+    a = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int32()),
+                  "s": ["a", "b", "c"]})
+    b = pa.table({"k": pa.array([4, 5], pa.int64()),
+                  "v": pa.array([2 ** 40, -7], pa.int64()),
+                  "t": pa.array([0.5, 1.5], pa.float64())})
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    parquet_write.write_table(a, pa_)
+    parquet_write.write_table(b, pb)
+    out = str(tmp_path / "container")
+    s1 = pipeline.encode_evolved_job([pa_, pb], out).to_pandas()
+    assert len(s1) == 2
+    got = pa.concat_tables(
+        [ray.get(r) for r in pipeline.decode_dataset(out).to_arrow_refs()]
+    ).sort_by("k")
+    want = read_tables_evolved([pa_, pb], strict=False).sort_by("k")
+    assert got.cast(want.schema).equals(want)
+    # resume: everything already done -> zero new partitions
+    s2 = pipeline.encode_evolved_job([pa_, pb], out).to_pandas()
+    assert len(s2) == 0
