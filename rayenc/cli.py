@@ -76,7 +76,11 @@ def cmd_encode(args):
         else:
             inputs.append(p)
     cfg = EncodeConfig(compression=args.compress)
-    df = pipeline.encode_job(
+    job = (
+        pipeline.encode_evolved_job if getattr(args, "evolved", False)
+        else pipeline.encode_job
+    )
+    df = job(
         inputs, args.out, config=cfg, resume=not args.no_resume
     ).to_pandas()
     total_raw = int(df.raw_bytes.sum()) if len(df) else 0
@@ -628,6 +632,9 @@ def main(argv=None):
     e.add_argument("-o", "--out", required=True)
     e.add_argument("--compress", default=None)
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--evolved", action="store_true",
+                   help="union evolved input schemas (missing columns "
+                        "null-fill, numerics widen) before encoding")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")
