@@ -436,3 +436,30 @@ def test_align_table_preserves_values_property(data):
     assert out.schema.equals(uni)
     assert out.column("x").to_pylist() == vals
     assert out.column("y").null_count == n
+
+
+@given(st.data())
+@settings(max_examples=30, deadline=None)
+def test_slice_by_bytes_property(data):
+    """Byte-flush slicing: slices concatenate back to the input, none is
+    empty, and every slice but the last stays within one max-row overshoot
+    of the target."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayenc.parquet_write import _row_byte_sizes, _slice_by_bytes
+
+    n = data.draw(st.integers(1, 200))
+    lens = data.draw(st.lists(st.integers(0, 300), min_size=n, max_size=n))
+    t = pa.table({
+        "s": pa.array(["x" * l for l in lens]),
+        "i": pa.array(range(n), pa.int64()),
+    })
+    target = data.draw(st.integers(64, 4096))
+    slices = _slice_by_bytes(t, target)
+    assert all(s.num_rows > 0 for s in slices)
+    assert pa.concat_tables(slices).equals(t)
+    per_row = _row_byte_sizes(t)
+    hi = target + int(per_row.max())
+    for s in slices[:-1]:
+        assert int(_row_byte_sizes(s).sum()) <= hi
