@@ -236,6 +236,37 @@ def _scrub_pii_documents(sf_dir: str):
     )
 
 
+def _source_percentiles(sf_dir: str):
+    """Per-source exact n_chars percentiles (p50/p90) via ONE
+    groupby(source).map_groups shuffle of (source, n_chars) pairs
+    (ops.sketch.grouped_percentiles). np.quantile(method='linear') and
+    DuckDB quantile_cont agree to ~1e-13; both sides report
+    floor(x*10+0.5) as BIGINT so the value hash is FP-order-stable."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from rayenc.ops.sketch import grouped_percentiles
+
+    res = grouped_percentiles(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")),
+        "source", "n_chars", qs=(0.5, 0.9),
+    )
+    parts = [ray.get(r) for r in res.to_arrow_refs()]
+    # map_groups passes empty input-schema blocks through; keep result blocks
+    parts = [p for p in parts if p.num_rows and "p50" in p.column_names]
+    t = pa.concat_tables(
+        [p.select(["source", "p50", "p90"]) for p in parts]
+    ).combine_chunks()
+    out = {"source": t.column("source")}
+    for c in ("p50", "p90"):
+        v = t.column(c).to_numpy(zero_copy_only=False)
+        out[f"{c}_x10"] = pa.array(
+            np.floor(v * 10 + 0.5).astype(np.int64)
+        )
+    return pa.table(out)
+
+
 def _decontaminate_documents(sf_dir: str):
     """Test-set decontamination flags over documents: two probe spans
     lifted verbatim from docs 0 and 1 (the planted overlap), flagged via
@@ -1647,6 +1678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["scrub_pii_documents"] = _scrub_pii_documents
     q["decontaminate_documents"] = _decontaminate_documents
     q["repetition_ratio_documents"] = _repetition_ratio_documents
+    q["source_percentiles_documents"] = _source_percentiles
     q["bpe_token_counts_documents"] = _bpe_token_counts
     q["fingerprint_distinct"] = _fingerprint_distinct
     q["rewrite_prune_lineitem"] = _prune_rewrite
@@ -1761,6 +1793,12 @@ def oracle_sql() -> dict[str, str]:
         "       unnest(range(1, GREATEST(length(text) - 8, 2))) AS i"
         "       FROM documents)"
         " GROUP BY doc_id, length(text)"
+    )
+    o["source_percentiles_documents"] = (
+        "SELECT source,"
+        " CAST(floor(quantile_cont(n_chars, 0.5) * 10 + 0.5) AS BIGINT) AS p50_x10,"
+        " CAST(floor(quantile_cont(n_chars, 0.9) * 10 + 0.5) AS BIGINT) AS p90_x10"
+        " FROM documents GROUP BY source"
     )
     o["decontaminate_documents"] = (
         "SELECT doc_id,"

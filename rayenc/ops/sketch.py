@@ -174,3 +174,31 @@ def cms_token_counts(ds, queries: list[str], text_col: str = "text",
     qh = np.array([xxh.xxh64(q.encode()) for q in queries], np.uint64)
     est = merged.query_hashes(qh)
     return dict(zip(queries, est.tolist()))
+
+
+def grouped_percentiles(
+    ds, key_col: str, val_col: str, qs: "tuple[float, ...]" = (0.5, 0.9),
+):
+    """Exact per-group percentiles of a numeric column — the per-source
+    quality-threshold primitive (e.g. "drop docs below the source's p10
+    token count"). One ``groupby(key).map_groups`` shuffle of (key, value)
+    pairs only; np.quantile(method='linear') matches SQL quantile_cont
+    interpolation exactly, so the result is DuckDB-oracle-able. For
+    sketched (approximate, merge-only) variants at extreme scale use a
+    t-digest-style stage instead; exact is right whenever one group's
+    values fit a task."""
+    import pyarrow as pa
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = group.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals[~np.isnan(vals)]
+        out = {key_col: [group.column(key_col)[0].as_py()]}
+        for q in qs:
+            out[f"p{int(round(q * 100))}"] = [
+                float(np.quantile(vals, q, method="linear")) if len(vals) else None
+            ]
+        return pa.table(out)
+
+    return ds.select_columns([key_col, val_col]).groupby(key_col).map_groups(
+        per_group, batch_format="pyarrow"
+    )

@@ -802,3 +802,31 @@ def test_repetition_ratios():
     vals = out.column("dup_ratio").to_pylist()
     assert abs(vals[0] - 2 / 3) < 1e-12
     assert vals[1] == 0.0 and vals[2] is None
+
+
+def test_grouped_percentiles(ray_session):
+    import duckdb
+    import numpy as np
+
+    from rayenc.ops.sketch import grouped_percentiles
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    parts = [ray.get(r) for r in
+             grouped_percentiles(ds, "source", "n_chars").to_arrow_refs()]
+    t = pa.concat_tables(
+        [p.select(["source", "p50", "p90"]) for p in parts
+         if p.num_rows and "p50" in p.column_names]
+    ).sort_by("source")
+    want = duckdb.sql(
+        f"SELECT source, quantile_cont(n_chars, 0.5) p50,"
+        f" quantile_cont(n_chars, 0.9) p90"
+        f" FROM read_parquet('{SF}/documents.parquet')"
+        f" GROUP BY source ORDER BY source"
+    ).fetchall()
+    got = list(zip(t.column("source").to_pylist(),
+                   t.column("p50").to_pylist(), t.column("p90").to_pylist()))
+    assert len(got) == len(want)
+    for (s1, a1, b1), (s2, a2, b2) in zip(got, want):
+        assert s1 == s2
+        assert np.isclose(a1, a2, rtol=0, atol=1e-9)
+        assert np.isclose(b1, b2, rtol=0, atol=1e-9)
