@@ -1563,6 +1563,21 @@ def _broadcast_join_orders(sf_dir: str):
     return broadcast_join(ds, cust, "o_custkey")
 
 
+def _running_totals_events(sf_dir: str):
+    """Per-user cumulative aggregate (`SUM(event_id) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)` shape) — one co-locating shuffle,
+    np.cumsum per group; integer accumulation makes it bit-oracle-able."""
+    import ray
+
+    from rayenc.ops import sessions
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    return sessions.running_totals(ds)
+
+
 def _sessionize_events(sf_dir: str):
     """Gap-based sessionization (30-min timeout): one groupby(user)
     shuffle co-locates each user's events, per-group numpy computes the
@@ -1703,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["geospatial_stats"] = _geospatial_stats
     q["weighted_mix_documents"] = _weighted_mix_documents
     q["sessionize_events"] = _sessionize_events
+    q["running_totals_events"] = _running_totals_events
     q["broadcast_join_orders"] = _broadcast_join_orders
     q["shuffle_join_lineitem"] = _shuffle_join_lineitem
     q["asof_join_events"] = _asof_join_events
@@ -1865,6 +1881,11 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["running_totals_events"] = (
+        "SELECT user_id, event_id,"
+        " CAST(SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS BIGINT) AS running_total FROM events"
+    )
     o["range_join_orders"] = (
         "WITH bands(band, lo, hi) AS (VALUES"
         " ('low',0.0,50000.0),('mid',50000.0,150000.0),"

@@ -99,3 +99,35 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        ROUND(SUM(value), 2) AS sum_value
 FROM s GROUP BY user_id, session_id
 """.strip()
+
+
+def running_totals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "event_id",
+) -> "object":
+    """Per-key cumulative aggregate — the `SUM(x) OVER (PARTITION BY key
+    ORDER BY ts, id)` window shape. Same single co-locating shuffle as
+    sessionize (groupby(key).map_groups); inside a group: one argsort +
+    one np.cumsum. Integer accumulation is exact, so the result is
+    bit-oracle-able against the SQL window function; float inputs share
+    the same left-to-right order but engines may differ in last-ulp."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                key_col: group.column(key_col).take(pa.array(order)),
+                id_col: pa.array(ids[order]),
+                "running_total": pa.array(np.cumsum(vals)),
+            }
+        )
+
+    return ds.select_columns(
+        sorted({key_col, ts_col, id_col, val_col})
+    ).groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -830,3 +830,20 @@ def test_grouped_percentiles(ray_session):
         assert s1 == s2
         assert np.isclose(a1, a2, rtol=0, atol=1e-9)
         assert np.isclose(b1, b2, rtol=0, atol=1e-9)
+
+
+def test_running_totals(ray_session):
+    from rayenc.ops import sessions
+
+    t = pa.table({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pa.array([3, 1, 2, 5, 4], pa.timestamp("us")),
+        "event_id": pa.array([30, 10, 20, 50, 40], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    parts = [ray.get(r) for r in
+             sessions.running_totals(ds).to_arrow_refs()]
+    out = pa.concat_tables([p for p in parts if p.num_rows]).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")]
+    )
+    assert out.column("running_total").to_pylist() == [10, 30, 60, 40, 90]
