@@ -1563,6 +1563,54 @@ def _broadcast_join_orders(sf_dir: str):
     return broadcast_join(ds, cust, "o_custkey")
 
 
+def _semi_join_orders(sf_dir: str):
+    """Broadcast LEFT SEMI join (filter-by-membership): orders that have
+    at least one high-quantity lineitem — the distinct qualifying key set
+    broadcasts once, each batch filters with arrow's 'left semi' kernel."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops.join import broadcast_join
+
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    keys = pa.table(
+        {"o_orderkey": pc.unique(
+            li.filter(pc.greater(li.column("l_quantity"), 45))
+            .column("l_orderkey")
+        )}
+    )
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    return broadcast_join(ds, keys, "o_orderkey", join_type="left semi")
+
+
+def _anti_join_orders(sf_dir: str):
+    """Broadcast LEFT ANTI join: orders with NO returned lineitem
+    (l_returnflag='R') — the complement filter of _semi_join_orders,
+    same broadcast shape (the remove_ids dedup path uses this kernel)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from rayenc.ops.join import broadcast_join
+
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+    keys = pa.table(
+        {"o_orderkey": pc.unique(
+            li.filter(pc.equal(li.column("l_returnflag"), "R"))
+            .column("l_orderkey")
+        )}
+    )
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    return broadcast_join(ds, keys, "o_orderkey", join_type="left anti")
+
+
 def _running_totals_events(sf_dir: str):
     """Per-user cumulative aggregate (`SUM(event_id) OVER (PARTITION BY
     user_id ORDER BY ts, event_id)` shape) — one co-locating shuffle,
@@ -1719,6 +1767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["weighted_mix_documents"] = _weighted_mix_documents
     q["sessionize_events"] = _sessionize_events
     q["running_totals_events"] = _running_totals_events
+    q["semi_join_orders"] = _semi_join_orders
+    q["anti_join_orders"] = _anti_join_orders
     q["broadcast_join_orders"] = _broadcast_join_orders
     q["shuffle_join_lineitem"] = _shuffle_join_lineitem
     q["asof_join_events"] = _asof_join_events
@@ -1881,6 +1931,14 @@ def oracle_sql() -> dict[str, str]:
     from rayenc.ops.sessions import sessionize_sql
 
     o["sessionize_events"] = sessionize_sql()
+    o["semi_join_orders"] = (
+        "SELECT * FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l"
+        " WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)"
+    )
+    o["anti_join_orders"] = (
+        "SELECT * FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l"
+        " WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')"
+    )
     o["running_totals_events"] = (
         "SELECT user_id, event_id,"
         " CAST(SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
