@@ -620,6 +620,46 @@ def decode_chunk(
     return col
 
 
+def decode_chunk_dictionary(
+    blob,
+    entry: dict,
+    config: sel.EncodeConfig | None = None,
+    page_mask: list[bool] | None = None,
+) -> pa.Array:
+    """Decode an RLE_DICTIONARY BINARY chunk to ``pa.DictionaryArray``
+    WITHOUT materializing values: only the id pages and the (NDV-sized)
+    dictionary page are touched — the reference's reader-visible
+    `Dictionary` (`dictionary/DictionaryValuesReader.java:49-55`) kept
+    end-to-end instead of eagerly materialized."""
+    assert entry["encoding"] == "RLE_DICTIONARY" and entry["ptype"] == "BINARY"
+    assert entry["validity"] is None, "dictionary fast path is non-null only"
+    compression = (config.compression if config else None) or entry.get("compression")
+    codec = pa.Codec(compression) if compression else None
+
+    def read(meta):
+        raw = blob[meta["offset"] : meta["offset"] + meta["length"]]
+        if codec:
+            raw = codec.decompress(raw, meta["raw_length"]).to_pybytes()
+        return raw
+
+    pages = entry["pages"]
+    if page_mask is not None:
+        pages = [p for p, keep in zip(pages, page_mask) if keep]
+    ids = (
+        np.concatenate(
+            [dict_codec.decode_ids(read(p), p["num_values"]) for p in pages]
+        )
+        if pages
+        else np.empty(0, np.uint32)
+    )
+    aux = entry["aux"]
+    d_off, d_dat = dict_codec.read_dict_page_binary(read(aux), aux["count"])
+    dic = dict_codec.binary_array(d_off, d_dat)
+    return pa.DictionaryArray.from_arrays(
+        pa.array(ids.astype(np.int32), pa.int32()), dic
+    )
+
+
 def encode_block(table: pa.Table, config: sel.EncodeConfig | None = None) -> tuple[bytes, dict]:
     """Encode one Arrow table (one block / row group) -> (blob, manifest).
 
@@ -766,6 +806,7 @@ def decode_block(
     manifest: dict,
     columns: list[str] | None = None,
     page_predicate=None,
+    dictionary_strings: bool = False,
 ) -> pa.Table:
     """Decode a block; ``columns`` restricts decode to those top-level fields
     (their list sub-chunks included) — chunk-level projection pushdown.
@@ -776,7 +817,15 @@ def decode_block(
     intersect, and every projected column decodes only the pages overlapping
     the surviving rows, sliced back into row alignment. Applies when all
     projected chunks are flat and non-null; otherwise decoding falls back to
-    full pages."""
+    full pages.
+
+    ``dictionary_strings=True`` keeps RLE_DICTIONARY-encoded flat string
+    columns *encoded*: the chunk comes back as
+    ``pa.DictionaryArray(int32 ids, values)`` instead of materialized
+    strings (the reference hands readers the `Dictionary` object the same
+    way — `dictionary/DictionaryValuesReader.java`). For low-NDV columns
+    this shrinks the decoded block by ~avg_len/4 and predicates evaluate on
+    the NDV-sized dictionary (predicate.leaf_mask), not per row."""
     assert bytes(blob[: len(MAGIC)]) == MAGIC, "bad block magic"
     schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(manifest["schema"])))
     if columns is not None:
@@ -797,20 +846,45 @@ def decode_block(
         kept = _kept_row_intervals(
             manifest, by_name, page_predicate, manifest["num_rows"]
         )
-    decoded: dict[str, tuple] = {}
+    decoded: dict[str, object] = {}
+    dict_cols: set[str] = set()
+
+    def _dict_eligible(entry, target) -> bool:
+        if not dictionary_strings or "#" in entry["name"]:
+            return False
+        if target["encoding"] != "RLE_DICTIONARY" or target["ptype"] != "BINARY":
+            return False
+        if target["validity"] is not None:
+            return False
+        t = schema.field(entry["name"]).type
+        return (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        )
+
     for entry in proj:
         target = entry
         if entry.get("alias"):
             target = by_name[entry["alias"]]
             if target["name"] in decoded:
-                decoded[entry["name"]] = decoded[target["name"]]
+                if target["name"] in dict_cols and "#" in entry["name"]:
+                    # sub-chunk alias of a dictionary-decoded column: its
+                    # parent assembly needs materialized parts
+                    col = decode_chunk(blob, target)
+                    decoded[entry["name"]] = (col.values, col.null_mask)
+                else:
+                    decoded[entry["name"]] = decoded[target["name"]]
+                    if target["name"] in dict_cols:
+                        dict_cols.add(entry["name"])
                 continue
+        fast = _dict_eligible(entry, target)
         if kept is not None:
             ranges = _entry_page_ranges(target)
             sel = [
                 any(a < e and s < b for a, b in kept) for s, e in ranges
             ]
-            col = decode_chunk(blob, target, page_mask=sel)
             idx_parts = []
             base = 0
             for (s, e), k in zip(ranges, sel):
@@ -824,9 +898,33 @@ def decode_block(
             idx = (
                 np.concatenate(idx_parts) if idx_parts else np.empty(0, np.int64)
             )
-            col = _take_rows(col, idx)
+            if fast:
+                arr = decode_chunk_dictionary(blob, target, page_mask=sel)
+                arr = arr.take(pa.array(idx, pa.int64()))
+            else:
+                col = decode_chunk(blob, target, page_mask=sel)
+                col = _take_rows(col, idx)
+        elif fast:
+            arr = decode_chunk_dictionary(blob, target)
         else:
             col = decode_chunk(blob, target)
-        decoded[entry["name"]] = (col.values, col.null_mask)
-    arrays = [assemble(field, decoded) for field in schema]
-    return pa.Table.from_arrays(arrays, schema=schema)
+        if fast:
+            ft = schema.field(entry["name"]).type
+            if arr.dictionary.type != ft:
+                arr = pa.DictionaryArray.from_arrays(
+                    arr.indices, arr.dictionary.cast(ft)
+                )
+            decoded[entry["name"]] = arr
+            dict_cols.add(entry["name"])
+        else:
+            decoded[entry["name"]] = (col.values, col.null_mask)
+    arrays, fields = [], []
+    for field in schema:
+        if field.name in dict_cols:
+            arr = decoded[field.name]
+            arrays.append(arr)
+            fields.append(pa.field(field.name, arr.type, field.nullable))
+        else:
+            arrays.append(assemble(field, decoded))
+            fields.append(field)
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

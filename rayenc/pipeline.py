@@ -197,7 +197,8 @@ class DecodeWorker:
     row-group skipping of `filter2/compat` + `internal/filter2/columnindex`)
     and applies the exact row filter after decode."""
 
-    def __init__(self, out_dir: str, columns=None, predicate=None):
+    def __init__(self, out_dir: str, columns=None, predicate=None,
+                 dictionary_strings: bool = False):
         from .memtune import tune_process_memory
         from . import predicate as P
 
@@ -207,6 +208,7 @@ class DecodeWorker:
         # legacy conjunction list OR an And/Or/Not tree (filter2 algebra)
         self.pred = P.normalize(predicate)
         self.pred_cols = P.columns(self.pred)
+        self.dictionary_strings = dictionary_strings
 
     def _skip_by_stats(self, manifest: dict) -> bool:
         from . import predicate as P
@@ -267,7 +269,8 @@ class DecodeWorker:
                     c for c in sorted(self.pred_cols) if c not in self.columns
                 ]
             table = blocks.decode_block(
-                blob, manifest, columns=decode_cols, page_predicate=self.pred
+                blob, manifest, columns=decode_cols, page_predicate=self.pred,
+                dictionary_strings=self.dictionary_strings,
             )
             if self.pred is not None:
                 table = P.filter_table(self.pred, table)
@@ -293,11 +296,13 @@ def _encode_batch_task(batch: dict, *, out_dir: str, config=None, columns=None) 
     return w(batch)
 
 
-def _decode_batch_task(batch: dict, *, out_dir: str, columns=None, predicate=None):
-    key = ("dec", out_dir, tuple(columns) if columns else None, repr(predicate))
+def _decode_batch_task(batch: dict, *, out_dir: str, columns=None, predicate=None,
+                       dictionary_strings: bool = False):
+    key = ("dec", out_dir, tuple(columns) if columns else None, repr(predicate),
+           dictionary_strings)
     w = _WORKER_CACHE.get(key)
     if w is None:
-        w = DecodeWorker(out_dir, columns, predicate)
+        w = DecodeWorker(out_dir, columns, predicate, dictionary_strings)
         _WORKER_CACHE[key] = w
     yield from w(batch)
 
@@ -719,14 +724,19 @@ def export_parquet_job(
 
 
 def decode_dataset(
-    out_dir: str, concurrency=None, columns=None, predicate=None
+    out_dir: str, concurrency=None, columns=None, predicate=None,
+    dictionary_strings: bool = False,
 ) -> "ray.data.Dataset":
     """Stream the encoded container back as a Dataset of Arrow blocks.
 
     columns: decode only these top-level columns (chunk-level pruning).
     predicate: [(col, op, value), ...] conjunctions; partitions whose manifest
     min/max statistics exclude the predicate are skipped without reading the
-    blob, then the exact filter is applied to decoded rows."""
+    blob, then the exact filter is applied to decoded rows.
+    dictionary_strings: keep RLE_DICTIONARY flat string columns as Arrow
+    DictionaryArray (ids + NDV-sized dictionary) instead of materializing —
+    low-NDV columns stay small in the object store and predicates evaluate
+    over the dictionary once (predicate.leaf_mask dictionary path)."""
     manifests = sorted(
         n for n in os.listdir(out_dir) if n.endswith(".manifest.json")
     )
@@ -737,7 +747,8 @@ def decode_dataset(
         concurrency = min(concurrency, max(1, len(manifests)))
     return ds.map_batches(
         _decode_batch_task,
-        fn_kwargs={"out_dir": out_dir, "columns": columns, "predicate": predicate},
+        fn_kwargs={"out_dir": out_dir, "columns": columns, "predicate": predicate,
+                   "dictionary_strings": dictionary_strings},
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,

@@ -213,6 +213,15 @@ def leaf_mask(leaf: Leaf, arr):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if pa.types.is_dictionary(arr.type):
+        # dictionary-aware evaluation (`DictionaryFilter.java` taken to row
+        # granularity): run the leaf once over the NDV-sized dictionary,
+        # then gather the verdicts by id. Null rows are null *indices*, and
+        # pc.take propagates them to null verdicts — SQL semantics kept.
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        verdict = leaf_mask(leaf, arr.dictionary)
+        return pc.take(verdict, arr.indices)
     if (
         pa.types.is_float16(arr.type)
         and leaf.op != "udp"

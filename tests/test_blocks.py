@@ -307,3 +307,55 @@ def test_dictionary_typed_columns_roundtrip():
         blob, m = blocks.encode_block(t)
         back = blocks.decode_block(blob, m)
         assert t.column("d").combine_chunks().equals(back.column("d").combine_chunks())
+
+
+def test_dictionary_strings_decode_block():
+    """dictionary_strings=True keeps flat RLE_DICTIONARY strings encoded as
+    DictionaryArray (DictionaryValuesReader.java:49-55 semantics: readers see
+    ids + dictionary, not materialized values)."""
+    import pyarrow.compute as pc
+    from rayenc import predicate as P
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    s = np.array(["alpha", "beta", "gamma", "delta"])[rng.integers(0, 4, n)]
+    t = pa.table({"s": pa.array(s), "x": pa.array(np.arange(n, dtype=np.int64))})
+    blob, man = blocks.encode_block(t)
+    ent = next(e for e in man["chunks"] if e["name"] == "s")
+    assert ent["encoding"] == "RLE_DICTIONARY"
+
+    out = blocks.decode_block(blob, man, dictionary_strings=True)
+    f = out.schema.field("s")
+    assert pa.types.is_dictionary(f.type)
+    assert out.column("s").cast(pa.string()).combine_chunks().equals(
+        t.column("s").combine_chunks()
+    )
+    assert out.column("x").equals(t.column("x"))
+
+    # predicate evaluation happens on the NDV-sized dictionary, verdicts
+    # gathered by id — row counts must match materialized evaluation
+    pred = P.normalize([("s", "==", "beta")])
+    got = P.filter_table(pred, out)
+    want = int(pc.sum(pc.equal(t.column("s"), "beta")).as_py())
+    assert got.num_rows == want
+
+    # composes with page-predicate row-interval pruning
+    out2 = blocks.decode_block(
+        blob, man, page_predicate=[("x", ">=", 15000)], dictionary_strings=True
+    )
+    got2 = P.filter_table(P.normalize([("x", ">=", 15000)]), out2)
+    assert got2.num_rows == 5000
+    assert pa.types.is_dictionary(got2.schema.field("s").type)
+
+
+def test_dictionary_strings_ineligible_falls_back():
+    """Nullable or non-dictionary string chunks materialize as before."""
+    t = pa.table({
+        "s": pa.array(["a", None, "b", "a"] * 100),      # nullable -> fallback
+        "u": pa.array([f"u{i}" for i in range(400)]),    # high NDV -> not dict
+    })
+    blob, man = blocks.encode_block(t)
+    out = blocks.decode_block(blob, man, dictionary_strings=True)
+    assert out.schema.field("s").type == pa.string()
+    assert out.schema.field("u").type == pa.string()
+    assert out.equals(t)

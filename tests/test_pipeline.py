@@ -355,3 +355,36 @@ def test_encode_evolved_job(ray_session, tmp_path):
     # resume: everything already done -> zero new partitions
     s2 = pipeline.encode_evolved_job([pa_, pb], out).to_pandas()
     assert len(s2) == 0
+
+
+def test_decode_dataset_dictionary_strings(tmp_path):
+    """dictionary_strings=True streams low-NDV string columns as
+    DictionaryArray blocks end-to-end (object store carries ids + NDV
+    dictionary, not materialized strings)."""
+    import ray
+
+    from rayenc import pipeline
+
+    src = str(tmp_path / "src.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(list(range(1000)), pa.int64()),
+            "flag": pa.array(["A", "N", "R"][i % 3] for i in range(1000)),
+        }
+    )
+    pq.write_table(t, src, row_group_size=250)
+    out = str(tmp_path / "enc")
+    pipeline.encode_job([src], out, target_block_bytes=1 << 14).materialize()
+
+    tbl = pa.concat_tables(
+        ray.get(pipeline.decode_dataset(out, dictionary_strings=True).to_arrow_refs())
+    )
+    assert pa.types.is_dictionary(tbl.schema.field("flag").type)
+    assert tbl.num_rows == 1000
+    assert set(tbl.column("flag").cast(pa.string()).to_pylist()) == {"A", "N", "R"}
+
+    # predicate on the dictionary column filters correctly
+    got = pipeline.decode_dataset(
+        out, predicate=[("flag", "==", "R")], dictionary_strings=True
+    ).to_pandas()
+    assert len(got) == sum(1 for i in range(1000) if ["A", "N", "R"][i % 3] == "R")
