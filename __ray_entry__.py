@@ -128,6 +128,54 @@ def _dict_group_counts(sf_dir: str):
     )
 
 
+def _dict_decode_counts(sf_dir: str):
+    """Group counts computed WITHOUT materializing the string column: the
+    container decode keeps RLE_DICTIONARY chunks as Arrow DictionaryArray
+    (ids + NDV dictionary — `dictionary/DictionaryValuesReader.java:49-55`
+    kept reader-visible), and the partial aggregate is an np.bincount over
+    the composite id codes. Only NDV-sized partials reach the shuffle."""
+    import ray
+
+    from rayenc import pipeline
+
+    out = tempfile.mkdtemp(prefix="rayenc-dictdec-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        out,
+        columns=["l_returnflag", "l_linestatus"],
+        target_block_bytes=8 << 20,
+    ).materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rf = batch.column("l_returnflag").combine_chunks()
+        ls = batch.column("l_linestatus").combine_chunks()
+        assert pa.types.is_dictionary(rf.type) and pa.types.is_dictionary(ls.type)
+        rd, ld = rf.dictionary, ls.dictionary
+        code = rf.indices.to_numpy().astype(np.int64) * len(ld) + ls.indices.to_numpy()
+        counts = np.bincount(code, minlength=len(rd) * len(ld))
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "l_returnflag": rd.take(pa.array(nz // len(ld))).cast(pa.string()),
+                "l_linestatus": ld.take(pa.array(nz % len(ld))).cast(pa.string()),
+                "cnt": counts[nz],
+            }
+        )
+
+    agg = (
+        pipeline.decode_dataset(out, dictionary_strings=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum("cnt")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["l_returnflag", "l_linestatus", "cnt"]),
+        batch_format="pyarrow",
+    )
+
+
 def _tokens_roundtrip(sf_dir: str):
     """Rows-only gate: synthetic tokenized table (FIXTURES.md F1) through the
     full pipeline; per-row token-array equality counted distributedly."""
@@ -1735,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stats_lineitem"] = lambda sf: _stats_query(sf, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
     q["stats_documents"] = lambda sf: _stats_query(sf, "documents", ["n_chars"])
     q["dict_source_counts"] = _dict_group_counts
+    q["dict_decode_counts"] = _dict_decode_counts
     # training-data pipeline operators (SQL-oracled where expressible)
     q["exact_dedup_documents"] = _exact_dedup
     q["token_counts_documents"] = _token_counts
@@ -1838,6 +1887,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dict_source_counts"] = (
         "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source"
+    )
+    o["dict_decode_counts"] = (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
     )
     o["exact_dedup_documents"] = (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
