@@ -300,6 +300,8 @@ def leaf_vs_bounds(leaf: Leaf, lo, hi, all_null: bool = False) -> bool:
     granules fail every leaf (SQL comparison semantics)."""
     if all_null or lo is None:
         return False
+    if lo != lo or hi != hi:  # NaN bounds (older manifests): never skip
+        return True
     if leaf.op == "udp":
         try:
             return not leaf.value.can_drop(lo, hi)

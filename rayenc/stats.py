@@ -174,6 +174,12 @@ def compute(col: PhysicalColumn) -> ChunkStats:
     mn, mx = vb.min(), vb.max()
     if v.dtype.kind == "f":
         mn, mx = float(mn), float(mx)
+        if np.isnan(mn) or np.isnan(mx):
+            # NaN poisons ordering: leave the chunk unbounded so pushdown
+            # never skips it (mirrors parquet_write._value_bounds and
+            # parquet-mr's skip-min/max-on-NaN rule,
+            # column/statistics/DoubleStatistics semantics)
+            mn = mx = None
     else:
         mn, mx = int(mn), int(mx)
     return ChunkStats(

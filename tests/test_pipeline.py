@@ -388,3 +388,31 @@ def test_decode_dataset_dictionary_strings(tmp_path):
         out, predicate=[("flag", "==", "R")], dictionary_strings=True
     ).to_pandas()
     assert len(got) == sum(1 for i in range(1000) if ["A", "N", "R"][i % 3] == "R")
+
+
+def test_decode_dataset_nan_chunk_not_skipped(tmp_path):
+    # a float chunk containing NaN must stay unbounded in manifest stats
+    # (NaN bounds compare false for every range predicate and would wrongly
+    # veto the whole chunk; parquet-mr skips min/max on NaN)
+    from rayenc import pipeline
+
+    src = str(tmp_path / "src.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(list(range(20)), pa.int64()),
+            "x": pa.array([1.0, 2.0, float("nan"), 4.0] * 5, pa.float64()),
+        }
+    )
+    pq.write_table(t, src, row_group_size=20)
+    out = str(tmp_path / "enc")
+    pipeline.encode_job([src], out, target_block_bytes=1 << 12).materialize()
+    man = json.loads(
+        open(os.path.join(out, next(n for n in os.listdir(out) if n.endswith(".json")))).read()
+    )
+    st = next(c for c in man["chunks"] if c["name"] == "x")["stats"]
+    assert st["min"] is None and st["max"] is None
+    got = pipeline.decode_dataset(out, predicate=[("x", ">", 1.5)]).to_pandas()
+    assert sorted(got["x"].tolist()) == [2.0] * 5 + [4.0] * 5
+    # != matches NaN rows under IEEE semantics; the chunk must survive too
+    got2 = pipeline.decode_dataset(out, predicate=[("x", "!=", 1.0)]).to_pandas()
+    assert len(got2) == 15
