@@ -529,6 +529,13 @@ def encode_chunk(
         page_minmax = [
             (v[a:b].min().item(), v[a:b].max().item()) for a, b in ranges
         ]
+        if v.dtype.kind == "f":
+            # NaN bounds are meaningless for skipping and invalid strict
+            # JSON: leave such pages unbounded (parquet-mr's NaN rule)
+            page_minmax = [
+                (None, None) if (mn != mn or mx != mx) else (mn, mx)
+                for mn, mx in page_minmax
+            ]
     elif col.ptype == "BINARY" and ranges and col.null_mask is None:
         import pyarrow.compute as pc
 
@@ -583,6 +590,8 @@ def page_mask_for_predicate(entry: dict, predicate) -> list[bool] | None:
 
         def leaf_fn(leaf, lo=lo, hi=hi):
             if leaf.col != name:
+                return True
+            if lo is None:  # unbounded page (NaN-bearing floats): keep
                 return True
             return P.leaf_vs_bounds(leaf, lo, hi)
 

@@ -359,3 +359,25 @@ def test_dictionary_strings_ineligible_falls_back():
     assert out.schema.field("s").type == pa.string()
     assert out.schema.field("u").type == pa.string()
     assert out.equals(t)
+
+
+def test_nan_pages_unbounded_and_kept():
+    # pages holding NaN get (None, None) bounds (JSON-safe, parquet-mr NaN
+    # rule) and page_mask_for_predicate must keep them for range predicates
+    cfg = selector.EncodeConfig(page_rows=4)
+    vals = np.array([1.0, 2.0, np.nan, 4.0] + [10.0, 11.0, 12.0, 13.0], np.float64)
+    table = pa.table({"x": pa.array(vals, pa.float64())})
+    blob, manifest = blocks.encode_block(table, cfg)
+    entry = next(c for c in manifest["chunks"] if c["name"] == "x")
+    pages = entry["pages"]
+    assert len(pages) == 2
+    assert pages[0]["min"] is None and pages[0]["max"] is None
+    assert pages[1]["min"] == 10.0 and pages[1]["max"] == 13.0
+    mask = blocks.page_mask_for_predicate(entry, [("x", ">", 3.0)])
+    assert mask == [True, True]
+    mask2 = blocks.page_mask_for_predicate(entry, [("x", ">", 20.0)])
+    assert mask2 == [True, False]
+    out = blocks.decode_block(blob, manifest, page_predicate=[("x", ">", 3.0)])
+    import pyarrow.compute as pc
+    got = out.filter(pc.greater(out["x"], 3.0))
+    assert sorted(got["x"].to_pylist()) == [4.0, 10.0, 11.0, 12.0, 13.0]
