@@ -736,11 +736,37 @@ def _encode_column_pages(
                 "nulls": nv - defined,
                 "defined": defined,
                 "bounds": bounds,
+                "keys": _bounds_cmp_keys(col, bounds),
             }
         )
     if meta.data_offset is None:
         meta.data_offset = meta.start_offset
     meta.total_bytes = len(out) - meta.start_offset
+
+
+def _bounds_cmp_keys(col: PhysicalColumn, bounds):
+    """Comparable keys for the WRITTEN page bounds in the column's
+    comparator order (PrimitiveComparator analog) — feeds the
+    boundary_order calculation over the values readers binary-search.
+    None when the type's order isn't expressible here (wide decimals)."""
+    if bounds is None:
+        return None
+    import struct
+
+    mn, mx = bounds[0], bounds[1]
+    if col.ptype in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+        fmt = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}[col.ptype]
+        if col.unsigned and fmt in ("<i", "<q"):
+            fmt = fmt.upper()
+        return struct.unpack(fmt, mn)[0], struct.unpack(fmt, mx)[0]
+    if col.ptype in ("BOOLEAN", "BINARY"):
+        return mn, mx  # unsigned lexicographic (UTF8/bytes comparator)
+    if col.ptype == "FIXED_LEN_BYTE_ARRAY" and col.f16:
+        return (
+            np.frombuffer(mn, "<f2")[0].item(),
+            np.frombuffer(mx, "<f2")[0].item(),
+        )
+    return None
 
 
 def _value_bounds(col: PhysicalColumn, a: int, b: int):
@@ -931,7 +957,23 @@ def _page_indexes_bytes(meta: _Column):
         b = p["bounds"][1] if p["defined"] else b""
         _wvarint(ci.out, len(b))
         ci.out += b
-    ci.i(4, 0)  # boundary_order: UNORDERED
+    # boundary_order (ColumnIndexBuilder.calculateBoundaryOrder): ASCENDING /
+    # DESCENDING when both the min and max lists of non-null pages are
+    # monotone under the column comparator; vacuously ASCENDING for <=1 page
+    keys = [p["keys"] for p in pages if p["defined"] > 0]
+    order = 0
+    if all(k is not None for k in keys):
+        mins = [k[0] for k in keys]
+        maxs = [k[1] for k in keys]
+        if all(a <= b for a, b in zip(mins, mins[1:])) and all(
+            a <= b for a, b in zip(maxs, maxs[1:])
+        ):
+            order = 1
+        elif all(a >= b for a, b in zip(mins, mins[1:])) and all(
+            a >= b for a, b in zip(maxs, maxs[1:])
+        ):
+            order = 2
+    ci.i(4, order)
     ci.begin_list(5, 6, len(pages))  # null_counts
     for p in pages:
         _wvarint(ci.out, _zigzag(p["nulls"]))

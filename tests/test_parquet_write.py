@@ -817,3 +817,40 @@ def test_sorting_columns_and_kv_metadata(tmp_path):
         parquet_write.write_table(
             t, path, sorting_columns=[("zzz", False, False)]
         )
+
+
+def test_column_index_boundary_order(tmp_path):
+    """calculateBoundaryOrder parity (ColumnIndexBuilder / BoundaryOrder):
+    ASCENDING / DESCENDING when min+max page bounds are monotone under the
+    column comparator, UNORDERED otherwise; unsigned columns order in the
+    unsigned domain."""
+    from rayenc.selector import EncodeConfig
+
+    n = 30_000
+    rng = np.random.default_rng(7)
+    table = pa.table(
+        {
+            "asc": pa.array(np.arange(n, dtype=np.int64)),
+            "desc": pa.array(np.arange(n, 0, -1, dtype=np.int32)),
+            "rand": pa.array(rng.permutation(n).astype(np.int64)),
+            "s_asc": pa.array([f"k{i:06d}" for i in range(n)]),
+            # unsigned: sign-wrapped int32 view of ascending uint32 values
+            # crossing 2^31 — signed ordering would call it UNORDERED
+            "u_asc": pa.array(
+                np.arange(n, dtype=np.uint32) + np.uint32((1 << 31) - n // 2),
+                pa.uint32(),
+            ),
+        }
+    )
+    path = str(tmp_path / "bo.parquet")
+    parquet_write.write_table(table, path, EncodeConfig(page_rows=4000))
+    raw = np.frombuffer(open(path, "rb").read(), np.uint8)
+    flen = int.from_bytes(raw[-8:-4].tobytes(), "little")
+    footer, _ = _tstruct(raw, len(raw) - 8 - flen)
+    orders = {}
+    for ci_col, name in enumerate(table.column_names):
+        cc = footer[4][0][1][ci_col]
+        ci, _ = _tstruct(raw, cc[6])
+        orders[name] = ci.get(4, 0)
+    assert orders == {"asc": 1, "desc": 2, "rand": 0, "s_asc": 1, "u_asc": 1}
+    assert pq.read_table(path).num_rows == n
