@@ -304,6 +304,26 @@ def cmd_show_bloom(args):
             print(line)
 
 
+def cmd_validate_index(args):
+    """ColumnIndexValidator analog (hadoop/ColumnIndexValidator.java):
+    decode every page and check the written ColumnIndex/OffsetIndex against
+    actual contents (bounds containment, null counts, boundary_order)."""
+    from .parquet_crypto import FileDecryption
+    from .validate import validate_column_index
+
+    dec = None
+    if getattr(args, "key", None):
+        dec = FileDecryption(footer_key=bytes.fromhex(args.key))
+    issues = validate_column_index(args.file, dec)
+    for line in issues:
+        print(f"VIOLATION: {line}")
+    if issues:
+        print(f"{len(issues)} contract violation(s)")
+        return 1
+    print("column index: OK")
+    return 0
+
+
 def cmd_show_column_index(args):
     """show-column-index analog (ShowColumnIndexCommand.java): print the
     ColumnIndex/OffsetIndex structures of a parquet FILE."""
@@ -701,6 +721,7 @@ def main(argv=None):
         ("footer", cmd_footer),
         ("scan", cmd_scan),
         ("check-stats", cmd_check_stats),
+        ("validate-index", cmd_validate_index),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("file")
