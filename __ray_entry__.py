@@ -1484,6 +1484,23 @@ def _train_val_split_documents(sf_dir: str):
     return sample.split_column(ds, "doc_id", 0.1, salt=3)
 
 
+def _source_quota_documents(sf_dir: str):
+    """Per-group document quota (crawl hygiene: "at most N pages per
+    domain"): a combiner pass reduces each block to <=N (source, doc_id)
+    candidates, only that two-column stream shuffles to find each source's
+    N-th smallest doc_id, and one streaming filter keeps doc_id <= that
+    threshold — exact first-N-per-group without shuffling full rows."""
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return sample.group_quota(ds, "doc_id", "source", 37)
+
+
 def _sketch_summary_documents(sf_dir: str):
     """Mergeable-sketch summary (rows-only: estimates are approximate by
     construction): HyperLogLog distinct texts + Count-Min frequencies of
@@ -1825,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_topk_documents"] = _token_topk_documents
     q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
+    q["source_quota_documents"] = _source_quota_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -2046,6 +2064,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CASE WHEN "
         + _knuth_pred(0.1, 3)
         + " THEN 'val' ELSE 'train' END AS split FROM documents"
+    )
+    o["source_quota_documents"] = (
+        "SELECT doc_id, source, n_chars FROM ("
+        "SELECT doc_id, source, n_chars,"
+        " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
+        " FROM documents) t WHERE rn <= 37"
     )
     o["pushdown_filter_or"] = (
         "SELECT * FROM lineitem WHERE (l_returnflag = 'A' OR l_quantity < 3.0)"

@@ -94,6 +94,63 @@ def train_val_split(ds, key_col: str, val_fraction: float, salt: int = 0):
     )
 
 
+def group_quota(ds, key_col: str, group_col: str, cap: int):
+    """Cap each group to its ``cap`` smallest keys (per-domain document
+    quotas in crawl hygiene: "at most N pages per site").
+
+    Scale shape: a combiner pass first reduces every block to at most
+    ``cap`` (group, key) candidates per group, so the only shuffle is a
+    ``groupby`` over that reduced two-column stream — never the full rows.
+    Each group's true cap-th smallest key becomes its threshold; the
+    threshold table (one row per group, same small-side assumption as
+    ``weighted_mix``) is captured in the filter closure, and one streaming
+    pass keeps rows with ``key <= threshold``. Exact when keys are unique
+    within a group (doc ids are)."""
+    import pyarrow.compute as pc
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, key_col])
+        idx = pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"), (key_col, "ascending")]
+        )
+        t = t.take(idx)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        if not len(g):
+            return t
+        starts = np.r_[0, np.flatnonzero(g[1:] != g[:-1]) + 1]
+        ends = np.r_[starts[1:], len(g)]
+        keep = np.concatenate(
+            [np.arange(s, min(s + cap, e)) for s, e in zip(starts, ends)]
+        )
+        return t.take(pa.array(keep))
+
+    def threshold(group) -> dict:
+        keys = np.sort(np.asarray(group[key_col]))
+        return {
+            group_col: [group[group_col][0]],
+            "thr": [keys[min(cap, len(keys)) - 1]],
+        }
+
+    thr_rows = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(threshold, batch_format="numpy")
+        .take_all()
+    )
+    thr = {r[group_col]: r["thr"] for r in thr_rows}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        m = np.zeros(len(batch), bool)
+        for g, t in thr.items():
+            sel = groups == g
+            m[sel] = keys[sel] <= t
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def split_column(ds, key_col: str, val_fraction: float, salt: int = 0,
                  out_col: str = "split"):
     """Single-pass variant labelling each row 'train' / 'val'."""

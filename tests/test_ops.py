@@ -847,3 +847,24 @@ def test_running_totals(ray_session):
         [("user_id", "ascending"), ("event_id", "ascending")]
     )
     assert out.column("running_total").to_pylist() == [10, 30, 60, 40, 90]
+
+
+def test_group_quota_skewed(ray_session):
+    import ray
+
+    from rayenc.ops import sample
+
+    # heavy skew + one group under the cap + non-contiguous keys
+    rows = (
+        [{"k": 2 * i + 1, "g": "big"} for i in range(500)]
+        + [{"k": 10_000 + i, "g": "mid"} for i in range(40)]
+        + [{"k": 90_000 + i, "g": "tiny"} for i in range(3)]
+    )
+    ds = ray.data.from_items(rows).repartition(7)
+    got = sample.group_quota(ds, "k", "g", 10).take_all()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["k"])
+    assert sorted(by_g["big"]) == [2 * i + 1 for i in range(10)]
+    assert sorted(by_g["mid"]) == [10_000 + i for i in range(10)]
+    assert sorted(by_g["tiny"]) == [90_000, 90_001, 90_002]  # under cap: all
