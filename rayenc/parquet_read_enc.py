@@ -673,6 +673,58 @@ def _intersect_intervals(a, b):
     return out
 
 
+def _matching_pages(node, bounds, boundary_order: int) -> list[int]:
+    """Page ordinals whose bounds may satisfy one predicate leaf.
+
+    When the ColumnIndex declares ASCENDING/DESCENDING boundary_order and
+    the leaf is a plain comparison, binary-search the bounds lists instead
+    of testing every page (`columnindex/BoundaryOrder.java` eq/lt/gt
+    semantics; all-null pages — None bounds — never match a leaf and are
+    excluded from the search coordinates). Falls back to the linear scan
+    for UNORDERED indexes, set/udp leaves, and mixed-type bounds."""
+    from bisect import bisect_left, bisect_right
+
+    from . import predicate as P
+
+    op = getattr(node, "op", None)
+    if boundary_order in (1, 2) and op in ("==", "<", "<=", ">", ">="):
+        nn = [p for p, b in enumerate(bounds) if b is not None]
+        mins = [bounds[p][0] for p in nn]
+        maxs = [bounds[p][1] for p in nn]
+        if boundary_order == 2:  # DESCENDING: search the reversed lists
+            nn, mins, maxs = nn[::-1], mins[::-1], maxs[::-1]
+        v = node.value
+        same_type = nn and (
+            isinstance(v, type(mins[0]))
+            or (
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and isinstance(mins[0], (int, float))
+            )
+        )
+        if isinstance(v, float) and v != v:  # NaN value: linear path
+            same_type = False
+        if same_type:
+            # ascending mins+maxs: each op selects a contiguous page run
+            if op == "==":
+                lo = bisect_left(maxs, v)  # first page with max >= v
+                hi = bisect_right(mins, v)  # first page with min > v
+            elif op in ("<", "<="):
+                lo = 0
+                key = bisect_right if op == "<=" else bisect_left
+                hi = key(mins, v)  # pages with min < v (or <= v)
+            else:  # > / >=
+                key = bisect_left if op == ">=" else bisect_right
+                lo = key(maxs, v)  # first page with max > v (or >= v)
+                hi = len(nn)
+            return sorted(nn[lo:hi])
+    return [
+        p
+        for p, b in enumerate(bounds)
+        if (b is not None and P.leaf_vs_bounds(node, b[0], b[1]))
+    ]
+
+
 def read_table_filtered(
     path: str,
     predicate,
@@ -822,13 +874,8 @@ def read_table_filtered(
         locs = oidx.get(1, [])
         firsts = [loc[3] for loc in locs] + [rg_rows]
         bounds = _page_bounds(cidx, f.leaves[ci])
-        return _merge_intervals(
-            [
-                (firsts[p], firsts[p + 1])
-                for p, b in enumerate(bounds)
-                if (b is not None and P.leaf_vs_bounds(node, b[0], b[1]))
-            ]
-        )
+        keep = _matching_pages(node, bounds, cidx.get(4, 0))
+        return _merge_intervals([(firsts[p], firsts[p + 1]) for p in keep])
 
     for rg_ord, rg in rg_iter:
         rg_rows = rg.get(3)
