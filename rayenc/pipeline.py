@@ -198,7 +198,9 @@ class DecodeWorker:
     and applies the exact row filter after decode."""
 
     def __init__(self, out_dir: str, columns=None, predicate=None,
-                 dictionary_strings: bool = False):
+                 dictionary_strings: bool = False,
+                 bad_block_threshold: float | None = None,
+                 total_partitions: int | None = None):
         from .memtune import tune_process_memory
         from . import predicate as P
 
@@ -209,6 +211,17 @@ class DecodeWorker:
         self.pred = P.normalize(predicate)
         self.pred_cols = P.columns(self.pred)
         self.dictionary_strings = dictionary_strings
+        # error-tolerant reads (UnmaterializableRecordCounter /
+        # parquet.read.bad.record.threshold, per worker like the
+        # reference's per-split counter): None = raise on the first bad
+        # partition; a fraction in [0,1] tolerates that share of the
+        # partitions THIS worker has seen, then raises
+        self.bad_block_threshold = bad_block_threshold
+        # denominator: the job's partition count (the reference's counter
+        # divides by the split's total record count, known up front)
+        self.total_partitions = total_partitions
+        self._seen = 0
+        self._bad = 0
 
     def _skip_by_stats(self, manifest: dict) -> bool:
         from . import predicate as P
@@ -253,25 +266,47 @@ class DecodeWorker:
         from . import predicate as P
 
         for name in batch["manifest"]:
-            manifest = json.loads(
-                open(os.path.join(self.out_dir, str(name)), "rb").read()
-            )
-            if self._skip_by_stats(manifest):
+            self._seen += 1
+            try:
+                manifest = json.loads(
+                    open(os.path.join(self.out_dir, str(name)), "rb").read()
+                )
+                if self._skip_by_stats(manifest):
+                    continue
+                with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
+                    blob = f.read()
+                # decode predicate columns even when the projection excludes
+                # them (the mask must see every referenced column; dropped
+                # after the filter)
+                decode_cols = self.columns
+                if self.columns is not None and self.pred is not None:
+                    decode_cols = self.columns + [
+                        c for c in sorted(self.pred_cols) if c not in self.columns
+                    ]
+                table = blocks.decode_block(
+                    blob, manifest, columns=decode_cols, page_predicate=self.pred,
+                    dictionary_strings=self.dictionary_strings,
+                )
+            except Exception as exc:
+                # UnmaterializableRecordCounter semantics
+                # (hadoop/UnmaterializableRecordCounter.java): tolerate up
+                # to bad_block_threshold of this worker's partitions, then
+                # fail the task
+                self._bad += 1
+                if self.bad_block_threshold is None:
+                    raise
+                denom = self.total_partitions or self._seen
+                if self._bad > self.bad_block_threshold * denom:
+                    raise RuntimeError(
+                        f"bad partition rate {self._bad}/{denom} exceeds "
+                        f"threshold {self.bad_block_threshold}: {name}: {exc!r}"
+                    ) from exc
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping unreadable partition %s: %r", name, exc
+                )
                 continue
-            with open(os.path.join(self.out_dir, manifest["blob"]), "rb") as f:
-                blob = f.read()
-            # decode predicate columns even when the projection excludes
-            # them (the mask must see every referenced column; dropped
-            # after the filter)
-            decode_cols = self.columns
-            if self.columns is not None and self.pred is not None:
-                decode_cols = self.columns + [
-                    c for c in sorted(self.pred_cols) if c not in self.columns
-                ]
-            table = blocks.decode_block(
-                blob, manifest, columns=decode_cols, page_predicate=self.pred,
-                dictionary_strings=self.dictionary_strings,
-            )
             if self.pred is not None:
                 table = P.filter_table(self.pred, table)
                 if decode_cols is not self.columns:
@@ -297,12 +332,15 @@ def _encode_batch_task(batch: dict, *, out_dir: str, config=None, columns=None) 
 
 
 def _decode_batch_task(batch: dict, *, out_dir: str, columns=None, predicate=None,
-                       dictionary_strings: bool = False):
+                       dictionary_strings: bool = False,
+                       bad_block_threshold: float | None = None,
+                       total_partitions: int | None = None):
     key = ("dec", out_dir, tuple(columns) if columns else None, repr(predicate),
-           dictionary_strings)
+           dictionary_strings, bad_block_threshold)
     w = _WORKER_CACHE.get(key)
     if w is None:
-        w = DecodeWorker(out_dir, columns, predicate, dictionary_strings)
+        w = DecodeWorker(out_dir, columns, predicate, dictionary_strings,
+                         bad_block_threshold, total_partitions)
         _WORKER_CACHE[key] = w
     yield from w(batch)
 
@@ -725,7 +763,7 @@ def export_parquet_job(
 
 def decode_dataset(
     out_dir: str, concurrency=None, columns=None, predicate=None,
-    dictionary_strings: bool = False,
+    dictionary_strings: bool = False, bad_block_threshold: float | None = None,
 ) -> "ray.data.Dataset":
     """Stream the encoded container back as a Dataset of Arrow blocks.
 
@@ -736,7 +774,13 @@ def decode_dataset(
     dictionary_strings: keep RLE_DICTIONARY flat string columns as Arrow
     DictionaryArray (ids + NDV-sized dictionary) instead of materializing —
     low-NDV columns stay small in the object store and predicates evaluate
-    over the dictionary once (predicate.leaf_mask dictionary path)."""
+    over the dictionary once (predicate.leaf_mask dictionary path).
+    bad_block_threshold: error tolerance for 100 TB reads over imperfect
+    storage (UnmaterializableRecordCounter / the reference's
+    parquet.read.bad.record.threshold, counted per worker like its
+    per-split counter) — None fails fast on the first unreadable
+    partition; a fraction skips unreadable partitions (with a warning)
+    until their share of a worker's partitions exceeds it."""
     manifests = sorted(
         n for n in os.listdir(out_dir) if n.endswith(".manifest.json")
     )
@@ -748,7 +792,9 @@ def decode_dataset(
     return ds.map_batches(
         _decode_batch_task,
         fn_kwargs={"out_dir": out_dir, "columns": columns, "predicate": predicate,
-                   "dictionary_strings": dictionary_strings},
+                   "dictionary_strings": dictionary_strings,
+                   "bad_block_threshold": bad_block_threshold,
+                   "total_partitions": len(manifests)},
         batch_size=1,
         concurrency=concurrency,
         num_cpus=1,

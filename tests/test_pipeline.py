@@ -416,3 +416,31 @@ def test_decode_dataset_nan_chunk_not_skipped(tmp_path):
     # != matches NaN rows under IEEE semantics; the chunk must survive too
     got2 = pipeline.decode_dataset(out, predicate=[("x", "!=", 1.0)]).to_pandas()
     assert len(got2) == 15
+
+
+def test_decode_bad_block_threshold(ray_session, token_parquet, tmp_path):
+    # UnmaterializableRecordCounter analog: corrupt one partition's blob;
+    # default decode fails fast, a threshold skips it with the rest intact
+    out = str(tmp_path / "enc")
+    pipeline.encode_job(
+        token_parquet, out, concurrency=2, target_block_bytes=1 << 14
+    ).materialize()
+    mans = sorted(n for n in os.listdir(out) if n.endswith(".manifest.json"))
+    assert len(mans) >= 2
+    victim = json.loads(open(os.path.join(out, mans[0])).read())
+    total = sum(
+        json.loads(open(os.path.join(out, m)).read())["num_rows"] for m in mans
+    )
+    blob_path = os.path.join(out, victim["blob"])
+    open(blob_path, "wb").write(b"\x00" * 16)  # truncated garbage
+    with pytest.raises(Exception):
+        pipeline.decode_dataset(out, concurrency=1).materialize()
+    got = pipeline.decode_dataset(
+        out, concurrency=1, bad_block_threshold=0.5
+    ).count()
+    assert got == total - victim["num_rows"]
+    # a zero threshold behaves like fail-fast
+    with pytest.raises(Exception):
+        pipeline.decode_dataset(
+            out, concurrency=1, bad_block_threshold=0.0
+        ).materialize()
