@@ -1501,6 +1501,23 @@ def _source_quota_documents(sf_dir: str):
     return sample.group_quota(ds, "doc_id", "source", 37)
 
 
+def _source_sample_documents(sf_dir: str):
+    """Exact-N deterministic per-source sample: rows rank inside each source
+    by a bijective 64-bit multiplicative scramble of doc_id (odd — no ties),
+    so the SQL oracle reproduces the selection row for row with ORDER BY the
+    same product. Combiner-then-threshold: only (source, hash) pairs
+    shuffle."""
+    import ray
+
+    from rayenc.ops import sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    return sample.group_sample(ds, "doc_id", "source", 7, salt=11)
+
+
 def _sketch_summary_documents(sf_dir: str):
     """Mergeable-sketch summary (rows-only: estimates are approximate by
     construction): HyperLogLog distinct texts + Count-Min frequencies of
@@ -1843,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sketch_summary_documents"] = _sketch_summary_documents
     q["train_val_split_documents"] = _train_val_split_documents
     q["source_quota_documents"] = _source_quota_documents
+    q["source_sample_documents"] = _source_sample_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["transcode_parquet"] = _transcode_parquet
@@ -2070,6 +2088,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, n_chars,"
         " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
         " FROM documents) t WHERE rn <= 37"
+    )
+    o["source_sample_documents"] = (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source"
+        " ORDER BY ((CAST(doc_id AS HUGEINT) + 12) * 11400714819323198485)"
+        " % 18446744073709551616) AS rn"
+        " FROM documents) t WHERE rn <= 7"
     )
     o["pushdown_filter_or"] = (
         "SELECT * FROM lineitem WHERE (l_returnflag = 'A' OR l_quantity < 3.0)"

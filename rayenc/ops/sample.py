@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 KNUTH = np.uint64(2654435761)
+GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)  # odd -> bijective; > 2^63 -> wraps
 _U32 = np.uint64(0xFFFFFFFF)
 BUCKETS = 1 << 32
 
@@ -149,6 +150,35 @@ def group_quota(ds, key_col: str, group_col: str, cap: int):
         return batch.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_sample(ds, key_col: str, group_col: str, n: int, salt: int = 0):
+    """Exactly ``min(n, group_size)`` rows per group, chosen uniformly but
+    deterministically: rank rows inside each group by the 64-bit
+    golden-ratio multiplicative scramble of their key. The multiplier is
+    odd (bijection on uint64 — distinct keys never tie) and larger than
+    2^63, so the product wraps mod 2^64 for every key >= 1 and the rank
+    order is a salt-sensitive Weyl shuffle, reproducible row for row in SQL
+    (ORDER BY the same product). Same combiner-then-threshold shape as
+    ``group_quota``: only (group, hash64) pairs ever shuffle."""
+
+    def hash64(keys: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                keys.astype(np.uint64) + np.uint64(salt) + np.uint64(1)
+            ) * GOLDEN64
+
+    rank_col = "__gs_rank"
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(rank_col, pa.array(hash64(keys)))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    picked = group_quota(ranked, rank_col, group_col, n)
+    return picked.map_batches(
+        lambda b: b.drop_columns([rank_col]), batch_format="pyarrow"
+    )
 
 
 def split_column(ds, key_col: str, val_fraction: float, salt: int = 0,

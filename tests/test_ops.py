@@ -868,3 +868,22 @@ def test_group_quota_skewed(ray_session):
     assert sorted(by_g["big"]) == [2 * i + 1 for i in range(10)]
     assert sorted(by_g["mid"]) == [10_000 + i for i in range(10)]
     assert sorted(by_g["tiny"]) == [90_000, 90_001, 90_002]  # under cap: all
+
+
+def test_group_sample_exact_and_deterministic(ray_session):
+    import ray
+
+    from rayenc.ops import sample
+
+    rows = [{"k": i, "g": "ab"[i % 2]} for i in range(300)] + [
+        {"k": 1000 + i, "g": "small"} for i in range(5)
+    ]
+    ds = ray.data.from_items(rows).repartition(5)
+    got1 = sorted((r["g"], r["k"]) for r in sample.group_sample(ds, "k", "g", 20, salt=4).take_all())
+    got2 = sorted((r["g"], r["k"]) for r in sample.group_sample(ds, "k", "g", 20, salt=4).take_all())
+    assert got1 == got2  # pure function of (key, salt)
+    from collections import Counter
+    c = Counter(g for g, _ in got1)
+    assert c == {"a": 20, "b": 20, "small": 5}  # exact-N, under-cap keeps all
+    other = sorted((r["g"], r["k"]) for r in sample.group_sample(ds, "k", "g", 20, salt=5).take_all())
+    assert other != got1  # salt changes the draw
