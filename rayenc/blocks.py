@@ -460,6 +460,24 @@ def _compressor(config: sel.EncodeConfig):
 def encode_chunk(
     col: PhysicalColumn, out: io.BytesIO, config: sel.EncodeConfig
 ) -> dict:
+    ovr = config.column_encodings.get(col.name) or config.column_encodings.get(
+        col.name.split("#")[0]
+    )
+    if ovr == "DEVNULL":
+        # DevNullValuesWriter parity (column/values/DevNullValuesWriter.java):
+        # values are consumed and dropped — used to measure shredding /
+        # pipeline overhead without encode cost. Write-only: the chunk
+        # appears in the manifest with zero pages and cannot be decoded.
+        return {
+            "name": col.name,
+            "ptype": col.ptype,
+            "encoding": "DEVNULL",
+            "stats": stats_mod.compute(col).to_manifest(),
+            "encoded_bytes": 0,
+            "pages": [],
+            "aux": None,
+            "validity": None,
+        }
     stats = stats_mod.compute(col)
     ranges = page_ranges(col, config)
     cands: list[_Candidate] = []
@@ -702,7 +720,8 @@ def encode_block(table: pa.Table, config: sel.EncodeConfig | None = None) -> tup
             if config.compression:
                 entry["compression"] = config.compression
             chunks.append(entry)
-            if key is not None:
+            if key is not None and entry["encoding"] != "DEVNULL":
+                # never alias TO a write-only chunk (it has no pages)
                 seen[key] = col.name
     blob = out.getvalue()
     manifest = {
@@ -843,10 +862,25 @@ def decode_block(
     else:
         wanted = None
     by_name = {c["name"]: c for c in manifest["chunks"]}
+    # DEVNULL chunks (DevNullValuesWriter parity) are write-only: silently
+    # absent from full decodes, an error when explicitly selected
+    devnull = {
+        e["name"].split("#")[0]
+        for e in manifest["chunks"]
+        if e.get("encoding") == "DEVNULL"
+    }
+    if devnull:
+        if wanted is not None and wanted & devnull:
+            raise NotImplementedError(
+                f"columns {sorted(wanted & devnull)} were encoded DEVNULL "
+                "(write-only; DevNullValuesWriter semantics)"
+            )
+        schema = pa.schema([f for f in schema if f.name not in devnull])
     proj = [
         e
         for e in manifest["chunks"]
-        if wanted is None or e["name"].split("#")[0] in wanted
+        if (wanted is None or e["name"].split("#")[0] in wanted)
+        and e["name"].split("#")[0] not in devnull
     ]
     kept = None
     if page_predicate is not None and all(

@@ -381,3 +381,57 @@ def test_nan_pages_unbounded_and_kept():
     import pyarrow.compute as pc
     got = out.filter(pc.greater(out["x"], 3.0))
     assert sorted(got["x"].to_pylist()) == [4.0, 10.0, 11.0, 12.0, 13.0]
+
+
+def test_devnull_write_only_columns():
+    # DevNullValuesWriter semantics: values consumed, zero bytes written,
+    # full decode silently omits the column, explicit selection errors
+    cfg = selector.EncodeConfig(column_encodings={"noise": "DEVNULL"})
+    table = pa.table(
+        {
+            "k": pa.array(np.arange(100, dtype=np.int64)),
+            "noise": pa.array([f"junk{i}" for i in range(100)]),
+        }
+    )
+    blob, manifest = blocks.encode_block(table, cfg)
+    entry = next(c for c in manifest["chunks"] if c["name"] == "noise")
+    assert entry["encoding"] == "DEVNULL" and entry["pages"] == []
+    assert entry["encoded_bytes"] == 0
+    out = blocks.decode_block(blob, manifest)
+    assert out.column_names == ["k"]
+    assert out["k"].to_pylist() == list(range(100))
+    with pytest.raises(NotImplementedError):
+        blocks.decode_block(blob, manifest, columns=["noise"])
+    # list columns: the top-level name covers the shredded leaves
+    cfg2 = selector.EncodeConfig(column_encodings={"tokens": "DEVNULL"})
+    t2 = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "tokens": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+        }
+    )
+    blob2, man2 = blocks.encode_block(t2, cfg2)
+    assert all(
+        c["encoding"] == "DEVNULL"
+        for c in man2["chunks"]
+        if c["name"].startswith("tokens")
+    )
+    assert blocks.decode_block(blob2, man2).column_names == ["k"]
+
+
+def test_devnull_never_aliased():
+    # n_tok's content equals tokens#lengths; with tokens devnulled, n_tok
+    # must encode for real instead of aliasing the page-less chunk
+    cfg = selector.EncodeConfig(column_encodings={"tokens": "DEVNULL"})
+    table = pa.table(
+        {
+            "tokens": pa.array([[1, 2], [3], [4, 5, 6]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1, 3], pa.int32()),
+        }
+    )
+    blob, man = blocks.encode_block(table, cfg)
+    nt = next(c for c in man["chunks"] if c["name"] == "n_tok")
+    assert nt["encoding"] not in ("ALIAS", "DEVNULL")
+    out = blocks.decode_block(blob, man)
+    assert out.column_names == ["n_tok"]
+    assert out["n_tok"].to_pylist() == [2, 1, 3]
