@@ -304,6 +304,16 @@ def cmd_show_bloom(args):
             print(line)
 
 
+def cmd_file_schema(args):
+    """SchemaCommand --parquet analog: print the file's schema in the
+    parquet message-type text syntax (MessageTypeParser grammar)."""
+    from .parquet_read_enc import format_message_type
+
+    f = _enc_file(args)
+    print(format_message_type(f.schema_elems))
+    return 0
+
+
 def cmd_validate_index(args):
     """ColumnIndexValidator analog (hadoop/ColumnIndexValidator.java):
     decode every page and check the written ColumnIndex/OffsetIndex against
@@ -722,6 +732,7 @@ def main(argv=None):
         ("scan", cmd_scan),
         ("check-stats", cmd_check_stats),
         ("validate-index", cmd_validate_index),
+        ("file-schema", cmd_file_schema),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("file")

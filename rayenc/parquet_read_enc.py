@@ -207,6 +207,112 @@ def _walk_schema(elems):
     return leaves
 
 
+_REPETITION = {0: "required", 1: "optional", 2: "repeated"}
+_TIME_UNIT = {1: "MILLIS", 2: "MICROS", 3: "NANOS"}
+# legacy ConvertedType -> the modern annotation text MessageType#toString
+# prints (LogicalTypeAnnotation.fromConvertedType mapping)
+_CONVERTED_NAME = {
+    0: "STRING", 1: "MAP", 2: "MAP_KEY_VALUE", 3: "LIST", 4: "ENUM",
+    6: "DATE", 7: "TIME(MILLIS,true)", 8: "TIME(MICROS,true)",
+    9: "TIMESTAMP(MILLIS,true)", 10: "TIMESTAMP(MICROS,true)",
+    11: "INTEGER(8,false)", 12: "INTEGER(16,false)", 13: "INTEGER(32,false)",
+    14: "INTEGER(64,false)", 15: "INTEGER(8,true)", 16: "INTEGER(16,true)",
+    17: "INTEGER(32,true)", 18: "INTEGER(64,true)",
+    19: "JSON", 20: "BSON", 21: "INTERVAL",
+}
+
+
+def _annotation(e: dict) -> str:
+    """'(STRING)' etc. for one SchemaElement — MessageType#toString /
+    LogicalTypeAnnotation.toString rendering; logicalType union preferred,
+    legacy ConvertedType as fallback."""
+    lt = e.get(10)
+    if isinstance(lt, dict):
+        if 1 in lt:
+            return " (STRING)"
+        if 2 in lt:
+            return " (MAP)"
+        if 3 in lt:
+            return " (LIST)"
+        if 4 in lt:
+            return " (ENUM)"
+        if 5 in lt:
+            d = lt[5]
+            return f" (DECIMAL({d.get(2, 0)},{d.get(1, 0)}))"
+        if 6 in lt:
+            return " (DATE)"
+        if 7 in lt:
+            d = lt[7]
+            unit = _TIME_UNIT.get(next(iter(d.get(2, {1: None}))), "MILLIS")
+            return f" (TIME({unit},{str(bool(d.get(1))).lower()}))"
+        if 8 in lt:
+            d = lt[8]
+            unit = _TIME_UNIT.get(next(iter(d.get(2, {1: None}))), "MILLIS")
+            return f" (TIMESTAMP({unit},{str(bool(d.get(1))).lower()}))"
+        if 10 in lt:
+            d = lt[10]
+            return f" (INTEGER({d.get(1, 32)},{str(d.get(2, True) is not False).lower()}))"
+        if 12 in lt:
+            return " (JSON)"
+        if 13 in lt:
+            return " (BSON)"
+        if 14 in lt:
+            return " (UUID)"
+        if 15 in lt:
+            return " (FLOAT16)"
+        if 16 in lt:
+            return " (VARIANT)"
+        if 17 in lt:
+            return " (GEOMETRY)"
+        if 18 in lt:
+            return " (GEOGRAPHY)"
+    conv = e.get(6)
+    if conv == 5:
+        return f" (DECIMAL({e.get(8, 0)},{e.get(7, 0)}))"
+    if conv in _CONVERTED_NAME:
+        return f" ({_CONVERTED_NAME[conv]})"
+    return ""
+
+
+def format_message_type(elems: list) -> str:
+    """Footer SchemaElement list -> the parquet message-type text syntax
+    (MessageTypeParser grammar; parquet-cli SchemaCommand's --parquet
+    output). From-scratch printer over the raw thrift dicts."""
+    lines: list[str] = []
+    pos = 1
+
+    def name_of(e):
+        n = e.get(4, "")
+        return n.decode() if isinstance(n, bytes) else n
+
+    def walk(indent: int):
+        nonlocal pos
+        e = elems[pos]
+        pos += 1
+        pad = "  " * indent
+        rep = _REPETITION.get(e.get(3, 0), "required")
+        nchild = e.get(5, 0)
+        if nchild:
+            lines.append(f"{pad}{rep} group {name_of(e)}{_annotation(e)} {{")
+            for _ in range(nchild):
+                walk(indent + 1)
+            lines.append(f"{pad}}}")
+            return
+        t = _PTYPE_NAME[e[1]].lower()
+        if t == "byte_array":
+            t = "binary"  # MessageTypeParser grammar name
+        elif t == "fixed_len_byte_array":
+            t = f"fixed_len_byte_array({e.get(2, 0)})"
+        lines.append(f"{pad}{rep} {t} {name_of(e)}{_annotation(e)};")
+
+    root = elems[0]
+    lines.append(f"message {name_of(root) or 'schema'} {{")
+    for _ in range(root.get(5, 0)):
+        walk(1)
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def _unwrap_key_material(
     key_metadata: bytes, dec: FileDecryption, path: str | None = None
 ) -> bytes | None:

@@ -713,3 +713,42 @@ def test_plan_byte_splits(tmp_path):
             total = sum(r.column(i).total_compressed_size
                         for i in range(r.num_columns))
             assert (start + total // 2) // split == s
+
+
+def test_format_message_type(tmp_path):
+    """MessageTypeParser-syntax printer (SchemaCommand --parquet analog):
+    nesting, repetition, logical annotations, FLBA width."""
+    import decimal
+
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import EncryptedFile, format_message_type
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "name": pa.array(["a", "b"]),
+            "price": pa.array(
+                [decimal.Decimal("1.50"), decimal.Decimal("2.25")],
+                pa.decimal128(9, 2),
+            ),
+            "tags": pa.array([["x"], ["y", "z"]], pa.list_(pa.string())),
+            "u": pa.array([1, 2], pa.uint32()),
+        }
+    )
+    path = str(tmp_path / "s.parquet")
+    parquet_write.write_table(t, path)
+    txt = format_message_type(EncryptedFile(path).schema_elems)
+    assert txt.startswith("message ") and txt.endswith("}")
+    assert "optional int64 id;" in txt
+    assert "optional binary name (STRING);" in txt
+    assert "(DECIMAL(9,2))" in txt
+    assert "(LIST)" in txt and "repeated group" in txt
+    assert "(INTEGER(32,false))" in txt or "(UINT_32)" in txt
+    # round-trips through pyarrow-written files too
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, str(tmp_path / "pa.parquet"))
+    txt2 = format_message_type(
+        EncryptedFile(str(tmp_path / "pa.parquet")).schema_elems
+    )
+    assert "id" in txt2 and "(STRING)" in txt2
