@@ -25,6 +25,8 @@ Parquet FILE inspection / surgery (all take --key HEX for encrypted files):
     python -m rayenc.cli show-size-statistics FILE [--column c]
     python -m rayenc.cli show-geospatial-statistics FILE [--column c]
     python -m rayenc.cli footer FILE.parquet           # raw footer JSON
+    python -m rayenc.cli file-schema FILE.parquet      # message-type syntax
+    python -m rayenc.cli validate-index FILE.parquet   # ColumnIndex contract
     python -m rayenc.cli scan FILE.parquet|DIR         # full decode + timing
     python -m rayenc.cli merge A.parquet B.parquet -o OUT.parquet
     python -m rayenc.cli reencrypt FILE -o OUT [--in-key HEX] [--out-key HEX]
