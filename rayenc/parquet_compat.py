@@ -697,6 +697,8 @@ def read_table_conformance(path: str, columns: "list[str] | None" = None) -> "pa
             r = read_column_chunk(path, field.name, rg)
             cols.append(assemble_flat(r, t))
         parts.append(pa.Table.from_arrays(cols, schema=schema))
+    if not parts:  # schema-only file (zero row groups)
+        return schema.empty_table()
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
@@ -762,7 +764,18 @@ def _decode_values(body, n, encoding, ptype, dictionary, type_length=0):
     raise NotImplementedError(f"encoding {encoding}")
 
 
+_EMPTY_DTYPE = {
+    "INT32": np.int32, "INT64": np.int64, "INT96": np.uint8,
+    "FLOAT": np.float32, "DOUBLE": np.float64, "BOOLEAN": np.bool_,
+}
+
+
 def _concat_parts(parts, ptype):
+    if not parts:
+        # zero-value chunk (0-row row groups exist in the wild)
+        if ptype == "BYTE_ARRAY":
+            return np.zeros(1, np.int64), np.zeros(0, np.uint8)
+        return np.zeros(0, _EMPTY_DTYPE.get(ptype, np.uint8))
     if ptype == "FIXED_LEN_BYTE_ARRAY":
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
     if ptype == "BYTE_ARRAY":

@@ -1123,6 +1123,10 @@ def write_tables(
     )
     out = bytearray(magic)
     row_groups: list[tuple[list[_Column], int]] = []
+    # ParquetFileWriter emits NO row group for zero records — drop empty
+    # slices (schema-only files are valid; readers see num_rows=0)
+    nonempty = [s for s in slices if s.num_rows]
+    slices = nonempty or []
     for rg_ord, sl in enumerate(slices):
         cols = _write_row_group(
             sl, out, config,
@@ -1183,7 +1187,7 @@ def write_tables(
             meta.bloom_len = len(out) - meta.bloom_offset
 
     sorting = None
-    if sorting_columns:
+    if sorting_columns and row_groups:
         dotted = [".".join(m.path) for m in row_groups[0][0]]
         sorting = []
         for name, desc, nulls_first in sorting_columns:

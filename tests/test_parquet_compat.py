@@ -801,3 +801,28 @@ def test_read_parquet_evolved_with_predicate(tmp_path, ray_session):
     # predicate on a column no file has
     with pytest.raises(ValueError):
         run(Eq("zzz", 1))
+
+
+def test_empty_table_and_zero_row_row_groups(tmp_path):
+    """ParquetFileWriter writes NO row group for zero records; readers must
+    also survive foreign files that do carry 0-row row groups."""
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import read_table_filtered
+
+    t = pa.table({"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    p = str(tmp_path / "empty.parquet")
+    parquet_write.write_table(t, p)
+    assert pq.ParquetFile(p).metadata.num_row_groups == 0
+    got = parquet_compat.read_table_conformance(p)
+    assert got.num_rows == 0 and got.schema.names == ["a", "s"]
+    assert pq.read_table(p).num_rows == 0
+    assert read_table_filtered(p, [("a", ">", 0)]).num_rows == 0
+    # foreign file with an interior 0-row row group
+    p2 = str(tmp_path / "zrg.parquet")
+    w = pq.ParquetWriter(p2, t.schema)
+    w.write_table(pa.table({"a": pa.array([1], pa.int64()), "s": pa.array(["x"])}))
+    w.write_table(t)
+    w.close()
+    assert pq.ParquetFile(p2).metadata.num_row_groups == 2
+    got2 = parquet_compat.read_table_conformance(p2)
+    assert got2.num_rows == 1 and got2["a"].to_pylist() == [1]
