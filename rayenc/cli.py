@@ -130,12 +130,16 @@ def cmd_meta(args):
     rows = 0
     blob = 0
     raw = 0
+    encodings: dict[str, dict[str, int]] = {}
     names = _manifests(args.dir)
     for n in names:
         m = _load(args.dir, n)
         rows += m["num_rows"]
         blob += m["blob_bytes"]
         raw += m["raw_bytes"]
+        for c in m["chunks"]:
+            col = encodings.setdefault(c["name"], {})
+            col[c["encoding"]] = col.get(c["encoding"], 0) + 1
     print(
         json.dumps(
             {
@@ -144,6 +148,9 @@ def cmd_meta(args):
                 "raw_bytes": raw,
                 "blob_bytes": blob,
                 "ratio": round(raw / blob, 3) if blob else None,
+                # selector observability: which encoding won, per column,
+                # across partitions (parquet-cli meta's encodings field)
+                "encodings": encodings,
             },
             indent=2,
         )
