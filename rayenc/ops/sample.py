@@ -111,6 +111,12 @@ def group_quota(ds, key_col: str, group_col: str, cap: int):
 
     def candidates(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, key_col])
+        if t.column(group_col).null_count:
+            # loud, not silent: a null group would vanish from the
+            # threshold table and its rows from the output
+            raise ValueError(
+                f"group_quota: null values in group column {group_col!r}"
+            )
         idx = pc.sort_indices(
             t, sort_keys=[(group_col, "ascending"), (key_col, "ascending")]
         )
