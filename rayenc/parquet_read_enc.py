@@ -898,6 +898,16 @@ def read_table_filtered(
             ci = leaf_ord[leaf.col]
             lf = f.leaves[ci]
             md = f.chunk_meta(rg_ord, ci)
+            if leaf.op in ("is_null", "not_null"):
+                # Statistics.null_count (field 3) vs ColumnMetaData
+                # num_values (field 5, nulls included)
+                st = md.get(12)
+                nulls = st.get(3) if isinstance(st, dict) else None
+                if nulls is None:
+                    return True
+                if leaf.op == "is_null":
+                    return nulls > 0
+                return md.get(5, 0) - nulls > 0
             if distrust_binary and lf.ptype in (
                 "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"
             ):
@@ -979,6 +989,21 @@ def read_table_filtered(
         cidx, oidx = parsed
         locs = oidx.get(1, [])
         firsts = [loc[3] for loc in locs] + [rg_rows]
+        if node.op in ("is_null", "not_null"):
+            # ColumnIndex null_pages (field 1) + null_counts (field 5)
+            null_pages = cidx.get(1, [])
+            counts = cidx.get(5, None)
+            keep = []
+            for p in range(len(locs)):
+                if node.op == "not_null":
+                    k = not (p < len(null_pages) and null_pages[p])
+                else:
+                    k = counts[p] > 0 if (counts and p < len(counts)) else True
+                if k:
+                    keep.append(p)
+            return _merge_intervals(
+                [(firsts[p], firsts[p + 1]) for p in keep]
+            )
         bounds = _page_bounds(cidx, f.leaves[ci])
         keep = _matching_pages(node, bounds, cidx.get(4, 0))
         return _merge_intervals([(firsts[p], firsts[p + 1]) for p in keep])

@@ -246,6 +246,13 @@ class DecodeWorker:
                 ):
                     return False
             st = entry.get("stats")
+            if leaf.op in ("is_null", "not_null"):
+                # exact null-count veto (stats carry defined + null counts)
+                if not st:
+                    return True
+                if leaf.op == "is_null":
+                    return st.get("null_count", 1) > 0
+                return st.get("num_values", 1) > 0
             if not st or st.get("min") is None:
                 return True
             lo, hi = st["min"], st["max"]

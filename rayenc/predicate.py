@@ -28,10 +28,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable
 
-_LEAF_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "not_in", "udp"}
+_LEAF_OPS = {"==", "!=", "<", "<=", ">", ">=", "in", "not_in", "udp",
+             "is_null", "not_null"}
 _INVERSE = {
     "==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
-    "in": "not_in", "not_in": "in",
+    "in": "not_in", "not_in": "in", "is_null": "not_null",
+    "not_null": "is_null",
 }
 
 
@@ -213,6 +215,12 @@ def leaf_mask(leaf: Leaf, arr):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    if leaf.op == "is_null":
+        # before the dictionary branch: null rows are null INDICES there,
+        # and take() would turn the verdict null instead of true
+        return pc.is_null(arr)
+    if leaf.op == "not_null":
+        return pc.is_valid(arr)
     if pa.types.is_dictionary(arr.type):
         # dictionary-aware evaluation (`DictionaryFilter.java` taken to row
         # granularity): run the leaf once over the NDV-sized dictionary,
@@ -297,7 +305,14 @@ def may_match(pred, leaf_fn: Callable[[Leaf], bool]) -> bool:
 
 def leaf_vs_bounds(leaf: Leaf, lo, hi, all_null: bool = False) -> bool:
     """Can any NON-null value in [lo, hi] satisfy the leaf? ``all_null``
-    granules fail every leaf (SQL comparison semantics)."""
+    granules fail every comparison leaf (SQL semantics). is_null/not_null
+    need null COUNTS these bounds don't carry: is_null stays True
+    (call sites holding a null_count veto it themselves), not_null prunes
+    exactly the all-null granules."""
+    if leaf.op == "is_null":
+        return True
+    if leaf.op == "not_null":
+        return not all_null and lo is not None
     if all_null or lo is None:
         return False
     if lo != lo or hi != hi:  # NaN bounds (older manifests): never skip
@@ -339,6 +354,8 @@ def leaf_vs_values(leaf: Leaf, arr) -> bool:
     because the dictionary enumerates every distinct non-null value."""
     import pyarrow.compute as pc
 
+    if leaf.op in ("is_null", "not_null"):
+        return True  # dictionaries carry no null info
     if leaf.op in ("!=", "not_in"):
         # any dictionary value outside the excluded set satisfies it
         return bool(pc.any(_as_bool_array(leaf_mask(leaf, arr))).as_py() or False)

@@ -752,3 +752,50 @@ def test_format_message_type(tmp_path):
         EncryptedFile(str(tmp_path / "pa.parquet")).schema_elems
     )
     assert "id" in txt2 and "(STRING)" in txt2
+
+
+def test_read_table_filtered_null_predicates(tmp_path):
+    """IS NULL / IS NOT NULL on file reads: Statistics.null_count vetoes
+    row groups, ColumnIndex null_pages/null_counts prune pages."""
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import read_table_filtered
+    from rayenc.selector import EncodeConfig
+
+    n = 4000
+    x = [float(i) if (i // 1000) % 2 == 0 else None for i in range(n)]
+    # rg0: defined, rg1: all null, rg2: defined, rg3: all null
+    t = pa.table(
+        {
+            "k": pa.array(list(range(n)), pa.int64()),
+            "x": pa.array(x, pa.float64()),
+        }
+    )
+    path = str(tmp_path / "nulls.parquet")
+    parquet_write.write_table(
+        t, path, EncodeConfig(page_rows=500), row_group_size=1000
+    )
+    got = read_table_filtered(path, [("x", "not_null", None)])
+    assert got.num_rows == 2000 and got["x"].null_count == 0
+    got2 = read_table_filtered(path, [("x", "is_null", None)])
+    assert got2.num_rows == 2000 and got2["x"].null_count == 2000
+    # composition with a comparison in a tree
+    from rayenc import predicate as P
+
+    got3 = read_table_filtered(
+        path, P.Or(P.Leaf("x", "is_null", None), P.Leaf("k", "<", 10))
+    )
+    assert got3.num_rows == 2010
+    # mixed-null row groups still exact
+    t2 = pa.table(
+        {
+            "k": pa.array(list(range(20)), pa.int64()),
+            "x": pa.array(
+                [None if i % 3 == 0 else float(i) for i in range(20)],
+                pa.float64(),
+            ),
+        }
+    )
+    p2 = str(tmp_path / "mixed.parquet")
+    parquet_write.write_table(t2, p2)
+    g = read_table_filtered(p2, [("x", "is_null", None)])
+    assert sorted(g["k"].to_pylist()) == [i for i in range(20) if i % 3 == 0]

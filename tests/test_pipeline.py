@@ -444,3 +444,43 @@ def test_decode_bad_block_threshold(ray_session, token_parquet, tmp_path):
         pipeline.decode_dataset(
             out, concurrency=1, bad_block_threshold=0.0
         ).materialize()
+
+
+def test_decode_dataset_null_predicates(tmp_path):
+    # IS NULL / IS NOT NULL pushdown: null_count stats veto partitions
+    from rayenc import pipeline
+
+    src = str(tmp_path / "src.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(list(range(30)), pa.int64()),
+            "x": pa.array(
+                [None if (i < 10 and i % 2) else float(i) for i in range(10)]
+                + [float(i) for i in range(10, 20)]  # rg without nulls
+                + [None] * 10,  # all-null rg
+                pa.float64(),
+            ),
+        }
+    )
+    pq.write_table(t, src, row_group_size=10)
+    out = str(tmp_path / "enc")
+    pipeline.encode_job([src], out, target_block_bytes=350).materialize()
+    got = pipeline.decode_dataset(out, predicate=[("x", "is_null", None)]).to_pandas()
+    assert sorted(got["k"].tolist()) == [1, 3, 5, 7, 9] + list(range(20, 30))
+    got2 = pipeline.decode_dataset(out, predicate=[("x", "not_null", None)]).to_pandas()
+    assert len(got2) == 15
+    # stats veto: the no-null partition is skipped for is_null, the
+    # all-null partition for not_null
+    mans = sorted(n for n in os.listdir(out) if n.endswith(".manifest.json"))
+    w_isnull = pipeline.DecodeWorker(out, predicate=[("x", "is_null", None)])
+    w_notnull = pipeline.DecodeWorker(out, predicate=[("x", "not_null", None)])
+    skips_is = [
+        w_isnull._skip_by_stats(json.loads(open(os.path.join(out, n)).read()))
+        for n in mans
+    ]
+    skips_not = [
+        w_notnull._skip_by_stats(json.loads(open(os.path.join(out, n)).read()))
+        for n in mans
+    ]
+    assert skips_is == [False, True, False]
+    assert skips_not == [False, False, True]

@@ -340,3 +340,52 @@ def test_dictionary_level_row_group_filter(monkeypatch):
         path, [("source", "==", "beta")], use_dictionary_filter=False
     )
     assert got.num_rows == 0
+
+
+class TestNullPredicates:
+    """is_null / not_null leaves (filter2's eq(col, null) / notEq(col, null)
+    pair, exposed as explicit ops; SQL IS [NOT] NULL semantics)."""
+
+    def test_leaf_mask(self):
+        import pyarrow.compute as pc
+
+        from rayenc import predicate as P
+
+        arr = pa.array([1, None, 3, None], pa.int64())
+        m = P.leaf_mask(P.Leaf("x", "is_null", None), arr)
+        assert m.to_pylist() == [False, True, False, True]
+        m2 = P.leaf_mask(P.Leaf("x", "not_null", None), arr)
+        assert m2.to_pylist() == [True, False, True, False]
+        # dictionary arrays: null rows are null indices — must still be True
+        d = pa.array(["a", None, "a", "b"]).dictionary_encode()
+        m3 = P.leaf_mask(P.Leaf("x", "is_null", None), d)
+        assert m3.to_pylist() == [False, True, False, False]
+
+    def test_normalize_inverse(self):
+        from rayenc import predicate as P
+
+        t = P.normalize(P.Not(P.Leaf("x", "is_null", None)))
+        assert isinstance(t, P.Leaf) and t.op == "not_null"
+
+    def test_filter_table_tree(self):
+        from rayenc import predicate as P
+
+        t = pa.table(
+            {
+                "x": pa.array([1, None, 3, None], pa.int64()),
+                "y": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+        got = P.filter_table(
+            P.normalize(P.Or(P.Leaf("x", "is_null", None), P.Leaf("y", ">", 35))),
+            t,
+        )
+        assert got["y"].to_pylist() == [20, 40]
+
+    def test_bounds_pruning_semantics(self):
+        from rayenc import predicate as P
+
+        # not_null prunes all-null granules; is_null never prunes on bounds
+        assert P.leaf_vs_bounds(P.Leaf("x", "not_null", None), None, None, all_null=True) is False
+        assert P.leaf_vs_bounds(P.Leaf("x", "not_null", None), 1, 5) is True
+        assert P.leaf_vs_bounds(P.Leaf("x", "is_null", None), 1, 5) is True
