@@ -1267,6 +1267,39 @@ def _schema_evolution_filtered(sf_dir: str):
     )
 
 
+def _evolved_isnull_filter(sf_dir: str):
+    """IS NULL pushdown composed with schema evolution: rows from files
+    predating a column are exactly the rows where that column IS NULL, so
+    the Or-tree (l_tax IS NULL AND l_returnflag = 'A') OR l_tax > 0.07
+    selects generation-0 'A' rows plus high-tax generation-1 rows — the
+    filter2 eq(col, null) semantics over a multi-generation lake."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.pipeline import read_parquet_evolved
+    from rayenc.predicate import And, Eq, Gt, IsNull, Or
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_tax"],
+    )
+    old = pc.less_equal(t.column("l_linenumber"), 3)
+    gen0 = t.filter(old).select(["l_orderkey", "l_partkey", "l_returnflag"])
+    gen1 = t.filter(pc.invert(old)).select(["l_orderkey", "l_partkey", "l_tax"])
+    p0 = tempfile.mktemp(suffix="-ngen0.parquet", dir="/tmp")
+    p1 = tempfile.mktemp(suffix="-ngen1.parquet", dir="/tmp")
+    parquet_write.write_table(gen0, p0)
+    parquet_write.write_table(gen1, p1)
+    return read_parquet_evolved(
+        [p0, p1], strict=False,
+        predicate=Or(
+            And(IsNull("l_tax"), Eq("l_returnflag", "A")), Gt("l_tax", 0.07)
+        ),
+    )
+
+
 def _encode_evolved_roundtrip(sf_dir: str):
     """Evolved-schema container ingestion: the two lineitem generations of
     schema_evolution_read encoded into ONE renc container via
@@ -1841,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["merge_parquet_raw"] = _merge_parquet_raw
     q["schema_evolution_read"] = _schema_evolution_read
     q["schema_evolution_filtered"] = _schema_evolution_filtered
+    q["evolved_isnull_filter"] = _evolved_isnull_filter
     q["encode_evolved_roundtrip"] = _encode_evolved_roundtrip
     q["mask_parquet_file"] = _mask_parquet_file
     q["transcompress_parquet_file"] = _transcompress_parquet_file
@@ -2002,6 +2036,13 @@ def oracle_sql() -> dict[str, str]:
         " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"
         " WHERE (l_linenumber>3 AND l_tax>0.04)"
         " OR (l_linenumber<=3 AND l_returnflag='A')"
+    )
+    o["evolved_isnull_filter"] = (
+        "SELECT l_orderkey, l_partkey,"
+        " CASE WHEN l_linenumber<=3 THEN l_returnflag END AS l_returnflag,"
+        " CASE WHEN l_linenumber>3 THEN l_tax END AS l_tax FROM lineitem"
+        " WHERE (l_linenumber<=3 AND l_returnflag='A')"
+        " OR (l_linenumber>3 AND l_tax>0.07)"
     )
     o["mask_parquet_file"] = (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,"

@@ -159,6 +159,16 @@ def Udp(col, user_predicate: UserPredicate):
     return Leaf(col, "udp", user_predicate)
 
 
+def IsNull(col):
+    """FilterApi eq(col, null) — matches exactly the null rows."""
+    return Leaf(col, "is_null", None)
+
+
+def NotNull(col):
+    """FilterApi notEq(col, null) — matches exactly the non-null rows."""
+    return Leaf(col, "not_null", None)
+
+
 # ------------------------------------------------------------- normalization
 
 
