@@ -831,6 +831,32 @@ def _matching_pages(node, bounds, boundary_order: int) -> list[int]:
     ]
 
 
+_FILE_CACHE: dict = {}
+
+
+def _open_cached(path: str, decryption) -> "EncryptedFile":
+    """Per-process EncryptedFile reuse: pipeline.read_parquet_filtered plans
+    one task per (file, row group), and Ray's long-lived workers would
+    otherwise re-parse the same footer once per row group. Keyed on file
+    mtime so rewrites invalidate; the mmap is read-only and shares pages
+    across tasks. Bounded (reset at 8 files) — workers touch few distinct
+    files at a time."""
+    import os as _os
+
+    try:
+        mt = _os.path.getmtime(path)
+    except OSError:
+        mt = None
+    key = (path, mt, id(decryption) if decryption is not None else None)
+    f = _FILE_CACHE.get(key)
+    if f is None:
+        if len(_FILE_CACHE) >= 8:
+            _FILE_CACHE.clear()
+        f = EncryptedFile(path, decryption)
+        _FILE_CACHE[key] = f
+    return f
+
+
 def read_table_filtered(
     path: str,
     predicate,
@@ -858,7 +884,7 @@ def read_table_filtered(
     from . import predicate as P
 
     tree = P.normalize(predicate)
-    f = EncryptedFile(path, decryption)
+    f = _open_cached(path, decryption)
     schema = f.arrow_schema()
     leaf_ord = {leaf.dotted: i for i, leaf in enumerate(f.leaves)}
     pred_cols = sorted(P.columns(tree))
