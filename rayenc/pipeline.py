@@ -63,50 +63,74 @@ def default_staging_dir(staging_dir: str | None, prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir="/tmp")
 
 
+def _plan_file(path: str, target_block_bytes: int) -> list[dict]:
+    """Partition descriptors for ONE file (footer metadata only)."""
+    md = pq.ParquetFile(path).metadata
+    descs: list[dict] = []
+    cur_rgs: list[int] = []
+    cur_bytes = 0
+    for rg in range(md.num_row_groups):
+        rg_meta = md.row_group(rg)
+        rg_bytes = rg_meta.total_byte_size
+        if rg_bytes > target_block_bytes * 2 and rg_meta.num_rows > 1:
+            if cur_rgs:
+                descs.append({"path": path, "row_groups": cur_rgs})
+                cur_rgs, cur_bytes = [], 0
+            # split one giant row group into row ranges
+            nsplit = int(np.ceil(rg_bytes / target_block_bytes))
+            rows = rg_meta.num_rows
+            step = (rows + nsplit - 1) // nsplit
+            for s in range(0, rows, step):
+                descs.append(
+                    {
+                        "path": path,
+                        "row_groups": [rg],
+                        "row_start": s,
+                        "row_count": min(step, rows - s),
+                    }
+                )
+            continue
+        if cur_bytes + rg_bytes > target_block_bytes and cur_rgs:
+            descs.append({"path": path, "row_groups": cur_rgs})
+            cur_rgs, cur_bytes = [], 0
+        cur_rgs.append(rg)
+        cur_bytes += rg_bytes
+    if cur_rgs:
+        descs.append({"path": path, "row_groups": cur_rgs})
+    return descs
+
+
 def plan_partitions(
     paths: list[str] | str,
     target_block_bytes: int = DEFAULT_TARGET_BLOCK_BYTES,
+    parallel: bool | None = None,
 ) -> list[dict]:
     """Deterministic partition descriptors from parquet row groups.
 
     One partition = one or more consecutive row groups of one file (small row
     groups coalesce up to the target), or a row-range slice of one row group
-    (giant row groups split). Partition ids are stable across runs."""
+    (giant row groups split). Partition ids are stable across runs.
+
+    ``parallel``: read footers with Ray tasks instead of a driver loop —
+    ParquetInputFormat's parallel summary reading. Default: on above 64
+    files (100 TB lakes have 10^4–10^5 files; serial footer parsing would
+    be minutes of driver time). Determinism is unchanged — descriptors are
+    ordered by sorted path regardless of task completion order."""
     if isinstance(paths, str):
         paths = [paths]
-    descs: list[dict] = []
-    for path in sorted(paths):
-        md = pq.ParquetFile(path).metadata
-        cur_rgs: list[int] = []
-        cur_bytes = 0
-        for rg in range(md.num_row_groups):
-            rg_meta = md.row_group(rg)
-            rg_bytes = rg_meta.total_byte_size
-            if rg_bytes > target_block_bytes * 2 and rg_meta.num_rows > 1:
-                if cur_rgs:
-                    descs.append({"path": path, "row_groups": cur_rgs})
-                    cur_rgs, cur_bytes = [], 0
-                # split one giant row group into row ranges
-                nsplit = int(np.ceil(rg_bytes / target_block_bytes))
-                rows = rg_meta.num_rows
-                step = (rows + nsplit - 1) // nsplit
-                for s in range(0, rows, step):
-                    descs.append(
-                        {
-                            "path": path,
-                            "row_groups": [rg],
-                            "row_start": s,
-                            "row_count": min(step, rows - s),
-                        }
-                    )
-                continue
-            if cur_bytes + rg_bytes > target_block_bytes and cur_rgs:
-                descs.append({"path": path, "row_groups": cur_rgs})
-                cur_rgs, cur_bytes = [], 0
-            cur_rgs.append(rg)
-            cur_bytes += rg_bytes
-        if cur_rgs:
-            descs.append({"path": path, "row_groups": cur_rgs})
+    paths = sorted(paths)
+    if parallel is None:
+        parallel = len(paths) > 64
+    if parallel and paths:
+        plan_one = ray.remote(num_cpus=0.25)(_plan_file)
+        per_file = ray.get(
+            [plan_one.remote(p, target_block_bytes) for p in paths]
+        )
+        descs = [d for file_descs in per_file for d in file_descs]
+    else:
+        descs = [
+            d for p in paths for d in _plan_file(p, target_block_bytes)
+        ]
     for pid, d in enumerate(descs):
         d["pid"] = pid
     return descs

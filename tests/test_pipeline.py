@@ -484,3 +484,15 @@ def test_decode_dataset_null_predicates(tmp_path):
     ]
     assert skips_is == [False, True, False]
     assert skips_not == [False, False, True]
+
+
+def test_plan_partitions_parallel_matches_serial(ray_session, token_parquet, tmp_path):
+    # parallel footer reading must produce byte-identical descriptors
+    paths = [token_parquet]
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.parquet")
+        pq.write_table(data.make_table(500, seed=i), p, row_group_size=200)
+        paths.append(p)
+    a = pipeline.plan_partitions(paths, target_block_bytes=1 << 17, parallel=False)
+    b = pipeline.plan_partitions(paths, target_block_bytes=1 << 17, parallel=True)
+    assert a == b
