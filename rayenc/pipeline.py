@@ -940,11 +940,22 @@ def read_parquet_filtered(
 
     if isinstance(paths, str):
         paths = [paths]
-    descs = []
-    for path in sorted(paths):
-        f = EncryptedFile(path, decryption)
-        for rg in range(len(f.row_groups)):
-            descs.append({"path": path, "rg": rg})
+    paths = sorted(paths)
+
+    def _n_rgs(path: str) -> int:
+        return len(EncryptedFile(path, decryption).row_groups)
+
+    if len(paths) > 64:  # parallel footer reads, like plan_partitions
+        counts = ray.get(
+            [ray.remote(num_cpus=0.25)(_n_rgs).remote(p) for p in paths]
+        )
+    else:
+        counts = [_n_rgs(p) for p in paths]
+    descs = [
+        {"path": path, "rg": rg}
+        for path, n in zip(paths, counts)
+        for rg in range(n)
+    ]
     if not descs:
         return ray.data.from_items([])
 
