@@ -887,3 +887,42 @@ def test_group_sample_exact_and_deterministic(ray_session):
     assert c == {"a": 20, "b": 20, "small": 5}  # exact-N, under-cap keeps all
     other = sorted((r["g"], r["k"]) for r in sample.group_sample(ds, "k", "g", 20, salt=5).take_all())
     assert other != got1  # salt changes the draw
+
+
+def test_group_quota_and_sample_random_shapes(ray_session):
+    # randomized cross-check vs a pandas reference over random group
+    # shapes, caps and partitionings (unique keys — the documented domain)
+    import pandas as pd
+    import ray
+
+    from rayenc.ops import sample
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n_groups = int(rng.integers(1, 8))
+        sizes = rng.integers(1, 60, n_groups)
+        keys = rng.permutation(10_000)[: sizes.sum()]
+        rows, k = [], 0
+        for g in range(n_groups):
+            for _ in range(sizes[g]):
+                rows.append({"k": int(keys[k]), "g": f"g{g}"})
+                k += 1
+        cap = int(rng.integers(1, 25))
+        parts = int(rng.integers(1, 9))
+        ds = ray.data.from_items(rows).repartition(parts)
+        df = pd.DataFrame(rows)
+        want = (
+            df.sort_values(["g", "k"]).groupby("g").head(cap)
+        )
+        got = sample.group_quota(ds, "k", "g", cap).take_all()
+        assert sorted((r["g"], r["k"]) for r in got) == sorted(
+            zip(want["g"], want["k"])
+        ), f"trial {trial} cap {cap} parts {parts}"
+        # sampling: exact per-group counts, deterministic, within the keys
+        samp = sample.group_sample(ds, "k", "g", cap, salt=trial).take_all()
+        from collections import Counter
+
+        cnt = Counter(r["g"] for r in samp)
+        assert cnt == {
+            f"g{g}": min(cap, int(sizes[g])) for g in range(n_groups)
+        }, f"trial {trial}"
