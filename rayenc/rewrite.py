@@ -688,6 +688,8 @@ def transcompress_parquet_raw(
         _schema_body,
     )
 
+    from .parquet_read_enc import _parse_index
+
     f = EncryptedFile(path_in)
     if f.algorithm:
         raise ValueError("transcompress_parquet_raw requires plaintext input")
@@ -701,6 +703,8 @@ def transcompress_parquet_raw(
     for rg_ord, rg in enumerate(f.row_groups):
         new_ccs = []
         for ci, lf in enumerate(f.leaves):
+            orig_cc = rg[1][ci]
+            orig_idx = _parse_index(f, rg_ord, ci)
             md = dict(rg[1][ci][3])
             old_name = codec_names.get(md.get(4, 0))
             old_codec = pa.Codec(old_name) if old_name else None
@@ -710,6 +714,7 @@ def transcompress_parquet_raw(
             raw = f.raw[start : start + md[7]]
             chunk_start = len(out)
             new_dict_off = new_data_off = None
+            new_pages: list = []  # (offset, header+body size) per data page
             pos = 0
             consumed = 0
             has_dict = 11 in md and md[11] is not None and md[11] >= 0
@@ -775,10 +780,12 @@ def transcompress_parquet_raw(
                     expect_dict = False
                 elif new_data_off is None and h.type in (0, 3):
                     new_data_off = len(out)
+                page_off = len(out)
                 out += hw.stop()
                 out += new_body
                 if h.type in (0, 3):
                     consumed += h.num_values
+                    new_pages.append((page_off, len(out) - page_off))
                 pos += h.header_len + h.compressed_size
             md[4] = new_codec_id
             md[7] = len(out) - chunk_start
@@ -790,8 +797,41 @@ def transcompress_parquet_raw(
             md.pop(10, None)
             md.pop(14, None)  # blooms not carried (offsets were chunk-external)
             md.pop(15, None)
+            # page-index carry-over (CompressionConverter keeps indexes):
+            # ColumnIndex bytes are codec-independent and copy verbatim;
+            # the OffsetIndex re-emits below with the new page locations
+            if orig_idx is not None:
+                _, oidx = orig_idx
+                firsts = [loc[3] for loc in oidx.get(1, [])]
+                if len(firsts) == len(new_pages):
+                    md["_ci_region"] = (orig_cc[6], orig_cc[7])
+                    md["_new_pages"] = new_pages
+                    md["_first_rows"] = firsts
             new_ccs.append(md)
         merged_rgs.append((new_ccs, rg.get(3, 0)))
+
+    # index region between the last row group and the footer
+    # (ParquetFileWriter layout)
+    for ccs, _ in merged_rgs:
+        for md in ccs:
+            if "_ci_region" not in md:
+                continue
+            off, ln = md["_ci_region"]
+            md["_ci"] = (len(out), ln)
+            out += f.raw[off : off + ln]
+            oi = _W()
+            oi.begin_list(1, 12, len(md["_new_pages"]))
+            for (p_off, p_size), first in zip(
+                md["_new_pages"], md["_first_rows"]
+            ):
+                pl = _W()
+                pl.i64(1, p_off)
+                pl.i(2, p_size)
+                pl.i64(3, first)
+                oi.out += pl.stop()
+            oi_b = oi.stop()
+            md["_oi"] = (len(out), len(oi_b))
+            out += oi_b
 
     schema = f.arrow_schema()
     w = _W()
@@ -812,8 +852,16 @@ def transcompress_parquet_raw(
             cc = _W()
             cc.i64(2, md.get(11, md[9]))
             cc.begin_struct(3)
-            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
+            _emit_struct_fields(
+                cc, _COLUMN_META_SPEC,
+                {k: v for k, v in md.items() if isinstance(k, int)},
+            )
             cc.end_struct()
+            if "_oi" in md:
+                cc.i64(4, md["_oi"][0])
+                cc.i(5, md["_oi"][1])
+                cc.i64(6, md["_ci"][0])
+                cc.i(7, md["_ci"][1])
             rgw.out += cc.stop()
         rgw.i64(2, sum(m[6] for m in ccs))
         rgw.i64(3, rows)

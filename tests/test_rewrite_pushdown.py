@@ -238,3 +238,41 @@ def test_rewrite_rename_columns(ray_session, tmp_path):
     got = got.sort_values("n_nationkey").reset_index(drop=True)
     want = want.sort_values("n_nationkey").reset_index(drop=True)
     assert (got["nation_name"] == want["n_name"]).all()
+
+
+def test_transcompress_raw_preserves_page_index(tmp_path):
+    """CompressionConverter keeps page indexes: the ColumnIndex copies
+    verbatim (bounds are codec-independent), the OffsetIndex re-emits with
+    the new page offsets/sizes, and filtered reads keep page-skipping."""
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import (
+        EncryptedFile,
+        _parse_index,
+        read_table_filtered,
+    )
+    from rayenc.rewrite import transcompress_parquet_raw
+    from rayenc.selector import EncodeConfig
+    from rayenc.validate import validate_column_index
+
+    src = str(tmp_path / "s.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(50_000, dtype=np.int64)),
+            "s": pa.array([f"v{i % 977:04d}" for i in range(50_000)]),
+        }
+    )
+    parquet_write.write_table(t, src, EncodeConfig(page_rows=5000))
+    out = str(tmp_path / "z.parquet")
+    transcompress_parquet_raw(src, out, "zstd")
+    f = EncryptedFile(out)
+    cidx, oidx = _parse_index(f, 0, 0)
+    assert len(oidx[1]) == 10  # pages survive with locations
+    assert cidx.get(4) == 1  # boundary order preserved (ascending k)
+    assert validate_column_index(out) == []
+    got = read_table_filtered(out, [("k", ">=", 42_000), ("k", "<", 43_000)])
+    assert got.num_rows == 1000
+    # round-trip back to uncompressed keeps it again
+    out2 = str(tmp_path / "u.parquet")
+    transcompress_parquet_raw(out, out2, None)
+    assert validate_column_index(out2) == []
+    assert pq.read_table(out2).equals(t)
