@@ -294,7 +294,80 @@ _COLUMN_META_SPEC = {
     17: ("struct", _GEO_SPEC),
 }
 # ColumnMetaData fields holding absolute file offsets to shift on copy
-_CM_OFFSET_FIELDS = (9, 10, 11, 14)
+_CM_OFFSET_FIELDS = (9, 10, 11)  # bloom (14) is outside the chunk byte
+# range: its bytes must be stashed and re-placed, never offset-shifted
+
+
+def _stash_chunk_extras(f, cc: dict, md: dict, shift: int) -> None:
+    """Capture the chunk-external regions of a verbatim-copied chunk so the
+    writer can re-place them: split-block bloom bytes (ColumnMetaData
+    fields 14/15 point OUTSIDE the chunk range) and the page-index regions
+    (ColumnChunk fields 4..7). The ColumnIndex bytes copy verbatim (bounds
+    are layout-independent); OffsetIndex page offsets rebase by ``shift``
+    because the pages themselves moved exactly that far."""
+    from .parquet_read_enc import _read_struct_full
+
+    if 14 in md:
+        md["_bloom"] = bytes(f.raw[md[14] : md[14] + md.get(15, 0)])
+    if 6 in cc and 4 in cc:
+        ci_raw = bytes(f.raw[cc[6] : cc[6] + cc[7]])
+        oidx = _read_struct_full(f.raw[cc[4] : cc[4] + cc[5]], 0)[0]
+        locs = [
+            (loc[1] + shift, loc[2], loc[3]) for loc in oidx.get(1, [])
+        ]
+        md["_idx"] = (ci_raw, locs)
+
+
+def _place_chunk_extras(out: bytearray, merged_rgs) -> None:
+    """Write stashed index + bloom regions between the last row group and
+    the footer (ParquetFileWriter layout) and stamp the new locations."""
+    from .parquet_write import _W
+
+    for ccs, _ in merged_rgs:
+        for md in ccs:
+            idx = md.pop("_idx", None)
+            if idx is not None:
+                ci_raw, locs = idx
+                md["_ci"] = (len(out), len(ci_raw))
+                out += ci_raw
+                oi = _W()
+                oi.begin_list(1, 12, len(locs))
+                for off, size, first in locs:
+                    pl = _W()
+                    pl.i64(1, off)
+                    pl.i(2, size)
+                    pl.i64(3, first)
+                    oi.out += pl.stop()
+                b = oi.stop()
+                md["_oi"] = (len(out), len(b))
+                out += b
+    for ccs, _ in merged_rgs:
+        for md in ccs:
+            bloom = md.pop("_bloom", None)
+            if bloom is not None:
+                md[14] = len(out)
+                out += bloom
+
+
+def _emit_cc(md: dict) -> bytes:
+    """One footer ColumnChunk: file_offset + metadata + (when carried)
+    offset/column-index locations (fields 4..7)."""
+    from .parquet_write import _W
+
+    cc = _W()
+    cc.i64(2, md.get(11, md[9]))
+    cc.begin_struct(3)
+    _emit_struct_fields(
+        cc, _COLUMN_META_SPEC,
+        {k: v for k, v in md.items() if isinstance(k, int)},
+    )
+    cc.end_struct()
+    if "_oi" in md:
+        cc.i64(4, md["_oi"][0])
+        cc.i(5, md["_oi"][1])
+        cc.i64(6, md["_ci"][0])
+        cc.i(7, md["_ci"][1])
+    return cc.stop()
 
 
 def _emit_typed(w, fid, ftype, val):
@@ -365,7 +438,6 @@ def merge_parquet_raw(paths_in: "list[str]", path_out: str) -> str:
 
     out = bytearray(b"PAR1")
     merged_rgs = []  # (list of (cc fields dict ready), rows)
-    blooms = []  # (new_cc, bloom bytes) pending placement
     for f in files:
         for rg_ord, (rg_fields, ccs) in enumerate(
             (rg, rg[1]) for rg in f.row_groups
@@ -379,19 +451,14 @@ def merge_parquet_raw(paths_in: "list[str]", path_out: str) -> str:
                     start = min(start, md[10])
                 length = md[7]
                 shift = len(out) - start
+                _stash_chunk_extras(f, cc, md, shift)
                 out += f.raw[start : start + length]
                 for fid in _CM_OFFSET_FIELDS:
-                    if fid in md and fid != 14:
+                    if fid in md:
                         md[fid] = md[fid] + shift
-                if 14 in md:  # bloom moves to its own region later
-                    blooms.append(
-                        (md, bytes(f.raw[md[14] : md[14] + md.get(15, 0)]))
-                    )
                 new_ccs.append(md)
             merged_rgs.append((new_ccs, f.row_groups[rg_ord].get(3, 0)))
-    for md, bloom_bytes in blooms:
-        md[14] = len(out)
-        out += bloom_bytes
+    _place_chunk_extras(out, merged_rgs)
 
     # footer: schema elements re-emitted from the FIRST input's raw footer
     # region is not possible generically, so rebuild via parquet_write on
@@ -416,12 +483,7 @@ def merge_parquet_raw(paths_in: "list[str]", path_out: str) -> str:
         rg = _W()
         rg.begin_list(1, 12, len(ccs))
         for md in ccs:
-            cc = _W()
-            cc.i64(2, md.get(11, md[9]))  # file_offset
-            cc.begin_struct(3)
-            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
-            cc.end_struct()
-            rg.out += cc.stop()
+            rg.out += _emit_cc(md)
         rg.i64(2, sum(m[6] for m in ccs))
         rg.i64(3, rows)
         w.out += rg.stop()
@@ -493,12 +555,14 @@ def prune_parquet_raw(path_in: str, path_out: str, drop: "list[str]") -> str:
             if md.get(10):
                 start = min(start, md[10])
             shift = len(out) - start
+            _stash_chunk_extras(f, rg[1][ci], md, shift)
             out += f.raw[start : start + md[7]]
             for fid in _CM_OFFSET_FIELDS:
                 if fid in md:
                     md[fid] = md[fid] + shift
             new_ccs.append(md)
         merged_rgs.append((new_ccs, rg.get(3, 0)))
+    _place_chunk_extras(out, merged_rgs)
 
     w = _W()
     w.i(1, 2)
@@ -515,12 +579,7 @@ def prune_parquet_raw(path_in: str, path_out: str, drop: "list[str]") -> str:
         rg = _W()
         rg.begin_list(1, 12, len(ccs))
         for md in ccs:
-            cc = _W()
-            cc.i64(2, md.get(11, md[9]))
-            cc.begin_struct(3)
-            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
-            cc.end_struct()
-            rg.out += cc.stop()
+            rg.out += _emit_cc(md)
         rg.i64(2, sum(m[6] for m in ccs))
         rg.i64(3, rows)
         w.out += rg.stop()
@@ -593,6 +652,7 @@ def mask_parquet_raw(path_in: str, path_out: str, mask: "list[str]") -> str:
                 if md.get(10):
                     start = min(start, md[10])
                 shift = len(out) - start
+                _stash_chunk_extras(f, rg[1][ci], md, shift)
                 out += f.raw[start : start + md[7]]
                 for fid in _CM_OFFSET_FIELDS:
                     if fid in md:
@@ -618,6 +678,7 @@ def mask_parquet_raw(path_in: str, path_out: str, mask: "list[str]") -> str:
             md, _ = _read_struct_full(mw.stop(), 0)
             new_ccs.append(md)
         merged_rgs.append((new_ccs, rg.get(3, 0)))
+    _place_chunk_extras(out, merged_rgs)
 
     w = _W()
     w.i(1, 2)
@@ -634,12 +695,7 @@ def mask_parquet_raw(path_in: str, path_out: str, mask: "list[str]") -> str:
         rg = _W()
         rg.begin_list(1, 12, len(ccs))
         for md in ccs:
-            cc = _W()
-            cc.i64(2, md.get(11, md[9]))
-            cc.begin_struct(3)
-            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
-            cc.end_struct()
-            rg.out += cc.stop()
+            rg.out += _emit_cc(md)
         rg.i64(2, sum(m[6] for m in ccs))
         rg.i64(3, rows)
         w.out += rg.stop()
@@ -849,20 +905,7 @@ def transcompress_parquet_raw(
         rgw = _W()
         rgw.begin_list(1, 12, len(ccs))
         for md in ccs:
-            cc = _W()
-            cc.i64(2, md.get(11, md[9]))
-            cc.begin_struct(3)
-            _emit_struct_fields(
-                cc, _COLUMN_META_SPEC,
-                {k: v for k, v in md.items() if isinstance(k, int)},
-            )
-            cc.end_struct()
-            if "_oi" in md:
-                cc.i64(4, md["_oi"][0])
-                cc.i(5, md["_oi"][1])
-                cc.i64(6, md["_ci"][0])
-                cc.i(7, md["_ci"][1])
-            rgw.out += cc.stop()
+            rgw.out += _emit_cc(md)
         rgw.i64(2, sum(m[6] for m in ccs))
         rgw.i64(3, rows)
         w.out += rgw.stop()
@@ -926,6 +969,7 @@ def rename_parquet_raw(path_in: str, path_out: str, renames: "dict[str, str]") -
             if md.get(10):
                 start = min(start, md[10])
             shift = len(out) - start
+            _stash_chunk_extras(f, rg[1][ci], md, shift)
             out += f.raw[start : start + md[7]]
             for fid in _CM_OFFSET_FIELDS:
                 if fid in md:
@@ -938,6 +982,7 @@ def rename_parquet_raw(path_in: str, path_out: str, renames: "dict[str, str]") -
                 md[3] = new_path
             new_ccs.append(md)
         merged_rgs.append((new_ccs, rg.get(3, 0)))
+    _place_chunk_extras(out, merged_rgs)
 
     w = _W()
     w.i(1, 2)
@@ -954,12 +999,7 @@ def rename_parquet_raw(path_in: str, path_out: str, renames: "dict[str, str]") -
         rgw = _W()
         rgw.begin_list(1, 12, len(ccs))
         for md in ccs:
-            cc = _W()
-            cc.i64(2, md.get(11, md[9]))
-            cc.begin_struct(3)
-            _emit_struct_fields(cc, _COLUMN_META_SPEC, md)
-            cc.end_struct()
-            rgw.out += cc.stop()
+            rgw.out += _emit_cc(md)
         rgw.i64(2, sum(m[6] for m in ccs))
         rgw.i64(3, rows)
         w.out += rgw.stop()

@@ -276,3 +276,55 @@ def test_transcompress_raw_preserves_page_index(tmp_path):
     transcompress_parquet_raw(out, out2, None)
     assert validate_column_index(out2) == []
     assert pq.read_table(out2).equals(t)
+
+
+def test_raw_rewrites_carry_blooms_and_indexes(tmp_path):
+    """Raw prune/mask/rename/merge must carry bloom filters (previously a
+    stale-offset crash: field 14 was shifted but the bytes never copied)
+    and page indexes (ColumnIndex verbatim, OffsetIndex rebased)."""
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import (
+        EncryptedFile,
+        _parse_index,
+        read_bloom_filter,
+        read_table_filtered,
+    )
+    from rayenc.rewrite import (
+        mask_parquet_raw,
+        merge_parquet_raw,
+        prune_parquet_raw,
+        rename_parquet_raw,
+    )
+    from rayenc.selector import EncodeConfig
+    from rayenc.validate import validate_column_index
+
+    src = str(tmp_path / "s.parquet")
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(20_000, dtype=np.int64)),
+            "s": pa.array([f"v{i % 977:04d}" for i in range(20_000)]),
+            "x": pa.array(np.arange(20_000).astype(np.float64)),
+        }
+    )
+    parquet_write.write_table(
+        t, src, EncodeConfig(page_rows=4000, bloom_columns={"k", "s"})
+    )
+    outs = {
+        "prune": prune_parquet_raw(src, str(tmp_path / "p.parquet"), ["x"]),
+        "mask": mask_parquet_raw(src, str(tmp_path / "m.parquet"), ["s"]),
+        "rename": rename_parquet_raw(src, str(tmp_path / "r.parquet"), {"k": "kk"}),
+        "merge": merge_parquet_raw([src, src], str(tmp_path / "g.parquet")),
+    }
+    for name, path in outs.items():
+        f = EncryptedFile(path)
+        assert _parse_index(f, 0, 0) is not None, name
+        assert read_bloom_filter(f, 0, 0) is not None, name
+        assert validate_column_index(path) == [], name
+        assert pq.read_table(path).num_rows == (40_000 if name == "merge" else 20_000)
+    assert read_table_filtered(outs["prune"], [("k", "==", 123)]).num_rows == 1
+    assert read_table_filtered(outs["rename"], [("kk", ">=", 19_000)]).num_rows == 1000
+    assert read_table_filtered(outs["merge"], [("k", "==", 7)]).num_rows == 2
+    # the masked column's index/bloom were NOT carried (its values changed)
+    fm = EncryptedFile(outs["mask"])
+    s_ord = next(i for i, lf in enumerate(fm.leaves) if lf.dotted == "s")
+    assert read_bloom_filter(fm, 0, s_ord) is None
