@@ -851,8 +851,9 @@ def transcompress_parquet_raw(
             else:
                 md.pop(11, None)
             md.pop(10, None)
-            md.pop(14, None)  # blooms not carried (offsets were chunk-external)
-            md.pop(15, None)
+            if 14 in md:  # bloom bytes are codec-independent: carry them
+                md["_bloom"] = bytes(f.raw[md[14] : md[14] + md.get(15, 0)])
+                md.pop(14)
             # page-index carry-over (CompressionConverter keeps indexes):
             # ColumnIndex bytes are codec-independent and copy verbatim;
             # the OffsetIndex re-emits below with the new page locations
@@ -888,6 +889,12 @@ def transcompress_parquet_raw(
             oi_b = oi.stop()
             md["_oi"] = (len(out), len(oi_b))
             out += oi_b
+    for ccs, _ in merged_rgs:
+        for md in ccs:
+            bloom = md.pop("_bloom", None)
+            if bloom is not None:
+                md[14] = len(out)
+                out += bloom
 
     schema = f.arrow_schema()
     w = _W()

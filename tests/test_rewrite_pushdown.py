@@ -328,3 +328,23 @@ def test_raw_rewrites_carry_blooms_and_indexes(tmp_path):
     fm = EncryptedFile(outs["mask"])
     s_ord = next(i for i, lf in enumerate(fm.leaves) if lf.dotted == "s")
     assert read_bloom_filter(fm, 0, s_ord) is None
+
+
+def test_transcompress_raw_carries_blooms(tmp_path):
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import EncryptedFile, read_bloom_filter, read_table_filtered
+    from rayenc.rewrite import transcompress_parquet_raw
+    from rayenc.selector import EncodeConfig
+    from rayenc.validate import validate_column_index
+
+    src = str(tmp_path / "s.parquet")
+    t = pa.table({"k": pa.array(np.arange(20_000, dtype=np.int64))})
+    parquet_write.write_table(
+        t, src, EncodeConfig(page_rows=4000, bloom_columns={"k"})
+    )
+    out = str(tmp_path / "z.parquet")
+    transcompress_parquet_raw(src, out, "zstd")
+    f = EncryptedFile(out)
+    assert read_bloom_filter(f, 0, 0) is not None
+    assert validate_column_index(out) == []
+    assert read_table_filtered(out, [("k", "==", 123)]).num_rows == 1
