@@ -419,9 +419,9 @@ def merge_parquet_raw(paths_in: "list[str]", path_out: str) -> str:
     bytes are copied verbatim and only the footer offsets shift — the
     actual `rewrite/ParquetRewriter.java` stitching (its no-transform path
     copies chunks wholesale). Statistics, encodings, size statistics and
-    geospatial statistics carry over untouched; bloom filters are copied
-    with their offsets shifted; page indexes are dropped (the OffsetIndex
-    embeds absolute page offsets — readers fall back to chunk stats).
+    geospatial statistics carry over untouched; bloom filters and page
+    indexes carry too (ColumnIndex bytes verbatim, OffsetIndex page
+    offsets rebased by each chunk's displacement).
     Requires plaintext files with identical schemas (AAD module ordinals
     make encrypted chunk copy a re-encrypt job: use ``reencrypt_parquet``).
     """
