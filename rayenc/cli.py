@@ -15,6 +15,7 @@ verify jobs.
     python -m rayenc.cli rewrite DIR -o OUT [--drop col ...] [--mask col ...]
                                  [--compress zstd|none] [--rename old=new]
     python -m rayenc.cli verify  IN.parquet... --dir DIR
+    python -m rayenc.cli merge-containers DIR... -o OUT_DIR
 
 Parquet FILE inspection / surgery (all take --key HEX for encrypted files):
 
@@ -124,6 +125,16 @@ def cmd_schema(args):
     m = _load(args.dir, _manifests(args.dir)[0])
     schema = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema"])))
     print(schema)
+
+
+def cmd_merge_containers(args):
+    """appendFile analog for renc containers: consolidate several container
+    directories into one without decoding (blobs copy verbatim)."""
+    from rayenc.pipeline import merge_containers
+
+    n = merge_containers(args.dirs, args.out)
+    print(f"merged {len(args.dirs)} containers -> {n} partitions in {args.out}")
+    return 0
 
 
 def cmd_meta(args):
@@ -694,6 +705,11 @@ def main(argv=None):
     m = sub.add_parser("meta")
     m.add_argument("dir")
     m.set_defaults(fn=cmd_meta)
+
+    mc = sub.add_parser("merge-containers")
+    mc.add_argument("dirs", nargs="+")
+    mc.add_argument("-o", "--out", required=True)
+    mc.set_defaults(fn=cmd_merge_containers)
 
     pg = sub.add_parser("pages")
     pg.add_argument("dir")

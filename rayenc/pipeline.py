@@ -850,6 +850,47 @@ def verify_roundtrip(paths: list[str] | str, out_dir: str, key: str | None = Non
     }
 
 
+def merge_containers(in_dirs: list[str], out_dir: str) -> int:
+    """Consolidate several renc containers into one WITHOUT decoding — the
+    `ParquetFileWriter.appendFile` analog at container granularity: blobs
+    copy verbatim (partitions are self-contained), manifests renumber pids
+    and blob names densely in sorted (dir, pid) order. Schemas must match.
+    Returns the merged partition count."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    entries = []
+    for d in in_dirs:
+        for n in sorted(
+            x for x in os.listdir(d) if x.endswith(".manifest.json")
+        ):
+            entries.append((d, n))
+    if not entries:
+        raise ValueError("no partitions to merge")
+    schema0 = None
+    for pid, (d, n) in enumerate(entries):
+        manifest = json.loads(open(os.path.join(d, n)).read())
+        if schema0 is None:
+            schema0 = manifest["schema"]
+        elif manifest["schema"] != schema0:
+            raise ValueError(
+                f"container schema mismatch: {d}/{n} differs from "
+                f"{entries[0][0]}"
+            )
+        blob_name = f"part-{pid:06d}.renc"
+        shutil.copyfile(
+            os.path.join(d, manifest["blob"]),
+            os.path.join(out_dir, blob_name),
+        )
+        manifest["pid"] = pid
+        manifest["blob"] = blob_name
+        _atomic_write(
+            os.path.join(out_dir, f"part-{pid:06d}.manifest.json"),
+            json.dumps(manifest).encode(),
+        )
+    return len(entries)
+
+
 def encode_encrypted_parquet_job(
     paths: list[str] | str,
     out_dir: str,

@@ -496,3 +496,26 @@ def test_plan_partitions_parallel_matches_serial(ray_session, token_parquet, tmp
     a = pipeline.plan_partitions(paths, target_block_bytes=1 << 17, parallel=False)
     b = pipeline.plan_partitions(paths, target_block_bytes=1 << 17, parallel=True)
     assert a == b
+
+
+def test_merge_containers(ray_session, token_parquet, tmp_path):
+    # appendFile analog at container granularity: blobs copy verbatim,
+    # pids renumber, the merged container decodes to the union
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    t = data.make_table(800, mean_tokens=40.0, seed=5)
+    p1, p2 = str(tmp_path / "p1.parquet"), str(tmp_path / "p2.parquet")
+    pq.write_table(t.slice(0, 500), p1, row_group_size=200)
+    pq.write_table(t.slice(500), p2, row_group_size=200)
+    pipeline.encode_job(p1, a, target_block_bytes=1 << 14).materialize()
+    pipeline.encode_job(p2, b, target_block_bytes=1 << 14).materialize()
+    out = str(tmp_path / "m")
+    n = pipeline.merge_containers([a, b], out)
+    assert n >= 2
+    res = pipeline.verify_roundtrip([p1, p2], out, key="doc_id")
+    assert res["equal"] and res["rows"] == 800
+    # schema mismatch is loud
+    c = str(tmp_path / "c")
+    pq.write_table(pa.table({"z": [1]}), str(tmp_path / "z.parquet"))
+    pipeline.encode_job(str(tmp_path / "z.parquet"), c).materialize()
+    with pytest.raises(ValueError):
+        pipeline.merge_containers([a, c], str(tmp_path / "bad"))
