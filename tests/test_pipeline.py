@@ -519,3 +519,17 @@ def test_merge_containers(ray_session, token_parquet, tmp_path):
     pipeline.encode_job(str(tmp_path / "z.parquet"), c).materialize()
     with pytest.raises(ValueError):
         pipeline.merge_containers([a, c], str(tmp_path / "bad"))
+
+
+def test_read_parquet_filtered_many_files(ray_session, tmp_path):
+    # >64 files triggers the parallel footer-counting path
+    paths = []
+    for i in range(70):
+        p = str(tmp_path / f"f{i:03d}.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([i * 10 + j for j in range(10)], pa.int64())}), p
+        )
+        paths.append(p)
+    ds = pipeline.read_parquet_filtered(paths, [("k", "<", 25)])
+    got = sorted(r["k"] for r in ds.take_all())
+    assert got == list(range(25))
