@@ -257,6 +257,22 @@ def _exact_dedup(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+def _dup_span_counts(sf_dir: str):
+    from rayenc.ops import dedup
+
+    return dedup.duplicate_span_counts(
+        _docs_ds(sf_dir, ["doc_id", "text"]), window=64
+    )
+
+
+def _remove_dup_spans(sf_dir: str):
+    from rayenc.ops import dedup
+
+    return dedup.remove_duplicate_spans(
+        _docs_ds(sf_dir, ["doc_id", "text"]), window=64
+    )
+
+
 def _token_counts(sf_dir: str):
     import pyarrow as pa
 
@@ -1853,6 +1869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dict_decode_counts"] = _dict_decode_counts
     # training-data pipeline operators (SQL-oracled where expressible)
     q["exact_dedup_documents"] = _exact_dedup
+    q["dup_span_counts_documents"] = _dup_span_counts
+    q["remove_dup_spans_documents"] = _remove_dup_spans
     q["token_counts_documents"] = _token_counts
     q["scrub_pii_documents"] = _scrub_pii_documents
     q["decontaminate_documents"] = _decontaminate_documents
@@ -1964,6 +1982,31 @@ def oracle_sql() -> dict[str, str]:
     )
     o["exact_dedup_documents"] = (
         "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+    )
+    # fixed-window exact-substring dedup (Lee et al. 2021 approximation):
+    # non-overlapping 64-char windows appearing in >=2 distinct documents
+    _DUP_W = (
+        "WITH w AS ("
+        " SELECT doc_id, s, substr(text, CAST((s-1)*64 + 1 AS BIGINT), 64) AS win"
+        " FROM (SELECT doc_id, text,"
+        "       unnest(generate_series(1, CAST(floor(length(text)/64) AS BIGINT))) AS s"
+        "       FROM documents)),"
+        " d AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2)"
+    )
+    o["dup_span_counts_documents"] = (
+        _DUP_W
+        + " SELECT doc_id, COUNT(*) AS n_dup_windows"
+        " FROM w JOIN d USING (win) GROUP BY doc_id"
+    )
+    o["remove_dup_spans_documents"] = (
+        _DUP_W
+        + ", agg AS ("
+        "  SELECT doc_id, STRING_AGG(CASE WHEN w.win IN (SELECT win FROM d)"
+        "   THEN NULL ELSE w.win END, '' ORDER BY s) AS body"
+        "  FROM w GROUP BY doc_id)"
+        " SELECT documents.doc_id, COALESCE(body, '')"
+        "  || substr(text, CAST(floor(length(text)/64)*64 + 1 AS BIGINT)) AS text"
+        " FROM documents LEFT JOIN agg USING (doc_id)"
     )
     o["token_counts_documents"] = (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents"

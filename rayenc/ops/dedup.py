@@ -96,6 +96,27 @@ def hash_id_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):
 DROP_BROADCAST_MAX = 2_000_000
 
 
+def _drop_empty_blocks(ds):
+    """Drop zero-COLUMN blocks a Ray shuffle can emit for empty partitions —
+    Acero hash joins reject them ("no match for key field"), and map_batches
+    never visits empty blocks so they can't be repaired in-stream. O(num
+    blocks) driver work on refs; payloads stay in the object store."""
+    import ray
+
+    ds = ds.materialize()
+
+    @ray.remote
+    def _has_cols(t):
+        return t.num_columns > 0
+
+    refs = ds.to_arrow_refs()
+    keep = [
+        r for r, k in zip(refs, ray.get([_has_cols.remote(r) for r in refs]))
+        if k
+    ]
+    return ray.data.from_arrow_refs(keep) if keep else ds
+
+
 def remove_ids(
     ds,
     drop_ds,
@@ -138,7 +159,7 @@ def remove_ids(
         n_drop, max_broadcast,
     )
     nparts = join_partitions or max(2, int(ray.cluster_resources().get("CPU", 8)))
-    return ds.join(drop_ds, "left_anti", nparts, on=(id_col,))
+    return ds.join(_drop_empty_blocks(drop_ds), "left_anti", nparts, on=(id_col,))
 
 
 def exact_dedup(
@@ -600,3 +621,243 @@ def ngram_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
         ).size
         per_pair[p] = inter / max(a.size + b.size - inter, 1)
     return per_pair[pinv]
+
+
+# -------------------------------------- exact duplicate spans (substring dedup)
+#
+# Fixed-window approximation of suffix-array exact-substring dedup
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): every document is cut into non-overlapping `window`-byte
+# windows; a window whose exact bytes occur in >=2 distinct documents is a
+# duplicate span. Counting and removal both shuffle only (window, id)
+# pairs — never the documents.
+
+
+def _doc_windows(offsets: np.ndarray, data: np.ndarray, window: int):
+    """All non-overlapping ``window``-byte windows of every string in a flat
+    (offsets, data) buffer pair.
+
+    Returns ``(doc_idx int64[nw], ordi int64[nw], mat uint8[nw, window])``:
+    source-row index, window ordinal within its row, and the window bytes.
+    """
+    lengths = np.diff(offsets)
+    nwin = lengths // window
+    total = int(nwin.sum())
+    if total == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty((0, window), np.uint8),
+        )
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), nwin)
+    first = np.cumsum(nwin) - nwin
+    ordi = np.arange(total, dtype=np.int64) - np.repeat(first, nwin)
+    starts = offsets[:-1][doc_idx] + ordi * window
+    mat = data[starts[:, None] + np.arange(window)]
+    return doc_idx, ordi, mat
+
+
+def _windows_binary(mat: np.ndarray) -> pa.Array:
+    """uint8[n, k] window matrix -> Arrow binary array (zero-copy data)."""
+    n, k = mat.shape
+    off = (np.arange(n + 1, dtype=np.int32) * k)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
+def window_spans(ds, text_col="text", id_col="doc_id", window: int = 64,
+                 with_ordinal: bool = False):
+    """Dataset of one row per non-overlapping ``window``-byte window of
+    ``text_col``: columns ``(__w: binary, id_col)`` (+ ``__o`` ordinal when
+    requested). Byte-addressed: on pure-ASCII corpora this coincides with
+    character windows (the SQL oracle's ``substr`` semantics).
+
+    Scale shape: the expansion is vectorized numpy over the flat string
+    buffer; the emitted pairs are ``window + 8`` bytes/row, so the downstream
+    ``groupby(__w)`` shuffle moves ~window/avg_doc_len of the corpus bytes,
+    not the documents."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        arr = batch.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        from rayenc.codecs.dictionary import binary_parts
+
+        offsets, data = binary_parts(arr)
+        doc_idx, ordi, mat = _doc_windows(offsets, data, window)
+        ids = batch.column(id_col).take(pa.array(doc_idx))
+        cols = {"__w": _windows_binary(mat), id_col: ids}
+        if with_ordinal:
+            cols["__o"] = pa.array(ordi)
+        return pa.table(cols)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
+                          window: int = 64):
+    """Per-document count of window occurrences whose exact bytes appear in
+    >=2 distinct documents. Returns a Dataset ``(id_col, n_dup_windows)``
+    containing only documents with at least one duplicate window.
+
+    Two (window,id)-pair shuffles; group sizes are bounded by per-window
+    occurrence counts (boilerplate-heavy corpora should pre-cap hot windows
+    the same way LSH buckets are capped)."""
+    pairs = window_spans(ds, text_col, id_col, window)
+
+    def per_window(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        if pc.count_distinct(ids).as_py() < 2:
+            return group.select([id_col]).slice(0, 0)
+        return group.select([id_col])
+
+    hits = pairs.groupby("__w").map_groups(per_window, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([id_col, "n_dup_windows"])
+
+    return (
+        hits.groupby(id_col).count().map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def remove_duplicate_spans(
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    window: int = 64,
+    max_broadcast: int = DROP_BROADCAST_MAX,
+    join_partitions: int | None = None,
+):
+    """Cut every duplicate window (exact bytes in >=2 distinct documents)
+    out of ``text_col``, preserving all other columns. Remainder bytes
+    (``len % window``) are always kept.
+
+    Two regimes, mirroring ``remove_ids``: with <= ``max_broadcast`` dup
+    occurrences the (id, ordinal) drop list broadcasts via ``ray.put`` into
+    a vectorized per-batch cut — no corpus shuffle. Above that it
+    hash-joins the drop list into the corpus by ``id_col`` (one corpus
+    shuffle), so the driver never holds the list."""
+    import ray
+
+    pairs = window_spans(ds, text_col, id_col, window, with_ordinal=True)
+
+    def dup_occurrences(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        if pc.count_distinct(ids).as_py() < 2:
+            return group.select([id_col, "__o"]).slice(0, 0)
+        return group.select([id_col, "__o"])
+
+    occ = (
+        pairs.groupby("__w")
+        .map_groups(dup_occurrences, batch_format="pyarrow")
+        .materialize()
+    )
+    n_occ = occ.count()
+    if n_occ == 0:
+        return ds
+
+    def cut_batch(batch: pa.Table, drop_ids, drop_ords) -> pa.Table:
+        if batch.num_rows == 0 or len(drop_ids) == 0:
+            return batch
+        arr = batch.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        from rayenc.codecs.dictionary import binary_parts
+
+        offsets, data = binary_parts(arr)
+        lengths = np.diff(offsets)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # map drop (id, ordinal) pairs onto this batch's rows
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], drop_ids)
+        ok = (pos < len(ids)) & (ids[order][np.minimum(pos, len(ids) - 1)] == drop_ids)
+        row = order[pos[ok]]
+        starts = offsets[:-1][row] + drop_ords[ok] * window
+        if not len(starts):
+            return batch
+        # byte coverage mask via prefix-sum of interval deltas
+        delta = np.zeros(len(data) + 1, np.int32)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, starts + window, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        new_data = data[~covered]
+        drops_per_row = np.bincount(row, minlength=len(ids))
+        new_lengths = lengths - drops_per_row.astype(np.int64) * window
+        big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
+            arr.type
+        )
+        new_off = np.zeros(len(ids) + 1, np.int64 if big else np.int32)
+        np.cumsum(new_lengths, out=new_off[1:])
+        out = pa.Array.from_buffers(
+            arr.type,
+            len(ids),
+            [None, pa.py_buffer(new_off.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(new_data).tobytes())],
+        )
+        i = batch.column_names.index(text_col)
+        return batch.set_column(i, text_col, out)
+
+    if n_occ <= max_broadcast:
+        parts = [ray.get(r) for r in occ.to_arrow_refs()]
+        occ_t = pa.concat_tables([p for p in parts if p.num_rows])
+        occ_ref = ray.put(
+            (
+                occ_t.column(id_col).to_numpy(zero_copy_only=False),
+                occ_t.column("__o").to_numpy(zero_copy_only=False),
+            )
+        )
+
+        def cut(batch: pa.Table) -> pa.Table:
+            drop_ids, drop_ords = ray.get(occ_ref)
+            return cut_batch(batch, drop_ids, drop_ords)
+
+        return ds.map_batches(cut, batch_format="pyarrow")
+
+    log.info(
+        "dup-span drop list has %d occurrences > max_broadcast=%d: "
+        "hash-joining by %s", n_occ, max_broadcast, id_col,
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        # ordinals packed as a little-endian int64 blob: Acero hash joins
+        # reject list-typed payload columns, binary is fine
+        ords = group.column("__o").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: group.column(id_col).slice(0, 1),
+                "__drop": pa.array(
+                    [ords.astype("<i8").tobytes()], type=pa.binary()
+                ),
+            }
+        )
+
+    packed = _drop_empty_blocks(
+        occ.groupby(id_col).map_groups(pack, batch_format="pyarrow")
+    )
+    nparts = join_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8))
+    )
+    joined = ds.join(packed, "left_outer", nparts, on=(id_col,))
+
+    def cut_joined(batch: pa.Table) -> pa.Table:
+        drops = batch.column("__drop")
+        if isinstance(drops, pa.ChunkedArray):
+            drops = drops.combine_chunks()
+        blobs = drops.to_pylist()
+        sizes = np.array(
+            [0 if b is None else len(b) // 8 for b in blobs], np.int64
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        drop_ids = np.repeat(ids, sizes)
+        drop_ords = (
+            np.frombuffer(b"".join(b for b in blobs if b), "<i8")
+            if sizes.sum()
+            else np.empty(0, np.int64)
+        )
+        return cut_batch(batch.drop_columns(["__drop"]), drop_ids, drop_ords)
+
+    return joined.map_batches(cut_joined, batch_format="pyarrow")

@@ -926,3 +926,102 @@ def test_group_quota_and_sample_random_shapes(ray_session):
         assert cnt == {
             f"g{g}": min(cap, int(sizes[g])) for g in range(n_groups)
         }, f"trial {trial}"
+
+
+# ----------------------------------------------- duplicate spans (substring)
+
+
+def _naive_dup_spans(texts: dict, window: int):
+    from collections import Counter, defaultdict
+
+    docwins, occ = defaultdict(set), []
+    for did, x in texts.items():
+        for i in range(len(x) // window):
+            w = x[i * window : (i + 1) * window]
+            docwins[w].add(did)
+            occ.append((did, w))
+    dup = {w for w, ds in docwins.items() if len(ds) >= 2}
+    counts = Counter(did for did, w in occ if w in dup)
+
+    def clean(x):
+        n = len(x) // window
+        return (
+            "".join(
+                x[i * window : (i + 1) * window]
+                for i in range(n)
+                if x[i * window : (i + 1) * window] not in dup
+            )
+            + x[n * window :]
+        )
+
+    return dict(counts), {did: clean(x) for did, x in texts.items()}
+
+
+@pytest.fixture(scope="module")
+def span_docs(ray_session):
+    shared = "ABCDEFGH"  # one exact window
+    texts = {
+        0: shared + "xxxxyyyy" + shared + "tail",  # shared twice + remainder
+        1: "zzzzzzzz" + shared,  # shares with 0
+        2: "qqqqqqqqrrrrrrrr",  # unique windows
+        3: "short",  # below window size
+        4: "zzzzzzzz" + "zzzzzzzz",  # same window twice, ONE doc only
+        5: "",  # empty
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values())),
+            "source": pa.array([f"s{i}" for i in texts]),
+        }
+    )
+    return texts, ray.data.from_arrow(tbl).repartition(3)
+
+
+def test_duplicate_span_counts(span_docs):
+    texts, ds = span_docs
+    want, _ = _naive_dup_spans(texts, 8)
+    out = dedup.duplicate_span_counts(ds, window=8).to_pandas()
+    got = dict(zip(out.doc_id, out.n_dup_windows))
+    # doc 4's repeated window lives in >=2 docs (docs 1 and 4) -> both count;
+    # doc 0's `shared` window counts twice there
+    assert got == want
+
+
+@pytest.mark.parametrize("max_broadcast", [1_000_000, 1])
+def test_remove_duplicate_spans(span_docs, max_broadcast):
+    texts, ds = span_docs
+    _, want = _naive_dup_spans(texts, 8)
+    out = dedup.remove_duplicate_spans(
+        ds, window=8, max_broadcast=max_broadcast
+    ).to_pandas()
+    assert dict(zip(out.doc_id, out.text)) == want
+    # untouched columns survive both regimes
+    assert dict(zip(out.doc_id, out.source)) == {i: f"s{i}" for i in texts}
+
+
+def test_remove_duplicate_spans_no_dups_is_identity(ray_session):
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["aaaaaaaabbbbbbbb", "ccccccccdddddddd"])}
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = dedup.remove_duplicate_spans(ds, window=8).to_pandas()
+    assert sorted(out.text) == ["aaaaaaaabbbbbbbb", "ccccccccdddddddd"]
+    assert dedup.duplicate_span_counts(ds, window=8).count() == 0
+
+
+def test_window_spans_preserves_string_type(ray_session):
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array(["ABCDEFGHrest", "ABCDEFGH"], pa.large_string())}
+    )
+    out_ds = dedup.remove_duplicate_spans(
+        ray.data.from_arrow(tbl), window=8
+    )
+    t = pa.concat_tables(
+        [ray.get(r) for r in out_ds.to_arrow_refs() if ray.get(r).num_rows]
+    )
+    assert pa.types.is_large_string(t.schema.field("text").type)
+    got = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    assert got == {1: "rest", 2: ""}
