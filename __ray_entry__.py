@@ -1806,6 +1806,75 @@ def _pack_sequences_q(sf_dir: str):
     ).select_columns(["pack_id", "n_docs"])
 
 
+def _planted_token_docs(sf_dir: str):
+    """Known-answer fixture for token-space duplicate-span dedup over the
+    input_hint table shape (doc_id, tokens:list<int32>, n_tok, source):
+    every doc gets 48 globally-unique base tokens ((doc_id+1)*100000 + pos);
+    docs with doc_id %% 10 == 0 additionally share a 32-token boilerplate
+    prefix = exactly two 16-token duplicate windows. So dup counts are 2 for
+    planted docs (0 otherwise) and span removal leaves every doc at exactly
+    its 48 base tokens."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    ids = docs.column("doc_id").to_numpy()
+    boiler = np.arange(1, 33, dtype=np.int32)
+    planted = (ids % 10) == 0
+    lengths = np.where(planted, 80, 48).astype(np.int64)
+    flat = np.empty(int(lengths.sum()), np.int32)
+    off = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    for i, did in enumerate(ids):  # fixture build, not a hot path
+        base = ((did + 1) * 100000 + np.arange(48)).astype(np.int32)
+        flat[off[i] : off[i + 1]] = (
+            np.concatenate([boiler, base]) if planted[i] else base
+        )
+    tokens = pa.ListArray.from_arrays(
+        pa.array(off.astype("int32")), pa.array(flat, pa.int32())
+    )
+    tbl = pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "tokens": tokens,
+            "n_tok": pa.array(lengths.astype("int32")),
+            "source": docs.column("source"),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(8)
+
+
+def _token_span_counts_planted(sf_dir: str):
+    from rayenc.ops import dedup
+
+    return dedup.duplicate_token_span_counts(
+        _planted_token_docs(sf_dir), window=16
+    )
+
+
+def _remove_token_spans_planted(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from rayenc.ops import dedup
+
+    out = dedup.remove_duplicate_token_spans(
+        _planted_token_docs(sf_dir), window=16
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tok": pc.cast(batch.column("n_tok"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def _simhash_pairs_planted(sf_dir: str):
     """SimHash banding with a known answer: exact copies have hamming
     distance 0, so every planted pair (and nothing else — the base texts are
@@ -1931,6 +2000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_dedup_planted"] = _minhash_dedup_planted
     q["minhash_pairs_planted"] = _minhash_pairs_planted
     q["simhash_pairs_planted"] = _simhash_pairs_planted
+    q["token_span_counts_planted"] = _token_span_counts_planted
+    q["remove_token_spans_planted"] = _remove_token_spans_planted
     q["ngram_jaccard_planted"] = _ngram_jaccard_planted
     q["multimodal_features_documents"] = _multimodal_docs_oracle
     q["multimodal_png_decode"] = _multimodal_png_oracle
@@ -2250,6 +2321,16 @@ def oracle_sql() -> dict[str, str]:
     )
     o["simhash_pairs_planted"] = (
         "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"
+    )
+    # planted token-table fixture: docs with doc_id%10==0 share a 32-token
+    # prefix = exactly two 16-token duplicate windows; removal strips the
+    # prefix, leaving every doc at its 48 unique base tokens
+    o["token_span_counts_planted"] = (
+        "SELECT doc_id, CAST(2 AS BIGINT) AS n_dup_windows FROM documents"
+        " WHERE doc_id % 10 = 0"
+    )
+    o["remove_token_spans_planted"] = (
+        "SELECT doc_id, CAST(48 AS BIGINT) AS n_tok FROM documents"
     )
     o["ngram_jaccard_planted"] = (
         "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents"

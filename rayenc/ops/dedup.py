@@ -697,16 +697,9 @@ def window_spans(ds, text_col="text", id_col="doc_id", window: int = 64,
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
-def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
-                          window: int = 64):
-    """Per-document count of window occurrences whose exact bytes appear in
-    >=2 distinct documents. Returns a Dataset ``(id_col, n_dup_windows)``
-    containing only documents with at least one duplicate window.
-
-    Two (window,id)-pair shuffles; group sizes are bounded by per-window
-    occurrence counts (boilerplate-heavy corpora should pre-cap hot windows
-    the same way LSH buckets are capped)."""
-    pairs = window_spans(ds, text_col, id_col, window)
+def _dup_window_counts(pairs, id_col: str):
+    """Shared tail of the dup-span counters: keep windows seen in >=2
+    distinct documents, then count hits per document."""
 
     def per_window(group: pa.Table) -> pa.Table:
         ids = group.column(id_col)
@@ -724,17 +717,44 @@ def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
     )
 
 
-def remove_duplicate_spans(
-    ds,
-    text_col="text",
-    id_col="doc_id",
-    window: int = 64,
-    max_broadcast: int = DROP_BROADCAST_MAX,
-    join_partitions: int | None = None,
-):
-    """Cut every duplicate window (exact bytes in >=2 distinct documents)
-    out of ``text_col``, preserving all other columns. Remainder bytes
-    (``len % window``) are always kept.
+def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
+                          window: int = 64):
+    """Per-document count of window occurrences whose exact bytes appear in
+    >=2 distinct documents. Returns a Dataset ``(id_col, n_dup_windows)``
+    containing only documents with at least one duplicate window.
+
+    Two (window,id)-pair shuffles; group sizes are bounded by per-window
+    occurrence counts (boilerplate-heavy corpora should pre-cap hot windows
+    the same way LSH buckets are capped)."""
+    return _dup_window_counts(window_spans(ds, text_col, id_col, window), id_col)
+
+
+def _map_drops_to_rows(ids: np.ndarray, drop_ids: np.ndarray):
+    """Match a global (id,) drop vector onto one batch's id column.
+    Returns (row_indices, keep_mask_over_drops)."""
+    if len(ids) == 0:
+        return np.empty(0, np.int64), np.zeros(len(drop_ids), bool)
+    order = np.argsort(ids, kind="stable")
+    pos = np.searchsorted(ids[order], drop_ids)
+    ok = (pos < len(ids)) & (
+        ids[order][np.minimum(pos, len(ids) - 1)] == drop_ids
+    )
+    return order[pos[ok]], ok
+
+
+def _covered_mask(total: int, starts: np.ndarray, width: int) -> np.ndarray:
+    """Boolean mask over a flat buffer marking [start, start+width) spans."""
+    delta = np.zeros(total + 1, np.int32)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + width, -1)
+    return np.cumsum(delta[:-1]) > 0
+
+
+def _remove_spans(ds, pairs, id_col, cut_batch, max_broadcast,
+                  join_partitions):
+    """Shared drop-list plumbing for span removal. ``pairs`` must carry
+    (__w, id_col, __o); ``cut_batch(batch, drop_ids, drop_ords)`` applies
+    the per-batch cut.
 
     Two regimes, mirroring ``remove_ids``: with <= ``max_broadcast`` dup
     occurrences the (id, ordinal) drop list broadcasts via ``ray.put`` into
@@ -742,8 +762,6 @@ def remove_duplicate_spans(
     hash-joins the drop list into the corpus by ``id_col`` (one corpus
     shuffle), so the driver never holds the list."""
     import ray
-
-    pairs = window_spans(ds, text_col, id_col, window, with_ordinal=True)
 
     def dup_occurrences(group: pa.Table) -> pa.Table:
         ids = group.column(id_col)
@@ -759,47 +777,6 @@ def remove_duplicate_spans(
     n_occ = occ.count()
     if n_occ == 0:
         return ds
-
-    def cut_batch(batch: pa.Table, drop_ids, drop_ords) -> pa.Table:
-        if batch.num_rows == 0 or len(drop_ids) == 0:
-            return batch
-        arr = batch.column(text_col)
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        from rayenc.codecs.dictionary import binary_parts
-
-        offsets, data = binary_parts(arr)
-        lengths = np.diff(offsets)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        # map drop (id, ordinal) pairs onto this batch's rows
-        order = np.argsort(ids, kind="stable")
-        pos = np.searchsorted(ids[order], drop_ids)
-        ok = (pos < len(ids)) & (ids[order][np.minimum(pos, len(ids) - 1)] == drop_ids)
-        row = order[pos[ok]]
-        starts = offsets[:-1][row] + drop_ords[ok] * window
-        if not len(starts):
-            return batch
-        # byte coverage mask via prefix-sum of interval deltas
-        delta = np.zeros(len(data) + 1, np.int32)
-        np.add.at(delta, starts, 1)
-        np.add.at(delta, starts + window, -1)
-        covered = np.cumsum(delta[:-1]) > 0
-        new_data = data[~covered]
-        drops_per_row = np.bincount(row, minlength=len(ids))
-        new_lengths = lengths - drops_per_row.astype(np.int64) * window
-        big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
-            arr.type
-        )
-        new_off = np.zeros(len(ids) + 1, np.int64 if big else np.int32)
-        np.cumsum(new_lengths, out=new_off[1:])
-        out = pa.Array.from_buffers(
-            arr.type,
-            len(ids),
-            [None, pa.py_buffer(new_off.tobytes()),
-             pa.py_buffer(np.ascontiguousarray(new_data).tobytes())],
-        )
-        i = batch.column_names.index(text_col)
-        return batch.set_column(i, text_col, out)
 
     if n_occ <= max_broadcast:
         parts = [ray.get(r) for r in occ.to_arrow_refs()]
@@ -861,3 +838,178 @@ def remove_duplicate_spans(
         return cut_batch(batch.drop_columns(["__drop"]), drop_ids, drop_ords)
 
     return joined.map_batches(cut_joined, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    window: int = 64,
+    max_broadcast: int = DROP_BROADCAST_MAX,
+    join_partitions: int | None = None,
+):
+    """Cut every duplicate window (exact bytes in >=2 distinct documents)
+    out of ``text_col``, preserving all other columns. Remainder bytes
+    (``len % window``) are always kept. See ``_remove_spans`` for the
+    broadcast / hash-join drop-list regimes."""
+    pairs = window_spans(ds, text_col, id_col, window, with_ordinal=True)
+
+    def cut_batch(batch: pa.Table, drop_ids, drop_ords) -> pa.Table:
+        if batch.num_rows == 0 or len(drop_ids) == 0:
+            return batch
+        arr = batch.column(text_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        from rayenc.codecs.dictionary import binary_parts
+
+        offsets, data = binary_parts(arr)
+        lengths = np.diff(offsets)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        row, ok = _map_drops_to_rows(ids, drop_ids)
+        starts = offsets[:-1][row] + drop_ords[ok] * window
+        if not len(starts):
+            return batch
+        covered = _covered_mask(len(data), starts, window)
+        new_data = data[~covered]
+        drops_per_row = np.bincount(row, minlength=len(ids))
+        new_lengths = lengths - drops_per_row.astype(np.int64) * window
+        big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
+            arr.type
+        )
+        new_off = np.zeros(len(ids) + 1, np.int64 if big else np.int32)
+        np.cumsum(new_lengths, out=new_off[1:])
+        out = pa.Array.from_buffers(
+            arr.type,
+            len(ids),
+            [None, pa.py_buffer(new_off.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(new_data).tobytes())],
+        )
+        i = batch.column_names.index(text_col)
+        return batch.set_column(i, text_col, out)
+
+    return _remove_spans(ds, pairs, id_col, cut_batch, max_broadcast,
+                         join_partitions)
+
+
+# --------------------------------- duplicate spans over token arrays
+
+
+def _list_parts(col):
+    """(offsets int64[n+1], flat values ndarray) of a list<primitive>
+    column; null lists count as empty."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = (
+        pc.list_value_length(col).fill_null(0)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    off = np.zeros(len(col) + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return off, vals
+
+
+def token_window_spans(ds, tokens_col="tokens", id_col="doc_id",
+                       window: int = 16, with_ordinal: bool = False):
+    """``window_spans`` over a ``list<int32>`` (or any fixed-width primitive
+    list) token column — the token-space form of exact-substring dedup
+    (windows of ``window`` consecutive tokens, byte-exact keys). This is
+    the variant that applies directly to the pre-tokenized training table
+    (doc_id, tokens, n_tok, source)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        off, vals = _list_parts(batch.column(tokens_col))
+        k = vals.dtype.itemsize
+        doc_idx, ordi, mat = _doc_windows(
+            off * k, np.ascontiguousarray(vals).view(np.uint8), window * k
+        )
+        ids = batch.column(id_col).take(pa.array(doc_idx))
+        cols = {"__w": _windows_binary(mat), id_col: ids}
+        if with_ordinal:
+            cols["__o"] = pa.array(ordi)
+        return pa.table(cols)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def duplicate_token_span_counts(ds, tokens_col="tokens", id_col="doc_id",
+                                window: int = 16):
+    """Per-document count of ``window``-token windows whose exact token ids
+    appear in >=2 distinct documents."""
+    return _dup_window_counts(
+        token_window_spans(ds, tokens_col, id_col, window), id_col
+    )
+
+
+def remove_duplicate_token_spans(
+    ds,
+    tokens_col="tokens",
+    id_col="doc_id",
+    window: int = 16,
+    n_tok_col: str | None = "n_tok",
+    max_broadcast: int = DROP_BROADCAST_MAX,
+    join_partitions: int | None = None,
+):
+    """Cut every duplicate ``window``-token span out of ``tokens_col``
+    (exact token-id match in >=2 distinct documents), keeping remainder
+    tokens. Refreshes ``n_tok_col`` when present.
+
+    The token list rides through the drop-list machinery as a lossless
+    little-endian byte blob (Acero hash joins reject list-typed payload
+    columns), so a window of W fixed-width tokens is exactly a
+    ``W * itemsize``-byte window of the blob — the byte-span remover
+    applies verbatim and both regimes of ``_remove_spans`` work."""
+    list_type = ds.schema().base_schema.field(tokens_col).type
+    value_type = list_type.value_type
+    np_dtype = np.dtype(value_type.to_pandas_dtype())
+    itemsize = np_dtype.itemsize
+
+    def to_blob(batch: pa.Table) -> pa.Table:
+        off, vals = _list_parts(batch.column(tokens_col))
+        data = np.ascontiguousarray(vals).view(np.uint8)
+        boff = (off * itemsize).astype(np.int64)
+        blob = pa.Array.from_buffers(
+            pa.large_binary(),
+            batch.num_rows,
+            [None, pa.py_buffer(boff.tobytes()), pa.py_buffer(data.tobytes())],
+        )
+        i = batch.column_names.index(tokens_col)
+        return batch.set_column(i, tokens_col, blob)
+
+    cleaned = remove_duplicate_spans(
+        ds.map_batches(to_blob, batch_format="pyarrow"),
+        text_col=tokens_col,
+        id_col=id_col,
+        window=window * itemsize,
+        max_broadcast=max_broadcast,
+        join_partitions=join_partitions,
+    )
+
+    def from_blob(batch: pa.Table) -> pa.Table:
+        from rayenc.codecs.dictionary import binary_parts
+
+        col = batch.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        boff, data = binary_parts(col)
+        vals = pa.array(
+            np.ascontiguousarray(data).view(np_dtype), type=value_type
+        )
+        off = boff // itemsize
+        if pa.types.is_large_list(list_type):
+            out = pa.LargeListArray.from_arrays(pa.array(off), vals)
+        else:
+            out = pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32)), vals
+            )
+        i = batch.column_names.index(tokens_col)
+        batch = batch.set_column(i, tokens_col, out)
+        if n_tok_col and n_tok_col in batch.column_names:
+            j = batch.column_names.index(n_tok_col)
+            nt = pa.array(np.diff(off)).cast(
+                batch.schema.field(n_tok_col).type
+            )
+            batch = batch.set_column(j, n_tok_col, nt)
+        return batch
+
+    return cleaned.map_batches(from_blob, batch_format="pyarrow")

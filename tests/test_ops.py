@@ -1025,3 +1025,58 @@ def test_window_spans_preserves_string_type(ray_session):
     assert pa.types.is_large_string(t.schema.field("text").type)
     got = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
     assert got == {1: "rest", 2: ""}
+
+
+@pytest.fixture(scope="module")
+def token_docs(ray_session):
+    W = 4
+    toks = {
+        0: [9, 9, 9, 9] + [100, 101, 102, 103] + [7],   # boiler + unique + rem
+        1: [9, 9, 9, 9] + [200, 201, 202, 203],          # shares boiler with 0
+        2: [300, 301, 302, 303, 304, 305, 306, 307],     # unique
+        3: [9, 9],                                        # below window
+        4: [],                                            # empty
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(toks), pa.int64()),
+            "tokens": pa.array(list(toks.values()), pa.list_(pa.int32())),
+            "n_tok": pa.array([len(v) for v in toks.values()], pa.int32()),
+        }
+    )
+    return toks, ray.data.from_arrow(tbl).repartition(3)
+
+
+def test_duplicate_token_span_counts(token_docs):
+    toks, ds = token_docs
+    out = dedup.duplicate_token_span_counts(ds, window=4).to_pandas()
+    assert dict(zip(out.doc_id, out.n_dup_windows)) == {0: 1, 1: 1}
+
+
+@pytest.mark.parametrize("max_broadcast", [1_000_000, 1])
+def test_remove_duplicate_token_spans(token_docs, max_broadcast):
+    toks, ds = token_docs
+    out_ds = dedup.remove_duplicate_token_spans(
+        ds, window=4, max_broadcast=max_broadcast
+    )
+    t = pa.concat_tables(
+        [ray.get(r) for r in out_ds.to_arrow_refs() if ray.get(r).num_rows]
+    )
+    got = dict(
+        zip(t.column("doc_id").to_pylist(),
+            [list(x) for x in t.column("tokens").to_pylist()])
+    )
+    want = {
+        0: [100, 101, 102, 103, 7],
+        1: [200, 201, 202, 203],
+        2: [300, 301, 302, 303, 304, 305, 306, 307],
+        3: [9, 9],
+        4: [],
+    }
+    assert got == want
+    nts = dict(zip(t.column("doc_id").to_pylist(),
+                   t.column("n_tok").to_pylist()))
+    assert nts == {k: len(v) for k, v in want.items()}
+    # schema preserved: list<int32> stays list<int32>, n_tok stays int32
+    assert t.schema.field("tokens").type == pa.list_(pa.int32())
+    assert t.schema.field("n_tok").type == pa.int32()
