@@ -668,17 +668,35 @@ def _windows_binary(mat: np.ndarray) -> pa.Array:
     )
 
 
+def _dedupe_doc_windows(doc_idx: np.ndarray, mat: np.ndarray):
+    """In-batch combiner: collapse repeated (row, window) pairs to one row
+    with an occurrence count. Because a source row never splits across Ray
+    blocks (and ids are unique per the input contract), in-batch uniqueness
+    of (id, window) is global uniqueness — downstream ``groupby(__w).count``
+    then equals the distinct-document count per window."""
+    if len(doc_idx) == 0:
+        return doc_idx, mat, np.empty(0, np.int64)
+    buf = np.concatenate(
+        [doc_idx.astype("<i8").view(np.uint8).reshape(-1, 8), mat], axis=1
+    )
+    v = np.ascontiguousarray(buf).view([("", f"V{buf.shape[1]}")]).ravel()
+    _, first, counts = np.unique(v, return_index=True, return_counts=True)
+    return doc_idx[first], mat[first], counts.astype(np.int64)
+
+
 def window_spans(ds, text_col="text", id_col="doc_id", window: int = 64,
-                 with_ordinal: bool = False):
+                 with_ordinal: bool = False, dedupe: bool = False):
     """Dataset of one row per non-overlapping ``window``-byte window of
-    ``text_col``: columns ``(__w: binary, id_col)`` (+ ``__o`` ordinal when
-    requested). Byte-addressed: on pure-ASCII corpora this coincides with
+    ``text_col``: columns ``(__w: binary, id_col)`` plus ``__o`` (ordinal
+    within its document) when ``with_ordinal``, or ``__cnt`` (in-document
+    occurrence count, one row per distinct (document, window)) when
+    ``dedupe``. Byte-addressed: on pure-ASCII corpora this coincides with
     character windows (the SQL oracle's ``substr`` semantics).
 
     Scale shape: the expansion is vectorized numpy over the flat string
-    buffer; the emitted pairs are ``window + 8`` bytes/row, so the downstream
-    ``groupby(__w)`` shuffle moves ~window/avg_doc_len of the corpus bytes,
-    not the documents."""
+    buffer; the emitted pairs are ``window + 8`` bytes/row, so downstream
+    shuffles move ~window/avg_doc_len of the corpus bytes, never the
+    documents."""
 
     def expand(batch: pa.Table) -> pa.Table:
         arr = batch.column(text_col)
@@ -688,45 +706,122 @@ def window_spans(ds, text_col="text", id_col="doc_id", window: int = 64,
 
         offsets, data = binary_parts(arr)
         doc_idx, ordi, mat = _doc_windows(offsets, data, window)
-        ids = batch.column(id_col).take(pa.array(doc_idx))
-        cols = {"__w": _windows_binary(mat), id_col: ids}
-        if with_ordinal:
+        cols = {}
+        if dedupe:
+            doc_idx, mat, counts = _dedupe_doc_windows(doc_idx, mat)
+            cols["__cnt"] = pa.array(counts)
+        elif with_ordinal:
             cols["__o"] = pa.array(ordi)
-        return pa.table(cols)
+        ids = batch.column(id_col).take(pa.array(doc_idx))
+        return pa.table({"__w": _windows_binary(mat), id_col: ids, **cols})
 
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
-def _dup_window_counts(pairs, id_col: str):
-    """Shared tail of the dup-span counters: keep windows seen in >=2
-    distinct documents, then count hits per document."""
+# distinct duplicate windows up to this count broadcast via ray.put for the
+# marking pass; larger sets switch to a left-semi hash join by window
+DUP_WINDOW_BROADCAST_MAX = 500_000
 
-    def per_window(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col)
-        if pc.count_distinct(ids).as_py() < 2:
-            return group.select([id_col]).slice(0, 0)
-        return group.select([id_col])
 
-    hits = pairs.groupby("__w").map_groups(per_window, batch_format="pyarrow")
+def _dup_windows(pairs_deduped, id_col: str):
+    """Distinct windows occurring in >=2 documents, as a Dataset (__w).
+
+    Aggregation-based (``groupby(__w).count()``), NOT ``map_groups``: Ray
+    aggregates reduce per-block partials and never materialize a group
+    table, so a boilerplate window shared by millions of documents costs
+    one counter per block instead of one giant group."""
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        n = batch.column(1)  # count() per window == distinct docs (deduped)
+        return batch.filter(pc.greater_equal(n, pa.scalar(2))).select(["__w"])
+
+    return (
+        pairs_deduped.groupby("__w").count()
+        .map_batches(keep_dups, batch_format="pyarrow")
+    )
+
+
+def _filter_pairs_by_wins(pairs, dup_wins, max_broadcast: int,
+                          join_partitions: int | None):
+    """Keep only pair rows whose ``__w`` is a duplicate window. Broadcast
+    ``pc.is_in`` for the common small dup set; left-semi hash join by
+    window above ``max_broadcast`` so the driver never holds the set."""
+    import ray
+
+    dup_wins = dup_wins.materialize()
+    n_dup = dup_wins.count()
+    if n_dup == 0:
+        return None
+    if n_dup <= max_broadcast:
+        parts = [ray.get(r) for r in dup_wins.to_arrow_refs()]
+        wins = pa.concat_tables(
+            [p for p in parts if p.num_rows]
+        ).column("__w").combine_chunks()
+        wins_ref = ray.put(wins)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            w = ray.get(wins_ref)
+            return batch.filter(pc.is_in(batch.column("__w"), value_set=w))
+
+        return pairs.map_batches(mark, batch_format="pyarrow")
+    log.info(
+        "dup-window set has %d entries > max_broadcast=%d: left-semi join",
+        n_dup, max_broadcast,
+    )
+    nparts = join_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 8))
+    )
+    return pairs.join(
+        _drop_empty_blocks(dup_wins), "left_semi", nparts, on=("__w",)
+    )
+
+
+def _dup_window_counts(ds, pairs_deduped, id_col, max_broadcast,
+                       join_partitions):
+    """Shared tail of the dup-span counters: per-document total occurrences
+    of windows seen in >=2 distinct documents."""
+    dup_wins = _dup_windows(pairs_deduped, id_col)
+    marked = _filter_pairs_by_wins(pairs_deduped, dup_wins, max_broadcast,
+                                   join_partitions)
+    if marked is None:
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(
+                        [], ds.schema().base_schema.field(id_col).type
+                    ),
+                    "n_dup_windows": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns([id_col, "n_dup_windows"])
 
     return (
-        hits.groupby(id_col).count().map_batches(rename, batch_format="pyarrow")
+        marked.groupby(id_col).sum("__cnt")
+        .map_batches(rename, batch_format="pyarrow")
     )
 
 
 def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
-                          window: int = 64):
+                          window: int = 64,
+                          max_broadcast: int = DUP_WINDOW_BROADCAST_MAX,
+                          join_partitions: int | None = None):
     """Per-document count of window occurrences whose exact bytes appear in
-    >=2 distinct documents. Returns a Dataset ``(id_col, n_dup_windows)``
-    containing only documents with at least one duplicate window.
+    >=2 distinct documents (fixed-window approximation of suffix-array
+    exact-substring dedup, Lee et al. 2021). Returns a Dataset
+    ``(id_col, n_dup_windows)`` containing only documents with at least one
+    duplicate window.
 
-    Two (window,id)-pair shuffles; group sizes are bounded by per-window
-    occurrence counts (boilerplate-heavy corpora should pre-cap hot windows
-    the same way LSH buckets are capped)."""
-    return _dup_window_counts(window_spans(ds, text_col, id_col, window), id_col)
+    Everything shuffled is (window, id, count) rows; the distinct-document
+    census is a combiner-based aggregate, so hot boilerplate windows never
+    materialize as one giant group."""
+    pairs = window_spans(ds, text_col, id_col, window, dedupe=True)
+    return _dup_window_counts(ds, pairs, id_col, max_broadcast,
+                              join_partitions)
 
 
 def _map_drops_to_rows(ids: np.ndarray, drop_ids: np.ndarray):
@@ -750,30 +845,25 @@ def _covered_mask(total: int, starts: np.ndarray, width: int) -> np.ndarray:
     return np.cumsum(delta[:-1]) > 0
 
 
-def _remove_spans(ds, pairs, id_col, cut_batch, max_broadcast,
-                  join_partitions):
-    """Shared drop-list plumbing for span removal. ``pairs`` must carry
-    (__w, id_col, __o); ``cut_batch(batch, drop_ids, drop_ords)`` applies
-    the per-batch cut.
+def _remove_spans(ds, pairs_deduped, pairs_ordinal, id_col, cut_batch,
+                  max_broadcast, join_partitions):
+    """Shared drop-list plumbing for span removal.
 
-    Two regimes, mirroring ``remove_ids``: with <= ``max_broadcast`` dup
-    occurrences the (id, ordinal) drop list broadcasts via ``ray.put`` into
-    a vectorized per-batch cut — no corpus shuffle. Above that it
-    hash-joins the drop list into the corpus by ``id_col`` (one corpus
-    shuffle), so the driver never holds the list."""
+    The duplicate-window set comes from the combiner-based census
+    (``_dup_windows``); marking every occurrence is a broadcast filter or
+    left-semi join (``_filter_pairs_by_wins``) — no per-window groups ever
+    materialize. The resulting (id, ordinal) occurrence list then applies
+    through two regimes mirroring ``remove_ids``: broadcast via ``ray.put``
+    into a vectorized per-batch cut below ``max_broadcast`` occurrences, a
+    hash join into the corpus by ``id_col`` above it."""
     import ray
 
-    def dup_occurrences(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col)
-        if pc.count_distinct(ids).as_py() < 2:
-            return group.select([id_col, "__o"]).slice(0, 0)
-        return group.select([id_col, "__o"])
-
-    occ = (
-        pairs.groupby("__w")
-        .map_groups(dup_occurrences, batch_format="pyarrow")
-        .materialize()
-    )
+    dup_wins = _dup_windows(pairs_deduped, id_col)
+    occ_marked = _filter_pairs_by_wins(pairs_ordinal, dup_wins,
+                                       max_broadcast, join_partitions)
+    if occ_marked is None:
+        return ds
+    occ = occ_marked.select_columns([id_col, "__o"]).materialize()
     n_occ = occ.count()
     if n_occ == 0:
         return ds
@@ -851,8 +941,9 @@ def remove_duplicate_spans(
     """Cut every duplicate window (exact bytes in >=2 distinct documents)
     out of ``text_col``, preserving all other columns. Remainder bytes
     (``len % window``) are always kept. See ``_remove_spans`` for the
-    broadcast / hash-join drop-list regimes."""
-    pairs = window_spans(ds, text_col, id_col, window, with_ordinal=True)
+    census / marking / drop-list regimes."""
+    pairs_d = window_spans(ds, text_col, id_col, window, dedupe=True)
+    pairs_o = window_spans(ds, text_col, id_col, window, with_ordinal=True)
 
     def cut_batch(batch: pa.Table, drop_ids, drop_ords) -> pa.Table:
         if batch.num_rows == 0 or len(drop_ids) == 0:
@@ -887,8 +978,8 @@ def remove_duplicate_spans(
         i = batch.column_names.index(text_col)
         return batch.set_column(i, text_col, out)
 
-    return _remove_spans(ds, pairs, id_col, cut_batch, max_broadcast,
-                         join_partitions)
+    return _remove_spans(ds, pairs_d, pairs_o, id_col, cut_batch,
+                         max_broadcast, join_partitions)
 
 
 # --------------------------------- duplicate spans over token arrays
@@ -910,7 +1001,8 @@ def _list_parts(col):
 
 
 def token_window_spans(ds, tokens_col="tokens", id_col="doc_id",
-                       window: int = 16, with_ordinal: bool = False):
+                       window: int = 16, with_ordinal: bool = False,
+                       dedupe: bool = False):
     """``window_spans`` over a ``list<int32>`` (or any fixed-width primitive
     list) token column — the token-space form of exact-substring dedup
     (windows of ``window`` consecutive tokens, byte-exact keys). This is
@@ -923,22 +1015,27 @@ def token_window_spans(ds, tokens_col="tokens", id_col="doc_id",
         doc_idx, ordi, mat = _doc_windows(
             off * k, np.ascontiguousarray(vals).view(np.uint8), window * k
         )
-        ids = batch.column(id_col).take(pa.array(doc_idx))
-        cols = {"__w": _windows_binary(mat), id_col: ids}
-        if with_ordinal:
+        cols = {}
+        if dedupe:
+            doc_idx, mat, counts = _dedupe_doc_windows(doc_idx, mat)
+            cols["__cnt"] = pa.array(counts)
+        elif with_ordinal:
             cols["__o"] = pa.array(ordi)
-        return pa.table(cols)
+        ids = batch.column(id_col).take(pa.array(doc_idx))
+        return pa.table({"__w": _windows_binary(mat), id_col: ids, **cols})
 
     return ds.map_batches(expand, batch_format="pyarrow")
 
 
 def duplicate_token_span_counts(ds, tokens_col="tokens", id_col="doc_id",
-                                window: int = 16):
+                                window: int = 16,
+                                max_broadcast: int = DUP_WINDOW_BROADCAST_MAX,
+                                join_partitions: int | None = None):
     """Per-document count of ``window``-token windows whose exact token ids
     appear in >=2 distinct documents."""
-    return _dup_window_counts(
-        token_window_spans(ds, tokens_col, id_col, window), id_col
-    )
+    pairs = token_window_spans(ds, tokens_col, id_col, window, dedupe=True)
+    return _dup_window_counts(ds, pairs, id_col, max_broadcast,
+                              join_partitions)
 
 
 def remove_duplicate_token_spans(
