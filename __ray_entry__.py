@@ -273,6 +273,14 @@ def _remove_dup_spans(sf_dir: str):
     )
 
 
+def _dup_span_counts_sliding(sf_dir: str):
+    from rayenc.ops import dedup
+
+    return dedup.duplicate_span_counts(
+        _docs_ds(sf_dir, ["doc_id", "text"]), window=64, stride=8
+    )
+
+
 def _token_counts(sf_dir: str):
     import pyarrow as pa
 
@@ -1940,6 +1948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["exact_dedup_documents"] = _exact_dedup
     q["dup_span_counts_documents"] = _dup_span_counts
     q["remove_dup_spans_documents"] = _remove_dup_spans
+    q["dup_span_counts_sliding"] = _dup_span_counts_sliding
     q["token_counts_documents"] = _token_counts
     q["scrub_pii_documents"] = _scrub_pii_documents
     q["decontaminate_documents"] = _decontaminate_documents
@@ -2067,6 +2076,17 @@ def oracle_sql() -> dict[str, str]:
     o["dup_span_counts_documents"] = (
         _DUP_W
         + " SELECT doc_id, COUNT(*) AS n_dup_windows"
+        " FROM w JOIN d USING (win) GROUP BY doc_id"
+    )
+    # sliding variant: stride-8 start positions catch shift-offset dups
+    o["dup_span_counts_sliding"] = (
+        "WITH w AS ("
+        " SELECT doc_id, substr(text, CAST(s*8 + 1 AS BIGINT), 64) AS win"
+        " FROM (SELECT doc_id, text,"
+        "       unnest(generate_series(0, CAST(floor((length(text)-64)/8) AS BIGINT))) AS s"
+        "       FROM documents WHERE length(text) >= 64)),"
+        " d AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2)"
+        " SELECT doc_id, COUNT(*) AS n_dup_windows"
         " FROM w JOIN d USING (win) GROUP BY doc_id"
     )
     o["remove_dup_spans_documents"] = (

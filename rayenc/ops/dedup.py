@@ -633,15 +633,20 @@ def ngram_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
 # pairs — never the documents.
 
 
-def _doc_windows(offsets: np.ndarray, data: np.ndarray, window: int):
-    """All non-overlapping ``window``-byte windows of every string in a flat
-    (offsets, data) buffer pair.
+def _doc_windows(offsets: np.ndarray, data: np.ndarray, window: int,
+                 stride: int | None = None):
+    """All ``window``-byte windows of every string in a flat (offsets, data)
+    buffer pair, starting every ``stride`` bytes (default = ``window``,
+    i.e. non-overlapping; smaller strides slide the window to catch
+    duplicates at shifted offsets).
 
     Returns ``(doc_idx int64[nw], ordi int64[nw], mat uint8[nw, window])``:
-    source-row index, window ordinal within its row, and the window bytes.
+    source-row index, window ordinal within its row (start = ordi * stride),
+    and the window bytes.
     """
+    stride = window if stride is None else stride
     lengths = np.diff(offsets)
-    nwin = lengths // window
+    nwin = np.maximum(0, (lengths - window) // stride + 1)
     total = int(nwin.sum())
     if total == 0:
         return (
@@ -652,7 +657,7 @@ def _doc_windows(offsets: np.ndarray, data: np.ndarray, window: int):
     doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), nwin)
     first = np.cumsum(nwin) - nwin
     ordi = np.arange(total, dtype=np.int64) - np.repeat(first, nwin)
-    starts = offsets[:-1][doc_idx] + ordi * window
+    starts = offsets[:-1][doc_idx] + ordi * stride
     mat = data[starts[:, None] + np.arange(window)]
     return doc_idx, ordi, mat
 
@@ -685,7 +690,8 @@ def _dedupe_doc_windows(doc_idx: np.ndarray, mat: np.ndarray):
 
 
 def window_spans(ds, text_col="text", id_col="doc_id", window: int = 64,
-                 with_ordinal: bool = False, dedupe: bool = False):
+                 with_ordinal: bool = False, dedupe: bool = False,
+                 stride: int | None = None):
     """Dataset of one row per non-overlapping ``window``-byte window of
     ``text_col``: columns ``(__w: binary, id_col)`` plus ``__o`` (ordinal
     within its document) when ``with_ordinal``, or ``__cnt`` (in-document
@@ -705,7 +711,7 @@ def window_spans(ds, text_col="text", id_col="doc_id", window: int = 64,
         from rayenc.codecs.dictionary import binary_parts
 
         offsets, data = binary_parts(arr)
-        doc_idx, ordi, mat = _doc_windows(offsets, data, window)
+        doc_idx, ordi, mat = _doc_windows(offsets, data, window, stride)
         cols = {}
         if dedupe:
             doc_idx, mat, counts = _dedupe_doc_windows(doc_idx, mat)
@@ -807,7 +813,7 @@ def _dup_window_counts(ds, pairs_deduped, id_col, max_broadcast,
 
 
 def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
-                          window: int = 64,
+                          window: int = 64, stride: int | None = None,
                           max_broadcast: int = DUP_WINDOW_BROADCAST_MAX,
                           join_partitions: int | None = None):
     """Per-document count of window occurrences whose exact bytes appear in
@@ -819,7 +825,8 @@ def duplicate_span_counts(ds, text_col="text", id_col="doc_id",
     Everything shuffled is (window, id, count) rows; the distinct-document
     census is a combiner-based aggregate, so hot boilerplate windows never
     materialize as one giant group."""
-    pairs = window_spans(ds, text_col, id_col, window, dedupe=True)
+    pairs = window_spans(ds, text_col, id_col, window, dedupe=True,
+                         stride=stride)
     return _dup_window_counts(ds, pairs, id_col, max_broadcast,
                               join_partitions)
 
@@ -935,15 +942,21 @@ def remove_duplicate_spans(
     text_col="text",
     id_col="doc_id",
     window: int = 64,
+    stride: int | None = None,
     max_broadcast: int = DROP_BROADCAST_MAX,
     join_partitions: int | None = None,
 ):
     """Cut every duplicate window (exact bytes in >=2 distinct documents)
-    out of ``text_col``, preserving all other columns. Remainder bytes
-    (``len % window``) are always kept. See ``_remove_spans`` for the
-    census / marking / drop-list regimes."""
-    pairs_d = window_spans(ds, text_col, id_col, window, dedupe=True)
-    pairs_o = window_spans(ds, text_col, id_col, window, with_ordinal=True)
+    out of ``text_col``, preserving all other columns. Trailing bytes not
+    covered by any window are always kept. With ``stride < window`` the
+    windows slide (shift-robust detection) and overlapping duplicate spans
+    are removed as their union. See ``_remove_spans`` for the census /
+    marking / drop-list regimes."""
+    pairs_d = window_spans(ds, text_col, id_col, window, dedupe=True,
+                           stride=stride)
+    pairs_o = window_spans(ds, text_col, id_col, window, with_ordinal=True,
+                           stride=stride)
+    step = window if stride is None else stride
 
     def cut_batch(batch: pa.Table, drop_ids, drop_ords) -> pa.Table:
         if batch.num_rows == 0 or len(drop_ids) == 0:
@@ -957,13 +970,15 @@ def remove_duplicate_spans(
         lengths = np.diff(offsets)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         row, ok = _map_drops_to_rows(ids, drop_ids)
-        starts = offsets[:-1][row] + drop_ords[ok] * window
+        starts = offsets[:-1][row] + drop_ords[ok] * step
         if not len(starts):
             return batch
         covered = _covered_mask(len(data), starts, window)
         new_data = data[~covered]
-        drops_per_row = np.bincount(row, minlength=len(ids))
-        new_lengths = lengths - drops_per_row.astype(np.int64) * window
+        # overlapping windows (stride < window) union in the mask, so count
+        # removed bytes per row from the mask itself
+        cum = np.concatenate([[0], np.cumsum(covered)])
+        new_lengths = lengths - (cum[offsets[1:]] - cum[offsets[:-1]])
         big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
             arr.type
         )
@@ -1002,7 +1017,7 @@ def _list_parts(col):
 
 def token_window_spans(ds, tokens_col="tokens", id_col="doc_id",
                        window: int = 16, with_ordinal: bool = False,
-                       dedupe: bool = False):
+                       dedupe: bool = False, stride: int | None = None):
     """``window_spans`` over a ``list<int32>`` (or any fixed-width primitive
     list) token column — the token-space form of exact-substring dedup
     (windows of ``window`` consecutive tokens, byte-exact keys). This is
@@ -1013,7 +1028,8 @@ def token_window_spans(ds, tokens_col="tokens", id_col="doc_id",
         off, vals = _list_parts(batch.column(tokens_col))
         k = vals.dtype.itemsize
         doc_idx, ordi, mat = _doc_windows(
-            off * k, np.ascontiguousarray(vals).view(np.uint8), window * k
+            off * k, np.ascontiguousarray(vals).view(np.uint8), window * k,
+            None if stride is None else stride * k,
         )
         cols = {}
         if dedupe:
@@ -1028,12 +1044,13 @@ def token_window_spans(ds, tokens_col="tokens", id_col="doc_id",
 
 
 def duplicate_token_span_counts(ds, tokens_col="tokens", id_col="doc_id",
-                                window: int = 16,
+                                window: int = 16, stride: int | None = None,
                                 max_broadcast: int = DUP_WINDOW_BROADCAST_MAX,
                                 join_partitions: int | None = None):
     """Per-document count of ``window``-token windows whose exact token ids
     appear in >=2 distinct documents."""
-    pairs = token_window_spans(ds, tokens_col, id_col, window, dedupe=True)
+    pairs = token_window_spans(ds, tokens_col, id_col, window, dedupe=True,
+                               stride=stride)
     return _dup_window_counts(ds, pairs, id_col, max_broadcast,
                               join_partitions)
 
@@ -1043,6 +1060,7 @@ def remove_duplicate_token_spans(
     tokens_col="tokens",
     id_col="doc_id",
     window: int = 16,
+    stride: int | None = None,
     n_tok_col: str | None = "n_tok",
     max_broadcast: int = DROP_BROADCAST_MAX,
     join_partitions: int | None = None,
@@ -1078,6 +1096,7 @@ def remove_duplicate_token_spans(
         text_col=tokens_col,
         id_col=id_col,
         window=window * itemsize,
+        stride=None if stride is None else stride * itemsize,
         max_broadcast=max_broadcast,
         join_partitions=join_partitions,
     )

@@ -1080,3 +1080,97 @@ def test_remove_duplicate_token_spans(token_docs, max_broadcast):
     # schema preserved: list<int32> stays list<int32>, n_tok stays int32
     assert t.schema.field("tokens").type == pa.list_(pa.int32())
     assert t.schema.field("n_tok").type == pa.int32()
+
+
+def _naive_stride_dup(texts: dict, window: int, stride: int):
+    from collections import Counter, defaultdict
+
+    docwins, occ = defaultdict(set), []
+    for did, x in texts.items():
+        n = max(0, (len(x) - window) // stride + 1)
+        for i in range(n):
+            w = x[i * stride : i * stride + window]
+            docwins[w].add(did)
+            occ.append((did, i, w))
+    dup = {w for w, ds in docwins.items() if len(ds) >= 2}
+    counts = Counter(did for did, _, w in occ if w in dup)
+    cleaned = {}
+    for did, x in texts.items():
+        keep = [True] * len(x)
+        n = max(0, (len(x) - window) // stride + 1)
+        for i in range(n):
+            w = x[i * stride : i * stride + window]
+            if w in dup:
+                for j in range(i * stride, i * stride + window):
+                    keep[j] = False
+        cleaned[did] = "".join(c for c, k in zip(x, keep) if k)
+    return dict(counts), cleaned
+
+
+def test_duplicate_spans_sliding_stride(ray_session):
+    # shared phrase at DIFFERENT offsets in two docs: fixed windows miss it,
+    # stride-1 sliding windows catch it
+    shared = "DUPLICATE!"  # 10 chars, window=10
+    texts = {
+        1: "aaa" + shared + "bbbbbbb",
+        2: "zzzzz" + shared + "qq",
+        3: "unrelated text here!",
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(list(texts), pa.int64()),
+         "text": pa.array(list(texts.values()))}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    # aligned windows: no detection
+    assert dedup.duplicate_span_counts(ds, window=10).count() == 0
+    # sliding: both docs flagged once
+    want, cleaned = _naive_stride_dup(texts, 10, 1)
+    out = dedup.duplicate_span_counts(ds, window=10, stride=1).to_pandas()
+    assert dict(zip(out.doc_id, out.n_dup_windows)) == want == {1: 1, 2: 1}
+    got = dedup.remove_duplicate_spans(ds, window=10, stride=1).to_pandas()
+    assert dict(zip(got.doc_id, got.text)) == cleaned
+    assert cleaned[1] == "aaabbbbbbb" and cleaned[2] == "zzzzzqq"
+
+
+def test_remove_spans_overlapping_union(ray_session):
+    # two dup windows overlap inside one doc -> union removed, no double count
+    texts = {
+        1: "ABCDEFGH" + "IJKL",      # windows at stride 4: ABCD..., EFGH...
+        2: "xxABCDEFGHxx",
+        3: "ABCDEFGHyyyy",
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(list(texts), pa.int64()),
+         "text": pa.array(list(texts.values()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+    want, cleaned = _naive_stride_dup(texts, 8, 1)
+    out = dedup.remove_duplicate_spans(ds, window=8, stride=1).to_pandas()
+    assert dict(zip(out.doc_id, out.text)) == cleaned
+
+
+def test_token_spans_sliding_stride(ray_session):
+    toks = {
+        1: [5, 6, 7, 8, 1],          # shared run at offset 0
+        2: [9, 5, 6, 7, 8],          # shared run at offset 1
+        3: [1, 2, 3, 4, 5],
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(list(toks), pa.int64()),
+         "tokens": pa.array(list(toks.values()), pa.list_(pa.int32())),
+         "n_tok": pa.array([len(v) for v in toks.values()], pa.int32())}
+    )
+    ds = ray.data.from_arrow(tbl)
+    assert dedup.duplicate_token_span_counts(ds, window=4).count() == 0
+    out = dedup.duplicate_token_span_counts(ds, window=4, stride=1).to_pandas()
+    assert dict(zip(out.doc_id, out.n_dup_windows)) == {1: 1, 2: 1}
+    t = pa.concat_tables(
+        [ray.get(r) for r in
+         dedup.remove_duplicate_token_spans(ds, window=4, stride=1)
+         .to_arrow_refs() if ray.get(r).num_rows]
+    )
+    got = dict(zip(t.column("doc_id").to_pylist(),
+                   [list(x) for x in t.column("tokens").to_pylist()]))
+    assert got == {1: [1], 2: [9], 3: [1, 2, 3, 4, 5]}
+    assert dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("n_tok").to_pylist())) == {1: 1, 2: 1, 3: 5}
