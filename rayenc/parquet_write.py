@@ -82,6 +82,10 @@ def _converted_type(t: "pa.DataType"):
         return 5
     if pa.types.is_date32(t):
         return 6
+    # TIME gets no ConvertedType: we stamp TimeType(isAdjustedToUTC=false)
+    # (local time-of-day), and the spec defines TIME_MILLIS/TIME_MICROS as
+    # equivalent to the UTC-adjusted flavor only — parquet-java's
+    # timeType(false, unit).toConvertedType() is likewise null
     if pa.types.is_integer(t):
         # INT_8..INT_64 = 15..18, UINT_8..UINT_64 = 11..14
         width_slot = {8: 0, 16: 1, 32: 2, 64: 3}[t.bit_width]
@@ -111,6 +115,27 @@ def _logical_type(t: "pa.DataType"):
             w.end_struct()
 
         return emit
+    if pa.types.is_time32(t) or pa.types.is_time64(t):
+        # TimeType{isAdjustedToUTC, unit} — LogicalType union field 7
+        # (LogicalTypeAnnotation.TimeLogicalTypeAnnotation). We stamp
+        # isAdjustedToUTC=false (local time-of-day): pyarrow maps either
+        # flavor to arrow time32/time64, but DuckDB maps true to TIMETZ and
+        # then rejects the 4/8-byte column statistics, so false is the
+        # interoperable choice
+        t_unit_field = {"ms": 1, "us": 2, "ns": 3}[t.unit]
+
+        def emit_time(w: "_W"):
+            w.begin_struct(10)  # logicalType
+            w.begin_struct(7)  # TIME
+            w.boolean(1, False)
+            w.begin_struct(2)  # unit union
+            w.begin_struct(t_unit_field)
+            w.end_struct()
+            w.end_struct()
+            w.end_struct()
+            w.end_struct()
+
+        return emit_time
     if pa.types.is_float16(t):
 
         def emit_f16(w: "_W"):
@@ -1111,6 +1136,17 @@ def write_tables(
         raise ValueError("write_tables needs at least one table")
     if any(not s.schema.equals(slices[0].schema) for s in slices[1:]):
         raise ValueError("all merged tables must share one schema")
+    if any(pa.types.is_time32(f.type) and f.type.unit == "s"
+           for f in slices[0].schema):
+        # parquet TIME has no seconds unit — coerce time32[s] to ms up
+        # front (pyarrow's write-side coercion), so stats, ARROW:schema
+        # and the shredded values all agree
+        cast_schema = pa.schema(
+            [f.with_type(pa.time32("ms"))
+             if pa.types.is_time32(f.type) and f.type.unit == "s" else f
+             for f in slices[0].schema]
+        )
+        slices = [s.cast(cast_schema) for s in slices]
     table = slices[0] if len(slices) == 1 else pa.concat_tables(slices)
     crypto = None
     if encryption is not None:
@@ -1197,6 +1233,7 @@ def write_tables(
     footer = _file_metadata(
         table, row_groups, crypto=crypto, geo=config.geospatial or None,
         sorting=sorting, extra_kv=key_value_metadata,
+        annotations=getattr(config, "logical_annotations", None) or None,
     )
     if encryption is None:
         out += footer
@@ -1445,9 +1482,54 @@ def _emit_schema_elem(w: "_W", e: dict) -> None:
     w.out += ew.stop()
 
 
+# declared annotations (EncodeConfig.logical_annotations): name ->
+# (required physical type or None, ConvertedType or None, LogicalType union
+# field or None).  The LogicalTypeAnnotation.java members with no arrow-16
+# native type: enumType/jsonType/bsonType/uuidType/intervalType.
+_DECLARED_LOGICAL = {
+    "ENUM": (T_BYTE_ARRAY, 4, 4),
+    "JSON": (T_BYTE_ARRAY, 19, 12),
+    "BSON": (T_BYTE_ARRAY, 20, 13),
+    "UUID": (T_FLBA, None, 14),
+    "INTERVAL": (T_FLBA, 21, None),
+}
+
+
+def _apply_declared_annotation(fb: list, name: str, kind: str) -> None:
+    if kind not in _DECLARED_LOGICAL:
+        raise ValueError(f"unknown logical annotation {kind!r} for {name}")
+    if len(fb) != 1 or "type" not in fb[0]:
+        raise ValueError(f"logical annotation {kind} needs a flat leaf: {name}")
+    e = fb[0]
+    want_phys, conv, logical_field = _DECLARED_LOGICAL[kind]
+    if e["type"] != want_phys:
+        raise ValueError(
+            f"{kind} annotation on {name} requires physical type "
+            f"{'FLBA' if want_phys == T_FLBA else 'BYTE_ARRAY'}"
+        )
+    if kind == "UUID" and e.get("type_length") != 16:
+        raise ValueError(f"UUID column {name} must be fixed_size_binary(16)")
+    if kind == "INTERVAL" and e.get("type_length") != 12:
+        raise ValueError(f"INTERVAL column {name} must be fixed_size_binary(12)")
+    if conv is not None:
+        e["converted"] = conv
+    else:
+        e.pop("converted", None)
+    if logical_field is not None:
+        def emit_declared(w: "_W", f=logical_field):
+            w.begin_struct(10)  # logicalType
+            w.begin_struct(f)  # empty-struct union member
+            w.end_struct()
+            w.end_struct()
+
+        e["logical"] = emit_declared
+    else:
+        e["logical"] = None
+
+
 def _file_metadata(
     table: pa.Table, row_groups, crypto=None, geo=None,
-    sorting=None, extra_kv=None,
+    sorting=None, extra_kv=None, annotations=None,
 ) -> bytes:
     w = _W()
     w.i(1, 2)  # version
@@ -1459,6 +1541,8 @@ def _file_metadata(
         # (LogicalTypeAnnotation geometry/geography; union fields 17/18)
         if geo and field.name in geo and len(fb) == 1 and "type" in fb[0]:
             fb[0]["geo"] = geo[field.name]
+        if annotations and field.name in annotations:
+            _apply_declared_annotation(fb, field.name, annotations[field.name])
         body += fb
     elems = [{"name": "schema", "children": table.num_columns}] + body
 

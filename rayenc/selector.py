@@ -73,6 +73,13 @@ class EncodeConfig:
     # "geography" stamps GEOGRAPHY with noop stats
     # (column/statistics/geospatial/GeospatialStatistics.java:94-104)
     geospatial: dict = field(default_factory=dict)
+    # declared logical annotations: {"colname": "UUID"|"JSON"|"BSON"|"ENUM"
+    # |"INTERVAL"} — the remaining LogicalTypeAnnotation.java members that
+    # have no native arrow type in this pyarrow (uuidType/jsonType/bsonType/
+    # enumType/intervalType). UUID requires fixed_size_binary(16), INTERVAL
+    # fixed_size_binary(12), the rest string/binary; stamped as
+    # ConvertedType + LogicalType on the leaf SchemaElement
+    logical_annotations: dict = field(default_factory=dict)
 
 
 def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig) -> list[str]:
