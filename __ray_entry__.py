@@ -1940,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["enc_byte_stream_split"] = lambda sf: _forced(sf, "embeddings", "embedding", "BYTE_STREAM_SPLIT")
     q["enc_rle_boolean"] = _enc_rle_boolean
     q["enc_rle_for"] = lambda sf: _forced(sf, "lineitem", "l_suppkey", "RLE_FOR")
+    q["enc_alp"] = lambda sf: _forced(sf, "lineitem", "l_extendedprice", "ALP")
     q["stats_lineitem"] = lambda sf: _stats_query(sf, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
     q["stats_documents"] = lambda sf: _stats_query(sf, "documents", ["n_chars"])
     q["dict_source_counts"] = _dict_group_counts
@@ -2048,11 +2049,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enc_byte_stream_split",
         "enc_rle_boolean",
         "enc_rle_for",
+        "enc_alp",                 # ALP decimal-float codec (SIGMOD'23)
         # whole-table container roundtrips over the distinct physical shapes
+        # (events itself is exercised by nested_roundtrip_events, variant_*
+        # and enc_delta_byte_array below)
         "roundtrip_lineitem",      # decimals / FLBA / dates
         "roundtrip_documents",     # large BINARY
         "roundtrip_embeddings",    # list<float>
-        "roundtrip_events",        # timestamps + JSON strings
         # parquet file surface: conformance read, write, nesting, crypto
         "parquet_page_conformance",
         "conformance_read_nested",
@@ -2114,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT l_orderkey, l_linenumber, l_quantity < 25 AS flag FROM lineitem"
     )
     o["enc_rle_for"] = "SELECT l_suppkey FROM lineitem"
+    o["enc_alp"] = "SELECT l_extendedprice FROM lineitem"
     o["stats_lineitem"] = (
         "SELECT COUNT(*) AS cnt,"
         " MIN(l_orderkey) AS min_l_orderkey, MAX(l_orderkey) AS max_l_orderkey,"

@@ -359,7 +359,7 @@ def run_micro() -> dict:
 
     from rayenc import memtune
     from rayenc.codecs import (
-        bytestream_split, delta_bp, delta_length, delta_strings,
+        alp, bytestream_split, delta_bp, delta_length, delta_strings,
         dictionary as dict_codec, fsst, plain, rle_for, rle_hybrid,
     )
 
@@ -410,6 +410,9 @@ def run_micro() -> dict:
     results["delta_strings_sorted_dec"], _ = mbs(
         lambda: delta_strings.decode(buf, len(strings)), sb
     )
+    prices = np.round(rng.uniform(1, 1e5, N), 2)
+    results["alp_price_enc"], buf = mbs(lambda: alp.encode(prices), prices.nbytes)
+    results["alp_price_dec"], _ = mbs(lambda: alp.decode(buf, N), prices.nbytes)
     table = fsst.train(s_off, s_dat)
     results["fsst_enc"], pair = mbs(lambda: fsst.compress(table, s_off, s_dat), sb)
     results["fsst_dec"], _ = mbs(lambda: fsst.decompress(table, *pair), sb)

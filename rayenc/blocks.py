@@ -24,6 +24,7 @@ import pyarrow as pa
 from . import selector as sel
 from . import stats as stats_mod
 from .codecs import (
+    alp,
     bytestream_split,
     delta_bp,
     delta_length,
@@ -292,6 +293,17 @@ def _plan_candidate(
         return _Candidate(
             encoding, size, lambda: (None, [bytestream_split.encode(v[a:b]) for a, b in ranges])
         )
+    if encoding == "ALP":
+        if ptype not in ("FLOAT", "DOUBLE"):
+            return None
+        plans = [alp.Plan(v[a:b]) for a, b in ranges]
+        if not all(p.applicable for p in plans):
+            return None  # exception-dominated page: non-decimal floats
+        return _Candidate(
+            encoding,
+            sum(p.size for p in plans),
+            lambda: (None, [p.emit() for p in plans]),
+        )
     if encoding == "DELTA_BINARY_PACKED":
         if ptype not in ("INT32", "INT64"):
             return None
@@ -404,6 +416,8 @@ def _decode_pages(entry: dict, aux_buf, page_bufs: list) -> PhysicalColumn:
             parts.append(rle_for.decode(buf, c, np_dtype))
         elif encoding == "BYTE_STREAM_SPLIT":
             parts.append(bytestream_split.decode(buf, c, np_dtype))
+        elif encoding == "ALP":
+            parts.append(alp.decode(buf, c, np_dtype))
         else:
             raise ValueError(encoding)
     return PhysicalColumn(name, ptype, _concat(parts, np_dtype))

@@ -106,7 +106,11 @@ def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig)
     elif ptype in ("FLOAT", "DOUBLE"):
         if dict_ok:
             cands.append("RLE_DICTIONARY")
-        cands += ["BYTE_STREAM_SPLIT", "PLAIN"]
+        # ALP (SIGMOD'23; container-only like FSST): decimal-like floats
+        # become bit-packed scaled ints — high-NDV price/measurement
+        # columns that the dictionary gate rejects compress 2-10x; the
+        # plan's exact size loses to BSS/PLAIN on true-random floats
+        cands += ["ALP", "BYTE_STREAM_SPLIT", "PLAIN"]
     elif ptype == "BINARY":
         if dict_ok:
             cands.append("RLE_DICTIONARY")
