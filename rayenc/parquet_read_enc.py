@@ -891,19 +891,43 @@ def read_table_filtered(
     for c in pred_cols:
         if c not in leaf_ord:
             raise ValueError(f"predicate column {c!r} not in {path}")
+
+    def _pred_field(c: str) -> pa.Field:
+        """Arrow field for a predicate column: a top-level flat column, or a
+        dotted struct leaf (`FilterApi.intColumn("a.b.c")` paths). Repeated
+        paths (through list/map) have Dremel record semantics the flat
+        filter can't express — rejected like the reference's
+        ColumnIndexFilter does for its row-ranges math."""
+        lf = f.leaves[leaf_ord[c]]
+        if lf.max_rep > 0:
+            raise ValueError(f"predicate column {c!r} is under a repeated path")
+        if schema.get_field_index(c) >= 0:
+            fld = schema.field(c)
+            if pa.types.is_nested(fld.type):
+                raise ValueError(f"predicate column {c!r} is nested")
+            return fld
+        # walk struct nesting to the leaf's arrow type
+        fld = schema.field(lf.path[0])
+        for seg in lf.path[1:]:
+            fld = fld.type.field(seg)
+        return pa.field(c, fld.type)
+
     if columns is not None:
         out_names = list(columns)
         extra = [c for c in pred_cols if c not in columns]
         dec_schema = pa.schema(
-            [schema.field(c) for c in list(columns) + extra]
+            [schema.field(c) for c in columns] + [_pred_field(c) for c in extra]
         )
     else:
-        out_names = None
-        extra = []
-        dec_schema = schema
+        extra = [c for c in pred_cols if schema.get_field_index(c) < 0]
+        out_names = schema.names if extra else None
+        dec_schema = (
+            pa.schema(list(schema) + [_pred_field(c) for c in extra])
+            if extra
+            else schema
+        )
     for c in pred_cols:
-        if pa.types.is_nested(dec_schema.field(c).type):
-            raise ValueError(f"predicate column {c!r} is nested")
+        _pred_field(c)  # validates flat / non-repeated
     parts = []
     rg_iter = (
         [(i, f.row_groups[i]) for i in row_groups]
