@@ -71,7 +71,16 @@ class Plan:
         size = 0
         vbytes = (width + 7) // 8
         if n:
-            change = np.flatnonzero(v[1:] != v[:-1]) + 1
+            eq = v[1:] == v[:-1]
+            if np.count_nonzero(eq) < 7:
+                # high-entropy fast path: an RLE run needs >= 8 equal values
+                # (>= 7 adjacent-equal pairs), so none can exist — one
+                # bit-packed span, identical bytes to the general path,
+                # without materializing the run-boundary arrays
+                self.segments = [("bp", [(0, n)])]
+                self.size = _bp_size(n, width)
+                return
+            change = np.flatnonzero(~eq) + 1
             starts = np.concatenate(([0], change))
             lengths = np.diff(np.concatenate((starts, [n])))
             candidates = np.flatnonzero(lengths >= 8)

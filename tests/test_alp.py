@@ -83,6 +83,19 @@ class TestRoundtrip:
         got = alp.decode(alp.encode(v), len(v))
         assert _exact(v, got)
 
+    def test_inner_for_picked_for_bounded_ints(self):
+        rng = np.random.default_rng(9)
+        v = np.round(rng.uniform(0, 100, 20000), 2)  # ints fit 14 bits
+        p = alp.Plan(v)
+        assert p.inner_for  # FoR beats delta on unsorted bounded streams
+        assert _exact(v, alp.decode(p.emit(), len(v)))
+
+    def test_inner_delta_for_wide_range(self):
+        v = np.cumsum(np.ones(10000)) * 1e10  # sorted, range needs >32 bits
+        p = alp.Plan(v)
+        assert not p.inner_for
+        assert _exact(v, alp.decode(p.emit(), len(v)))
+
     def test_nan_payloads_preserved(self):
         # distinct NaN bit patterns survive the raw-value patch path
         v = np.array([np.uint64(0x7FF8000000000001), np.uint64(0x7FF0000000000042)]).view(
