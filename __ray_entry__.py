@@ -1206,6 +1206,31 @@ def _mask_parquet_file(sf_dir: str):
     )
 
 
+def _summary_filtered_read(sf_dir: str):
+    """Dataset summary files (ParquetFileWriter.writeMetadataFile +
+    ParquetOutputCommitter): split orders into parts written by OUR
+    writer, merge their footers into `_metadata`, then run a distributed
+    read planned purely from the summary (row-group stats pruning without
+    opening part footers)."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.pipeline import read_parquet_summary
+    from rayenc.summary import write_summary
+
+    src = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    d = tempfile.mkdtemp(prefix="rayenc-summary-", dir="/tmp")
+    n = src.num_rows
+    step = max(1, n // 4)
+    for p, a in enumerate(range(0, n, step)):
+        parquet_write.write_table(
+            src.slice(a, step), os.path.join(d, f"part-{p:06d}.parquet"),
+            row_group_size=max(1, step // 3),
+        )
+    write_summary(d)
+    return read_parquet_summary(d, [("o_totalprice", ">", 400000.0)])
+
+
 def _transcompress_parquet_file(sf_dir: str):
     """Page-level recompression without value decode
     (`transcompress_parquet_raw`): read back must be bit-equal."""
@@ -1975,6 +2000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["encode_evolved_roundtrip"] = _encode_evolved_roundtrip
     q["mask_parquet_file"] = _mask_parquet_file
     q["transcompress_parquet_file"] = _transcompress_parquet_file
+    q["summary_filtered_read"] = _summary_filtered_read
     q["pushdown_filter_parquet"] = _pushdown_filter_parquet
     q["pushdown_filter_or"] = _pushdown_filter_or
     q["geospatial_stats"] = _geospatial_stats
@@ -2260,6 +2286,9 @@ def oracle_sql() -> dict[str, str]:
         " ROUND(SUM(o_totalprice), 2) AS sum_total FROM orders"
     )
     o["transcompress_parquet_file"] = "SELECT * FROM orders"
+    o["summary_filtered_read"] = (
+        "SELECT * FROM orders WHERE o_totalprice > 400000.0"
+    )
     o["pushdown_filter_parquet"] = (
         "SELECT * FROM lineitem WHERE l_orderkey < 500 AND l_quantity >= 10.0"
     )

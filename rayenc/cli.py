@@ -137,6 +137,17 @@ def cmd_merge_containers(args):
     return 0
 
 
+def cmd_write_summary(args):
+    """ParquetFileWriter.writeMetadataFile analog: merge every part footer
+    in a dataset directory into `_metadata` (+ `_common_metadata`)."""
+    from rayenc.summary import part_files, write_summary
+
+    parts = part_files(args.dir)
+    out = write_summary(args.dir, parts)
+    print(f"merged {len(parts)} part footers -> {out}")
+    return 0
+
+
 def cmd_meta(args):
     rows = 0
     blob = 0
@@ -705,6 +716,10 @@ def main(argv=None):
     m = sub.add_parser("meta")
     m.add_argument("dir")
     m.set_defaults(fn=cmd_meta)
+
+    ws = sub.add_parser("write-summary")
+    ws.add_argument("dir")
+    ws.set_defaults(fn=cmd_write_summary)
 
     mc = sub.add_parser("merge-containers")
     mc.add_argument("dirs", nargs="+")

@@ -1022,6 +1022,59 @@ def read_parquet_filtered(
     )
 
 
+def read_parquet_summary(
+    dir_path: str,
+    predicate=None,
+    columns: list[str] | None = None,
+    decryption=None,
+    concurrency: int | tuple | None = None,
+) -> "ray.data.Dataset":
+    """Distributed read of a dataset directory planned from its
+    `_metadata` summary file (ParquetFileWriter.writeMetadataFile /
+    ParquetOutputCommitter): row groups are stats-pruned against
+    ``predicate`` using ONLY the summary footer — no part footer is
+    opened during planning — then each surviving (file, row group) runs
+    the full pushdown read (bloom + dictionary + ColumnIndex page
+    skipping + exact filter) inside its task.  At lake scale this is one
+    small driver read instead of ~len(files) footer fetches."""
+    from .summary import plan_from_summary
+
+    plan = plan_from_summary(dir_path, predicate)
+    if predicate is None:
+        # whole-file conformance reads: one task per part, no duplication
+        descs = [{"path": p, "rg": -1} for p in sorted({p for p, _ in plan})]
+    else:
+        descs = [{"path": p, "rg": rg} for p, rg in plan]
+    if not descs:
+        return ray.data.from_items([])
+
+    def task(batch: dict):
+        from .memtune import tune_process_memory
+        from .parquet_compat import read_table_conformance
+        from .parquet_read_enc import read_table_filtered
+
+        tune_process_memory()
+        for k in range(len(batch["path"])):
+            path, rg = str(batch["path"][k]), int(batch["rg"][k])
+            if rg >= 0:
+                table = read_table_filtered(
+                    path, predicate, columns=columns,
+                    decryption=decryption, row_groups=[rg],
+                )
+            else:
+                table = read_table_conformance(path, columns=columns)
+            if table.num_rows:
+                yield table
+
+    if concurrency is None:
+        concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))
+    return ray.data.from_items(descs).map_batches(
+        task, batch_size=1,
+        concurrency=min(concurrency, len(descs)) if isinstance(concurrency, int) else concurrency,
+        num_cpus=1,
+    )
+
+
 def read_parquet_evolved(
     paths: list[str],
     strict: bool = True,

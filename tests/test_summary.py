@@ -1,0 +1,139 @@
+"""`_metadata` / `_common_metadata` summary files
+(ParquetFileWriter.writeMetadataFile + mergeFooters,
+ParquetOutputCommitter) and summary-planned distributed reads."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayenc import parquet_write
+from rayenc.summary import (
+    COMMON_METADATA,
+    METADATA,
+    part_files,
+    plan_from_summary,
+    read_summary,
+    write_summary,
+)
+
+
+def _make_dataset(d, n_parts=3, rows=5000):
+    os.makedirs(d, exist_ok=True)
+    for p in range(n_parts):
+        base = p * rows
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(base, base + rows)),
+                "grp": pa.array([f"g{(base + i) % 7}" for i in range(rows)]),
+                "val": pa.array(np.arange(base, base + rows) * 0.25),
+            }
+        )
+        parquet_write.write_table(
+            t, os.path.join(d, f"part-{p:06d}.parquet"), row_group_size=2000
+        )
+    return d
+
+
+class TestWriteSummary:
+    def test_merged_footer(self, tmp_path):
+        d = _make_dataset(str(tmp_path / "ds"))
+        out = write_summary(d)
+        assert os.path.basename(out) == METADATA
+        md = read_summary(d)
+        # 3 parts x ceil(5000/2000)=3 row groups
+        assert md.num_row_groups == 9
+        assert md.num_rows == 15000
+        # file_path set per row group, relative names
+        fps = {md.row_group(g).column(0).file_path for g in range(9)}
+        assert fps == {f"part-{p:06d}.parquet" for p in range(3)}
+        # _common_metadata carries the schema only
+        common = pq.read_schema(os.path.join(d, COMMON_METADATA))
+        assert common.names == ["id", "grp", "val"]
+
+    def test_part_files_excludes_summaries(self, tmp_path):
+        d = _make_dataset(str(tmp_path / "ds"))
+        write_summary(d)
+        parts = part_files(d)
+        assert len(parts) == 3
+        assert all("_metadata" not in p for p in parts)
+        # idempotent: re-writing after the summary exists ignores it
+        write_summary(d)
+        assert read_summary(d).num_row_groups == 9
+
+    def test_schema_conflict_raises(self, tmp_path):
+        d = str(tmp_path / "ds")
+        os.makedirs(d)
+        parquet_write.write_table(
+            pa.table({"a": [1, 2]}), os.path.join(d, "part-0.parquet")
+        )
+        parquet_write.write_table(
+            pa.table({"b": ["x"]}), os.path.join(d, "part-1.parquet")
+        )
+        with pytest.raises(ValueError, match="could not merge"):
+            write_summary(d)
+
+
+class TestPlanFromSummary:
+    def test_plan_covers_all_without_predicate(self, tmp_path):
+        d = _make_dataset(str(tmp_path / "ds"))
+        write_summary(d)
+        plan = plan_from_summary(d)
+        assert len(plan) == 9
+        # row-group ordinals are per part file
+        from collections import Counter
+
+        per_file = Counter(p for p, _ in plan)
+        assert set(per_file.values()) == {3}
+        assert sorted(rg for p, rg in plan if p.endswith("part-000001.parquet")) == [0, 1, 2]
+
+    def test_predicate_prunes_row_groups(self, tmp_path):
+        d = _make_dataset(str(tmp_path / "ds"))
+        write_summary(d)
+        # id is globally sorted across parts: one row group matches
+        plan = plan_from_summary(d, [("id", "==", 7100)])
+        assert len(plan) == 1
+        path, rg = plan[0]
+        assert path.endswith("part-000001.parquet") and rg == 1
+
+    def test_range_predicate_spans_parts(self, tmp_path):
+        d = _make_dataset(str(tmp_path / "ds"))
+        write_summary(d)
+        plan = plan_from_summary(d, [("id", ">", 4500), ("id", "<", 5500)])
+        files = {os.path.basename(p) for p, _ in plan}
+        assert files == {"part-000000.parquet", "part-000001.parquet"}
+        assert len(plan) == 2  # last rg of part 0, first rg of part 1
+
+
+class TestDistributedSummaryRead:
+    def test_matches_direct_filtered_read(self, ray_session, tmp_path):
+        from rayenc.parquet_read_enc import read_table_filtered
+        from rayenc.pipeline import read_parquet_summary
+
+        d = _make_dataset(str(tmp_path / "ds"))
+        write_summary(d)
+        pred = [("id", ">=", 3000), ("id", "<", 9000)]
+        got = (
+            read_parquet_summary(d, pred, columns=["id", "val"])
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = pa.concat_tables(
+            [
+                read_table_filtered(p, pred, columns=["id", "val"])
+                for p in part_files(d)
+            ]
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) == 6000
+
+    def test_no_predicate_reads_everything(self, ray_session, tmp_path):
+        from rayenc.pipeline import read_parquet_summary
+
+        d = _make_dataset(str(tmp_path / "ds"))
+        write_summary(d)
+        ds = read_parquet_summary(d)
+        assert ds.count() == 15000
