@@ -76,6 +76,19 @@ class TestWriteSummary:
             write_summary(d)
 
 
+def test_cli_write_summary(tmp_path, capsys):
+    from rayenc import cli
+
+    d = _make_dataset(str(tmp_path / "ds"), n_parts=2)
+
+    class A:
+        dir = d
+
+    assert cli.cmd_write_summary(A()) == 0
+    assert "merged 2 part footers" in capsys.readouterr().out
+    assert read_summary(d).num_row_groups == 6
+
+
 class TestPlanFromSummary:
     def test_plan_covers_all_without_predicate(self, tmp_path):
         d = _make_dataset(str(tmp_path / "ds"))
