@@ -244,9 +244,18 @@ def run_scaling_pairs(reps: int = 3) -> dict:
     sample sees; the all-sizes sweep in run_scaling cannot."""
     effs = []
     samples = []
-    for _ in range(reps):
-        r1 = _run_child(1)
-        r4 = _run_child(4)
+    _run_child(4)  # throwaway: heat the file cache / fault path before
+    # the first measured pair (first-pair samples ran consistently low)
+    for i in range(reps):
+        # alternate (1,4)/(4,1) so monotone host drift between the two
+        # children of a pair biases half the samples each way instead of
+        # all of them the same way
+        if i % 2 == 0:
+            r1 = _run_child(1)
+            r4 = _run_child(4)
+        else:
+            r4 = _run_child(4)
+            r1 = _run_child(1)
         e = r4["encode_tokens_per_sec"] / (4 * r1["encode_tokens_per_sec"])
         effs.append(e)
         samples.append(

@@ -1136,6 +1136,12 @@ def write_tables(
         raise ValueError("write_tables needs at least one table")
     if any(not s.schema.equals(slices[0].schema) for s in slices[1:]):
         raise ValueError("all merged tables must share one schema")
+    decimal_ints: dict[str, tuple[int, int]] = {}
+    if getattr(config, "decimal_as_integer", False):
+        # DECIMAL(p<=18) -> INT32/INT64 physical, unscaled
+        # (DecimalLogicalTypeAnnotation on INT32/INT64; the reader side —
+        # ours, pyarrow, DuckDB — restores decimal128 from the annotation)
+        slices = [_decimals_to_ints(s, decimal_ints) for s in slices]
     if any(pa.types.is_time32(f.type) and f.type.unit == "s"
            for f in slices[0].schema):
         # parquet TIME has no seconds unit — coerce time32[s] to ms up
@@ -1234,6 +1240,7 @@ def write_tables(
         table, row_groups, crypto=crypto, geo=config.geospatial or None,
         sorting=sorting, extra_kv=key_value_metadata,
         annotations=getattr(config, "logical_annotations", None) or None,
+        decimal_ints=decimal_ints or None,
     )
     if encryption is None:
         out += footer
@@ -1527,9 +1534,39 @@ def _apply_declared_annotation(fb: list, name: str, kind: str) -> None:
         e["logical"] = None
 
 
+def _decimals_to_ints(table: pa.Table, decimal_ints: dict) -> pa.Table:
+    """Replace flat decimal128(p<=18) columns with their unscaled INT32/
+    INT64 storage, recording {name: (precision, scale)} for the footer."""
+    import numpy as np
+
+    cols, fields = [], []
+    for i, f in enumerate(table.schema):
+        col = table.column(i)
+        t = f.type
+        if pa.types.is_decimal128(t) and t.precision <= 18:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            raw = np.frombuffer(arr.buffers()[1], np.int64)
+            lo = raw.reshape(-1, 2)[arr.offset : arr.offset + len(arr), 0]
+            out_t = pa.int32() if t.precision <= 9 else pa.int64()
+            ints = pa.array(
+                lo.astype(np.int32) if out_t == pa.int32() else lo, out_t
+            )
+            if arr.null_count:
+                import pyarrow.compute as pc
+
+                ints = pc.if_else(arr.is_valid(), ints, pa.scalar(None, out_t))
+            decimal_ints[f.name] = (t.precision, t.scale)
+            cols.append(ints)
+            fields.append(pa.field(f.name, out_t, f.nullable))
+        else:
+            cols.append(col)
+            fields.append(f)
+    return pa.table(cols, schema=pa.schema(fields))
+
+
 def _file_metadata(
     table: pa.Table, row_groups, crypto=None, geo=None,
-    sorting=None, extra_kv=None, annotations=None,
+    sorting=None, extra_kv=None, annotations=None, decimal_ints=None,
 ) -> bytes:
     w = _W()
     w.i(1, 2)  # version
@@ -1543,6 +1580,10 @@ def _file_metadata(
             fb[0]["geo"] = geo[field.name]
         if annotations and field.name in annotations:
             _apply_declared_annotation(fb, field.name, annotations[field.name])
+        if decimal_ints and field.name in decimal_ints and len(fb) == 1:
+            p, s = decimal_ints[field.name]
+            fb[0]["converted"] = 5  # DECIMAL on INT32/INT64 physical
+            fb[0]["precision"], fb[0]["scale"] = p, s
         body += fb
     elems = [{"name": "schema", "children": table.num_columns}] + body
 
@@ -1552,7 +1593,19 @@ def _file_metadata(
     w.i64(3, table.num_rows)
 
     w.begin_list(4, 12, len(row_groups))
-    kv_pairs = [("ARROW:schema", _arrow_schema_b64(table.schema))]
+    kv_schema = table.schema
+    if decimal_ints:
+        # advertise the original decimal arrow types, not the transformed
+        # int storage — pyarrow restores decimal128 from this metadata
+        kv_schema = pa.schema(
+            [
+                f.with_type(pa.decimal128(*decimal_ints[f.name]))
+                if f.name in decimal_ints
+                else f
+                for f in kv_schema
+            ]
+        )
+    kv_pairs = [("ARROW:schema", _arrow_schema_b64(kv_schema))]
     if extra_kv:
         kv_pairs += list(extra_kv.items())
     for columns, rg_rows in row_groups:

@@ -143,3 +143,74 @@ class TestDeclaredAnnotations:
             parquet_write.write_table(
                 t, _tmp(), config=EncodeConfig(logical_annotations={"x": "WAT"})
             )
+
+
+class TestDecimalAsInteger:
+    def _table(self):
+        from decimal import Decimal
+
+        return pa.table(
+            {
+                "d9": pa.array(
+                    [Decimal("1.23"), Decimal("-99999.99"), None],
+                    pa.decimal128(9, 2),
+                ),
+                "d18": pa.array(
+                    [Decimal("123456789.123456"), Decimal("-1.000001"), None],
+                    pa.decimal128(18, 6),
+                ),
+                "d38": pa.array(
+                    [Decimal("1.5"), None, Decimal("-2.5")],
+                    pa.decimal128(38, 10),
+                ),
+            }
+        )
+
+    def test_physical_types_and_roundtrip(self):
+        t = self._table()
+        out = _tmp()
+        parquet_write.write_table(
+            t, out, config=EncodeConfig(decimal_as_integer=True)
+        )
+        s = pq.ParquetFile(out).schema
+        phys = {s.column(i).name: s.column(i).physical_type for i in range(len(s))}
+        # p<=9 -> INT32, p<=18 -> INT64, beyond stays FLBA
+        assert phys == {
+            "d9": "INT32",
+            "d18": "INT64",
+            "d38": "FIXED_LEN_BYTE_ARRAY",
+        }
+        assert pq.read_table(out).equals(t)
+        assert read_table_conformance(out).equals(t)
+
+    def test_duckdb_reads_integer_decimals(self):
+        t = self._table()
+        out = _tmp()
+        parquet_write.write_table(
+            t, out, config=EncodeConfig(decimal_as_integer=True)
+        )
+        v = duckdb.sql(
+            f"SELECT CAST(d18 AS VARCHAR) v FROM read_parquet('{out}')"
+        ).df()["v"]
+        assert v[0] == "123456789.123456"
+
+    def test_off_by_default_stays_flba(self):
+        t = self._table()
+        out = _tmp()
+        parquet_write.write_table(t, out)
+        s = pq.ParquetFile(out).schema
+        assert s.column(0).physical_type == "FIXED_LEN_BYTE_ARRAY"
+        assert pq.read_table(out).equals(t)
+
+    def test_smaller_than_flba(self):
+        from decimal import Decimal
+
+        vals = [Decimal(i) / 100 for i in range(20000)]
+        t = pa.table({"d": pa.array(vals, pa.decimal128(12, 2))})
+        out_flba, out_int = _tmp(), _tmp()
+        parquet_write.write_table(t, out_flba)
+        parquet_write.write_table(
+            t, out_int, config=EncodeConfig(decimal_as_integer=True)
+        )
+        assert os.path.getsize(out_int) < os.path.getsize(out_flba) * 0.55
+        assert pq.read_table(out_int).equals(t)
