@@ -635,8 +635,13 @@ def assemble_tree(field, leaves: list):
                 k = _count_leaves(child_f.type)
                 arrays.append(build(child_f, lvs[pos : pos + k], r, d))
                 pos += k
+            # pass the typed fields, not just names: a REQUIRED child
+            # (e.g. list<struct<number int64 not null, ...>>, as written
+            # by parquet-java's example model) must keep its
+            # non-nullable flag — pyarrow refuses a later cast from an
+            # all-nullable struct to one with a `not null` child
             return pa.StructArray.from_arrays(
-                arrays, [c.name for c in t], mask=smask
+                arrays, fields=list(t), mask=smask
             )
         # primitive leaf
         vals, rep0, def0 = lvs[0]
