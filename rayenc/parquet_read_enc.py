@@ -136,11 +136,12 @@ _PTYPE_NAME = {
 
 class LeafInfo:
     __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def",
-                 "unsigned", "f16")
+                 "unsigned", "f16", "utf8")
 
     def __init__(self, path, ptype, type_length, max_rep, max_def,
-                 unsigned=False, f16=False):
+                 unsigned=False, f16=False, utf8=False):
         self.f16 = f16
+        self.utf8 = utf8
         self.path = path
         self.ptype = ptype
         self.type_length = type_length
@@ -198,6 +199,9 @@ def _walk_schema(elems):
                     path + [name], _PTYPE_NAME[e[1]], e.get(2, 0), max_rep,
                     max_def, unsigned=_leaf_is_unsigned(e),
                     f16=isinstance(lt, dict) and 15 in lt,  # FLOAT16
+                    # ConvertedType UTF8 (0) or LogicalType STRING (union 1)
+                    utf8=e.get(6) == 0
+                    or (isinstance(lt, dict) and 1 in lt),
                 )
             )
 
@@ -454,16 +458,23 @@ class EncryptedFile:
         b64 = self.kv.get("ARROW:schema")
         if b64:
             return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(b64)))
+        if any(len(leaf.path) != 1 for leaf in self.leaves):
+            if self.algorithm is None:
+                # plaintext nested file without ARROW:schema (e.g. written by
+                # parquet-mr): derive the Arrow schema the same way the
+                # conformance reader does
+                import pyarrow.parquet as pq
+
+                return pq.ParquetFile(self.path).schema_arrow
+            raise NotImplementedError(
+                "nested schema without ARROW:schema metadata"
+            )
         fields = []
         for leaf in self.leaves:
-            if len(leaf.path) != 1:
-                raise NotImplementedError(
-                    "nested schema without ARROW:schema metadata"
-                )
             t = {
                 "BOOLEAN": pa.bool_(), "INT32": pa.int32(), "INT64": pa.int64(),
                 "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
-                "BYTE_ARRAY": pa.binary(),
+                "BYTE_ARRAY": pa.string() if leaf.utf8 else pa.binary(),
                 "FIXED_LEN_BYTE_ARRAY": pa.binary(leaf.type_length),
                 "INT96": pa.timestamp("ns"),
             }[leaf.ptype]
@@ -1146,6 +1157,22 @@ def _decode_selected_pages(f, rg_ord, col_ord, locs, page_sel, arrow_t):
     key = f._chunk_key(rg_ord, col_ord)
     dict_off = md.get(11)
     has_dict = dict_off is not None and dict_off >= 0
+    if not has_dict and key is None:
+        # parquet-mr quirk: dictionary_page_offset is often unset even for
+        # dictionary-encoded chunks — the dict page sits at data_page_offset
+        # and the OffsetIndex lists only data pages (ParquetMetadataConverter
+        # keeps the field optional). Peek the header at the chunk start and
+        # claim it as the dictionary when its type says so.
+        encodings = md.get(2) or []
+        if 2 in encodings or 8 in encodings:  # PLAIN_DICTIONARY / RLE_DICTIONARY
+            start = md.get(9)
+            if start is not None and start >= 0:
+                h0 = read_page_header(
+                    np.frombuffer(f.raw[start : start + 65536], np.uint8), 0
+                )
+                if h0.type == 2:
+                    dict_off = start
+                    has_dict = True
 
     def pages():
         if has_dict:

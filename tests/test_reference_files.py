@@ -51,3 +51,49 @@ def test_reference_nested_required_struct_nullability():
     assert got.column("phoneNumbers").to_pylist() == want.column(
         "phoneNumbers"
     ).to_pylist()
+
+APPEND_1 = os.path.join(
+    REF_DIR, "parquet-hadoop/src/test/resources/test-append_1.parquet"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(APPEND_1), reason="file absent")
+def test_reference_filtered_read_unset_dictionary_offset():
+    # parquet-mr leaves dictionary_page_offset UNSET for dictionary-encoded
+    # chunks (the dict page sits at data_page_offset and the OffsetIndex
+    # lists only data pages) — the page-selected decode path must peek the
+    # chunk-start header instead of trusting field 11
+    from rayenc.parquet_read_enc import read_table_filtered
+
+    w = pq.read_table(APPEND_1)
+    v = w.column("string")[5].as_py()
+    got = read_table_filtered(APPEND_1, [("string", "==", v)])
+    import pyarrow.compute as pc
+
+    expect = w.filter(pc.equal(w.column("string"), v))
+    assert got.num_rows == expect.num_rows
+    assert got.sort_by("id").equals(expect.sort_by("id").select(got.column_names))
+
+    got2 = read_table_filtered(APPEND_1, [("id", ">", 990)])
+    assert got2.num_rows == w.filter(pc.greater(w.column("id"), 990)).num_rows
+
+
+@pytest.mark.skipif(not FILES, reason="reference test resources not present")
+def test_reference_filtered_read_nested_without_arrow_schema():
+    # plaintext nested file with no ARROW:schema key-value: the filtered
+    # reader derives the Arrow schema like the conformance reader instead
+    # of raising (nested columns assembled whole; flat predicates pushed)
+    from rayenc.parquet_read_enc import read_table_filtered
+
+    p = os.path.join(
+        REF_DIR,
+        "parquet-hadoop/src/test/resources/"
+        "test-file-with-no-column-indexes-1.parquet",
+    )
+    if not os.path.exists(p):
+        pytest.skip("file absent")
+    w = pq.read_table(p)
+    got = read_table_filtered(p, [("id", "<=", 10)])
+    assert got.num_rows == 11
+    full = read_table_filtered(p, [("id", ">=", 0)])
+    assert full.equals(w.select(full.column_names))
