@@ -136,12 +136,13 @@ _PTYPE_NAME = {
 
 class LeafInfo:
     __slots__ = ("path", "ptype", "type_length", "max_rep", "max_def",
-                 "unsigned", "f16", "utf8")
+                 "unsigned", "f16", "utf8", "elem")
 
     def __init__(self, path, ptype, type_length, max_rep, max_def,
-                 unsigned=False, f16=False, utf8=False):
+                 unsigned=False, f16=False, utf8=False, elem=None):
         self.f16 = f16
         self.utf8 = utf8
+        self.elem = elem
         self.path = path
         self.ptype = ptype
         self.type_length = type_length
@@ -202,6 +203,7 @@ def _walk_schema(elems):
                     # ConvertedType UTF8 (0) or LogicalType STRING (union 1)
                     utf8=e.get(6) == 0
                     or (isinstance(lt, dict) and 1 in lt),
+                    elem=e,
                 )
             )
 
@@ -209,6 +211,59 @@ def _walk_schema(elems):
     for _ in range(root.get(5, 0)):
         walk([], 0, 0)
     return leaves
+
+
+_TIME_UNIT_ARROW = {1: "ms", 2: "us", 3: "ns"}
+
+
+def _leaf_arrow_type(leaf: "LeafInfo") -> "pa.DataType":
+    """Flat-leaf SchemaElement -> the Arrow type pyarrow would derive
+    (parquet-cpp SchemaField conversion): logicalType union preferred,
+    legacy ConvertedType fallback. assemble_flat's final ``cast(t)`` turns
+    the raw physical decode into this type, so filtered reads of files
+    without ARROW:schema metadata match pyarrow's schema."""
+    e = leaf.elem or {}
+    base = {
+        "BOOLEAN": pa.bool_(), "INT32": pa.int32(), "INT64": pa.int64(),
+        "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
+        "BYTE_ARRAY": pa.string() if leaf.utf8 else pa.binary(),
+        "FIXED_LEN_BYTE_ARRAY": pa.binary(leaf.type_length),
+        "INT96": pa.timestamp("ns"),
+    }[leaf.ptype]
+    if leaf.f16:
+        return pa.float16()
+    lt = e.get(10)
+    if isinstance(lt, dict):
+        if 5 in lt:  # DECIMAL{1:scale, 2:precision}
+            p, s = lt[5].get(2, 0), lt[5].get(1, 0)
+            return pa.decimal128(p, s) if p <= 38 else pa.decimal256(p, s)
+        if 6 in lt:
+            return pa.date32()
+        if 7 in lt:  # TIME{1:isAdjustedToUTC, 2:unit}
+            unit = _TIME_UNIT_ARROW.get(next(iter(lt[7].get(2, {1: None}))), "ms")
+            return pa.time32("ms") if unit == "ms" else pa.time64(unit)
+        if 8 in lt:  # TIMESTAMP{1:isAdjustedToUTC, 2:unit}
+            unit = _TIME_UNIT_ARROW.get(next(iter(lt[8].get(2, {1: None}))), "ms")
+            return pa.timestamp(unit, tz="UTC" if lt[8].get(1) else None)
+        if 10 in lt:  # INTEGER{1:bitWidth, 2:isSigned}
+            bw = lt[10].get(1, 32)
+            signed = lt[10].get(2, True) is not False
+            return getattr(pa, f"{'' if signed else 'u'}int{bw}")()
+        return base
+    ct = e.get(6)
+    if ct is None:
+        return base
+    if ct == 5:  # DECIMAL: scale field 7, precision field 8
+        p, s = e.get(8, 0), e.get(7, 0)
+        return pa.decimal128(p, s) if p <= 38 else pa.decimal256(p, s)
+    _BY_CONVERTED = {
+        6: pa.date32(), 7: pa.time32("ms"), 8: pa.time64("us"),
+        # legacy TIMESTAMP_* are instants (isAdjustedToUTC=true)
+        9: pa.timestamp("ms", tz="UTC"), 10: pa.timestamp("us", tz="UTC"),
+        11: pa.uint8(), 12: pa.uint16(), 13: pa.uint32(), 14: pa.uint64(),
+        15: pa.int8(), 16: pa.int16(), 17: pa.int32(), 18: pa.int64(),
+    }
+    return _BY_CONVERTED.get(ct, base)
 
 
 _REPETITION = {0: "required", 1: "optional", 2: "repeated"}
@@ -469,18 +524,10 @@ class EncryptedFile:
             raise NotImplementedError(
                 "nested schema without ARROW:schema metadata"
             )
-        fields = []
-        for leaf in self.leaves:
-            t = {
-                "BOOLEAN": pa.bool_(), "INT32": pa.int32(), "INT64": pa.int64(),
-                "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
-                "BYTE_ARRAY": pa.string() if leaf.utf8 else pa.binary(),
-                "FIXED_LEN_BYTE_ARRAY": pa.binary(leaf.type_length),
-                "INT96": pa.timestamp("ns"),
-            }[leaf.ptype]
-            if leaf.f16:
-                t = pa.float16()
-            fields.append(pa.field(leaf.path[0], t, leaf.max_def > 0))
+        fields = [
+            pa.field(leaf.path[0], _leaf_arrow_type(leaf), leaf.max_def > 0)
+            for leaf in self.leaves
+        ]
         return pa.schema(fields)
 
     # -- chunks -------------------------------------------------------------
