@@ -59,6 +59,8 @@ class And:
     preds: tuple
 
     def __init__(self, *preds):
+        if len(preds) == 1 and isinstance(preds[0], (list, tuple)):
+            preds = tuple(preds[0])  # And([a, b]) == And(a, b)
         object.__setattr__(self, "preds", tuple(preds))
 
 
@@ -67,6 +69,8 @@ class Or:
     preds: tuple
 
     def __init__(self, *preds):
+        if len(preds) == 1 and isinstance(preds[0], (list, tuple)):
+            preds = tuple(preds[0])  # Or([a, b]) == Or(a, b)
         object.__setattr__(self, "preds", tuple(preds))
 
 
@@ -250,7 +254,12 @@ def leaf_mask(leaf: Leaf, arr):
     if leaf.op == "udp":
         return _as_bool_array(leaf.value.keep(arr))
     if leaf.op in ("in", "not_in"):
-        m = pc.is_in(arr, value_set=pa.array(list(leaf.value)))
+        try:
+            vset = pa.array(list(leaf.value))
+        except (OverflowError, pa.ArrowInvalid):
+            # values beyond int64 (uint64 columns): type to the column
+            vset = pa.array(list(leaf.value), arr.type)
+        m = pc.is_in(arr, value_set=vset)
         # keep SQL NOT IN semantics: null input -> null verdict either way
         if leaf.op == "not_in":
             m = pc.invert(m)
@@ -262,7 +271,13 @@ def leaf_mask(leaf: Leaf, arr):
         "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
         "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
     }[leaf.op]
-    return fn(arr, pa.scalar(leaf.value))
+    try:
+        v = pa.scalar(leaf.value)
+    except (OverflowError, pa.ArrowInvalid):
+        # a Python int >= 2^63 overflows the inferred int64 — type it to
+        # the (unsigned) column instead
+        v = pa.scalar(leaf.value, arr.type)
+    return fn(arr, v)
 
 
 def mask(pred, table):
