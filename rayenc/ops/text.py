@@ -111,7 +111,13 @@ def chunk_documents(batch: pa.Table, text_col: str = "text",
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null texts count as empty (one chunk, null slice): a raw null length
+    # is NaN in numpy and casts to garbage int64, exploding nchunks
+    nchars = (
+        pc.fill_null(pc.utf8_length(texts), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     nchunks = np.maximum(1, -(-nchars // size))  # empty docs keep one chunk
     ids = batch.column(id_col)
     rep = pa.array(np.repeat(np.arange(len(nchunks)), nchunks))

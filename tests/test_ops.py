@@ -351,6 +351,44 @@ def test_chunk_documents_matches_python_reference():
     assert got == want
 
 
+def test_chunk_documents_null_and_empty_text():
+    # a null text length is NaN through numpy and used to cast to garbage
+    # int64, exploding the chunk count to petabytes — nulls count as empty
+    import pyarrow as pa
+
+    from rayenc.ops import text as T
+
+    doc = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "text": pa.array(["", None, "x" * 600, "short"]),
+        }
+    )
+    out = T.chunk_documents(doc, size=256)
+    assert out.column("doc_id").to_pylist() == ["a", "b", "c", "c", "c", "d"]
+    by_doc = dict(
+        zip(out.column("doc_id").to_pylist(), out.column("chunk").to_pylist())
+    )
+    assert by_doc["b"] is None
+    assert by_doc["a"] == ""
+
+
+def test_pack_sequences_sliced_and_null_lists():
+    # Ray batches arrive as slices; offsets must be slice-aware and null
+    # token lists contribute zero tokens
+    import pyarrow as pa
+
+    from rayenc.ops import text as T
+
+    tok = pa.array([[1, 2], [3, 4, 5], [6], None, [7, 8, 9, 10], [11]],
+                   pa.list_(pa.int32()))
+    t = pa.table({"doc_id": pa.array(list("efgh")), "tokens": tok.slice(2, 4)})
+    p = T.pack_sequences(t, context_len=3)
+    got = [x for xs in p.column("tokens").to_pylist() for x in xs]
+    assert got == [6, 7, 8, 9, 10, 11]
+    assert all(len(xs) <= 3 for xs in p.column("tokens").to_pylist())
+
+
 def test_pack_sequences_invariants():
     from rayenc.ops import text as T
 
