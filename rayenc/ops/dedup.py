@@ -73,7 +73,15 @@ def hash_strings(arr: pa.Array) -> np.ndarray:
         terms = (data.astype(np.uint64) + np.uint64(1)) * powers
         sums = np.zeros(n, np.uint64)
         np.add.at(sums, np.repeat(np.arange(n), lengths), terms)
-    return _mix64(sums ^ _mix64(lengths.astype(np.uint64)))
+    h = _mix64(sums ^ _mix64(lengths.astype(np.uint64)))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        # null flattens to zero length like '' — salt it so NULL text rows
+        # dedupe against each other (SQL DISTINCT) but never against ''
+        nulls = np.asarray(pc.is_null(arr))
+        h[nulls] = _mix64(h[nulls] ^ np.uint64(0x9E3779B97F4A7C15))
+    return h
 
 
 def hash_id_pairs(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -351,6 +351,25 @@ def test_chunk_documents_matches_python_reference():
     assert got == want
 
 
+def test_exact_dedup_null_text_distinct_from_empty(ray_session):
+    # null flattens to zero bytes like '' in the flat buffer; the content
+    # hash salts validity so NULL rows dedupe together but never against ''
+    import ray.data
+
+    from rayenc.ops import dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(6)]),
+            "text": pa.array(["", None, None, "", "a", None]),
+        }
+    )
+    kept = sorted(
+        dedup.exact_dedup(ray.data.from_arrow(t)).to_pandas()["doc_id"]
+    )
+    assert kept == ["d0", "d1", "d4"]
+
+
 def test_chunk_documents_null_and_empty_text():
     # a null text length is NaN through numpy and used to cast to garbage
     # int64, exploding the chunk count to petabytes — nulls count as empty
