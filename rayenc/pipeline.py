@@ -815,6 +815,29 @@ def decode_dataset(
     manifests = sorted(
         n for n in os.listdir(out_dir) if n.endswith(".manifest.json")
     )
+    if (predicate is not None or columns is not None) and manifests:
+        # fail at PLAN time on unknown columns — not as a KeyError from deep
+        # inside a Ray task after work has launched
+        from . import predicate as _P
+
+        with open(os.path.join(out_dir, manifests[0])) as f:
+            chunk_names = {c["name"] for c in json.load(f)["chunks"]}
+        # nested columns shred to "name#..." chunks; the decoded table
+        # exposes the top-level name
+        known = chunk_names | {n.split("#", 1)[0] for n in chunk_names}
+        missing = _P.columns(_P.normalize(predicate)) - known
+        if missing:
+            raise ValueError(
+                f"predicate column(s) {sorted(missing)} not in container "
+                f"schema {sorted(known)}"
+            )
+        if columns is not None:
+            missing = set(columns) - known
+            if missing:
+                raise ValueError(
+                    f"column(s) {sorted(missing)} not in container "
+                    f"schema {sorted(known)}"
+                )
     ds = ray.data.from_items([{"manifest": m} for m in manifests])
     if concurrency is None:
         concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))

@@ -533,3 +533,16 @@ def test_read_parquet_filtered_many_files(ray_session, tmp_path):
     ds = pipeline.read_parquet_filtered(paths, [("k", "<", 25)])
     got = sorted(r["k"] for r in ds.take_all())
     assert got == list(range(25))
+
+
+def test_decode_dataset_rejects_unknown_columns_at_plan_time(
+    ray_session, token_parquet, tmp_path
+):
+    out = str(tmp_path / "cval")
+    pipeline.encode_job([token_parquet], out).materialize()
+    with pytest.raises(ValueError, match="predicate column"):
+        pipeline.decode_dataset(out, predicate=[("nope", "==", 1)])
+    with pytest.raises(ValueError, match="not in container"):
+        pipeline.decode_dataset(out, columns=["zzz"])
+    # known columns still plan fine
+    assert pipeline.decode_dataset(out, columns=["doc_id"]).count() > 0
