@@ -103,13 +103,21 @@ def decrypt_module_ctr(key: bytes, buf, offset: int) -> tuple[bytes, int]:
 
 def decrypt_module(key: bytes, buf, offset: int, aad: bytes) -> tuple[bytes, int]:
     """Decrypt one framed module at ``buf[offset:]``; returns (plaintext,
-    offset just past the module). Raises on tag mismatch (wrong key/AAD)."""
+    offset just past the module). Raises ValueError naming the module AAD on
+    tag mismatch — wrong key, wrong AAD prefix, or corrupted ciphertext
+    (TagVerificationException semantics in the reference's AesGcmDecryptor)."""
     b = bytes(buf[offset : offset + SIZE_LEN])
     (length,) = struct.unpack("<i", b)
     start = offset + SIZE_LEN
     body = bytes(buf[start : start + length])
     nonce, ct = body[:NONCE_LEN], body[NONCE_LEN:]
-    return _aesgcm(key).decrypt(nonce, ct, aad), start + length
+    try:
+        return _aesgcm(key).decrypt(nonce, ct, aad), start + length
+    except Exception as ex:
+        raise ValueError(
+            f"GCM tag verification failed for module at offset {offset}: "
+            "wrong key, wrong AAD prefix, or corrupted data"
+        ) from ex
 
 
 def encrypt_key_locally(key_bytes: bytes, wrapping_key: bytes, aad: bytes) -> str:

@@ -31,11 +31,9 @@ def test_module_roundtrip_and_aad_binding():
     ct = encrypt_module(FK, b"payload", aad)
     pt, end = decrypt_module(FK, ct, 0, aad)
     assert pt == b"payload" and end == len(ct)
-    from cryptography.exceptions import InvalidTag
-
-    with pytest.raises(InvalidTag):
+    with pytest.raises(ValueError, match="GCM tag verification failed"):
         decrypt_module(FK, ct, 0, module_aad(b"12345678", 2, 0, 3, 8))
-    with pytest.raises(InvalidTag):
+    with pytest.raises(ValueError, match="GCM tag verification failed"):
         decrypt_module(CK, ct, 0, aad)
 
 
@@ -112,9 +110,7 @@ def test_aad_prefix_supplied_not_stored(tmp_path):
         path, FileDecryption(footer_key=FK, aad_prefix=b"tenant-7")
     )
     assert got.cast(t.schema).equals(t)
-    from cryptography.exceptions import InvalidTag
-
-    with pytest.raises(InvalidTag):
+    with pytest.raises(ValueError, match="GCM tag verification failed"):
         read_table_encrypted(
             path, FileDecryption(footer_key=FK, aad_prefix=b"tenant-8")
         )
