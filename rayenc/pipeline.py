@@ -381,6 +381,11 @@ def _unbox(v):
 
 
 def _atomic_write(path: str, data: bytes) -> None:
+    # re-ensure the directory: workers are cached per (out_dir, config)
+    # across jobs in a Ray session, so a user deleting the output dir and
+    # re-running the job would otherwise hit FileNotFoundError from the
+    # cached worker whose __init__ mkdir ran in a previous job
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -546,3 +546,17 @@ def test_decode_dataset_rejects_unknown_columns_at_plan_time(
         pipeline.decode_dataset(out, columns=["zzz"])
     # known columns still plan fine
     assert pipeline.decode_dataset(out, columns=["doc_id"]).count() > 0
+
+
+def test_encode_job_rerun_after_out_dir_deleted(
+    ray_session, token_parquet, tmp_path
+):
+    # workers are cached per (out_dir, config) across jobs; the cached
+    # worker must survive the output dir being deleted between jobs
+    import shutil
+
+    out = str(tmp_path / "rerun")
+    pipeline.encode_job([token_parquet], out, resume=False).materialize()
+    shutil.rmtree(out)
+    pipeline.encode_job([token_parquet], out, resume=False).materialize()
+    assert pipeline.decode_dataset(out).count() > 0
