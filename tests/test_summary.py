@@ -150,3 +150,62 @@ class TestDistributedSummaryRead:
         write_summary(d)
         ds = read_parquet_summary(d)
         assert ds.count() == 15000
+
+
+def _lake(tmp_path):
+    import os
+
+    d = str(tmp_path / "lake")
+    os.makedirs(d)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"k": pa.array([i * 10 + j for j in range(10)], pa.int64())}),
+            f"{d}/f{i}.parquet",
+        )
+    return d
+
+
+def test_summary_stale_part_replanned_live(ray_session, tmp_path):
+    # a part rewritten AFTER the summary must not be pruned by its stale
+    # summary stats (silently wrong results) — the staleness sidecar
+    # detects the change and that part replans from its live footer
+    import time
+
+    from rayenc import pipeline, summary
+
+    d = _lake(tmp_path)
+    summary.write_summary(d)
+    time.sleep(0.02)
+    pq.write_table(
+        pa.table({"k": pa.array(list(range(100, 140)), pa.int64())}),
+        f"{d}/f1.parquet",
+    )
+    assert pipeline.read_parquet_summary(d, [("k", ">=", 100)]).count() == 40
+    assert pipeline.read_parquet_summary(d, [("k", ">=", 0)]).count() == 60
+
+
+def test_summary_new_part_planned_live(ray_session, tmp_path):
+    from rayenc import pipeline, summary
+
+    d = _lake(tmp_path)
+    summary.write_summary(d)
+    pq.write_table(
+        pa.table({"k": pa.array(list(range(200, 210)), pa.int64())}),
+        f"{d}/f9.parquet",
+    )
+    assert pipeline.read_parquet_summary(d, [("k", ">=", 200)]).count() == 10
+    assert pipeline.read_parquet_summary(d).count() == 40
+
+
+def test_summary_deleted_part_raises(ray_session, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from rayenc import pipeline, summary
+
+    d = _lake(tmp_path)
+    summary.write_summary(d)
+    os.remove(f"{d}/f2.parquet")
+    with _pytest.raises(FileNotFoundError, match="no longer exists"):
+        pipeline.read_parquet_summary(d, [("k", ">=", 0)]).count()
