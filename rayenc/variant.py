@@ -139,7 +139,15 @@ def encode_value(obj, meta: Metadata) -> bytes:
         ):
             if -lim <= obj < lim:
                 return bytes([(p << 2) | B_PRIMITIVE]) + struct.pack(fmt, obj)
-        return bytes([(P_INT64 << 2) | B_PRIMITIVE]) + struct.pack("<q", obj)
+        if -(1 << 63) <= obj < (1 << 63):
+            return bytes([(P_INT64 << 2) | B_PRIMITIVE]) + struct.pack("<q", obj)
+        if -(1 << 127) <= obj < (1 << 127):
+            # JSON integers beyond int64 ride decimal16 scale 0 (exact)
+            return (
+                bytes([(P_DECIMAL16 << 2) | B_PRIMITIVE, 0])
+                + obj.to_bytes(16, "little", signed=True)
+            )
+        raise ValueError(f"integer out of variant range (needs >128 bits): {obj}")
     if isinstance(obj, float):
         return bytes([(P_DOUBLE << 2) | B_PRIMITIVE]) + struct.pack("<d", obj)
     import datetime as _dt

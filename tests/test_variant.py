@@ -164,3 +164,24 @@ def test_variant_json_rendering_of_extended_types():
     )
     (j,) = variant_to_json(col).to_pylist()
     assert '"d":"1.50"' in j and '"t":"2024-01-02"' in j and '"b":"AQ=="' in j
+
+
+def test_variant_big_int_beyond_int64():
+    # JSON integers outside int64 used to crash struct.pack; they now ride
+    # decimal16 scale 0 (exact). >128-bit ints raise a clear ValueError.
+    import json
+
+    import pyarrow as pa
+
+    from rayenc import variant
+
+    vals = [2**63 - 1, 2**63, 2**70, -(2**100), -(2**63)]
+    col = pa.array([json.dumps(v) for v in vals], pa.string())
+    sv = variant.json_to_variant(col)
+    back = variant.variant_to_json(sv)
+    for i, v in enumerate(vals):
+        got = json.loads(back[i].as_py())
+        # decimal16 renders via _json_default (string, exactness kept)
+        assert int(got) == v, (v, got)
+    with pytest.raises(ValueError, match="128 bits"):
+        variant.json_to_variant(pa.array([json.dumps(2**130)]))
