@@ -17,6 +17,7 @@ instead of silently shipping gigabytes per task.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -230,9 +231,26 @@ def asof_join(
                     name, pa.nulls(len(l), r.column(c).type)
                 )
             return out
-        order = np.argsort(r_on, kind="stable")
-        r_sorted = r_on[order]
+        # DuckDB ASOF null semantics (the declared oracle): a null RIGHT
+        # timestamp can never be "the latest row <= l.on" and is dropped;
+        # a null LEFT timestamp sorts NULLS-LAST and matches the latest
+        # valid right row. Nulls in numeric to_numpy arrive as NaN, which
+        # would otherwise poison the right-side sort.
+        r_valid = np.asarray(pc.is_valid(r.column(on)))
+        if r_on.dtype.kind == "f":
+            r_valid &= ~np.isnan(r_on)
+        r_on, r_keep = r_on[r_valid], np.flatnonzero(r_valid)
+        if len(r_on) == 0:
+            out = l
+            for c in rc:
+                name = c + suffix if c in l_cols else c
+                out = out.append_column(name, pa.nulls(len(l), r.column(c).type))
+            return out
+        order = r_keep[np.argsort(r_on, kind="stable")]
+        r_sorted = np.sort(r_on, kind="stable")
         # latest right with r.on <= l.on -> searchsorted right side - 1
+        # (NaN left values searchsort to the end = latest match, matching
+        # DuckDB's NULLS-LAST treatment)
         idx = np.searchsorted(r_sorted, l_on, side="right") - 1
         matched = idx >= 0
         take = np.where(matched, order[np.maximum(idx, 0)], 0)

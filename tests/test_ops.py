@@ -1231,3 +1231,30 @@ def test_token_spans_sliding_stride(ray_session):
     assert got == {1: [1], 2: [9], 3: [1, 2, 3, 4, 5]}
     assert dict(zip(t.column("doc_id").to_pylist(),
                     t.column("n_tok").to_pylist())) == {1: 1, 2: 1, 3: 5}
+
+
+def test_asof_join_null_timestamps_match_duckdb(ray_session):
+    # null RIGHT ts rows are dropped (never "the latest <= l.on"); null
+    # LEFT ts sorts NULLS-LAST and matches the latest valid right row —
+    # DuckDB ASOF LEFT JOIN semantics, verified against the oracle
+    import duckdb
+    import pandas as pd
+
+    from rayenc.ops import join
+
+    lt = pa.table({"g": pa.array(["a", "a", "a", "b"]),
+                   "ts": pa.array([5.0, 1.0, None, 2.0]),
+                   "id": pa.array([1, 2, 3, 4])})
+    rt = pa.table({"g": pa.array(["a", "a", "b"]),
+                   "ts": pa.array([0.0, 4.0, None]),
+                   "price": pa.array([10.0, 20.0, 99.0])})
+    got = (
+        join.asof_join(ray.data.from_arrow(lt), ray.data.from_arrow(rt), "g", "ts")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    l_df, r_df = lt.to_pandas(), rt.to_pandas()
+    want = duckdb.sql(
+        "SELECT l.id, r.price FROM l_df l ASOF LEFT JOIN r_df r "
+        "ON l.g = r.g AND l.ts >= r.ts ORDER BY id"
+    ).df()
+    pd.testing.assert_series_equal(got["price"], want["price"])
