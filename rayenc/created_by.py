@@ -127,3 +127,28 @@ def should_ignore_statistics(created_by: str | None, ptype: str) -> bool:
         return False
     except (ValueError, AttributeError):
         return True
+
+
+_DELTA_FIXED = SemVer(1, 8, 0)
+
+
+def requires_sequential_reads(created_by: str | None, encoding: int) -> bool:
+    """CorruptDeltaByteArrays.requiresSequentialReads (PARQUET-246): pages
+    of DELTA_BYTE_ARRAY chunks written by parquet-mr < 1.8.0 share prefix
+    state with the PREVIOUS page, so page-skipping decodes of such chunks
+    produce garbage — readers must decode the chunk sequentially from the
+    first page. Non-parquet-mr writers are clean; missing or unparseable
+    created_by is conservative (sequential)."""
+    if encoding != 7:  # Encoding.DELTA_BYTE_ARRAY
+        return False
+    if not created_by:
+        return True
+    try:
+        app, ver, _ = parse_created_by(created_by)
+        if app != "parquet-mr":
+            return False
+        if not ver:
+            return True
+        return SemVer.parse(ver).compare(_DELTA_FIXED) < 0
+    except (ValueError, AttributeError):
+        return True

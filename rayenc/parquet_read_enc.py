@@ -1150,6 +1150,15 @@ def read_table_filtered(
                 continue
             ci = leaf_ord[field.name]
             parsed = idx_cache.get(field.name) or _parse_index(f, rg_ord, ci)
+            if parsed is not None:
+                # PARQUET-246: pre-1.8 parquet-mr DELTA_BYTE_ARRAY pages
+                # share prefix state — page-selected decode would be garbage;
+                # fall back to the sequential whole-chunk decode
+                from .created_by import requires_sequential_reads
+
+                encs = f.chunk_meta(rg_ord, ci).get(2) or []
+                if 7 in encs and requires_sequential_reads(f.created_by, 7):
+                    parsed = None
             if parsed is None:
                 r = f.decode_leaf(rg_ord, ci)
                 arr = assemble_flat(r, field.type)

@@ -106,3 +106,55 @@ def test_cli_check_stats(tmp_path, capsys):
     main(["check-stats", path])
     out = capsys.readouterr().out
     assert "rayenc 0.1" in out and "OK" in out
+
+
+def test_requires_sequential_reads_delta_byte_array():
+    # CorruptDeltaByteArrays.requiresSequentialReads (PARQUET-246): pre-1.8
+    # parquet-mr DELTA_BYTE_ARRAY pages share prefix state across pages
+    from rayenc.created_by import requires_sequential_reads as rsr
+
+    assert rsr("parquet-mr version 1.6.0 (build abc)", 7)
+    assert not rsr("parquet-mr version 1.8.0 (build abc)", 7)
+    assert not rsr("parquet-mr version 1.9.0 (build x)", 7)
+    assert not rsr("parquet-cpp-arrow version 16.0.0", 7)
+    assert rsr(None, 7)  # unknown writer: conservative
+    # unparseable-version parquet-mr: conservative
+    assert rsr("parquet-mr version ??? (build x)", 7)
+    # other encodings unaffected
+    assert not rsr("parquet-mr version 1.6.0 (build abc)", 4)
+
+
+def test_page_selected_decode_falls_back_for_pre18_delta(tmp_path, monkeypatch):
+    # a pyarrow-written DELTA_BYTE_ARRAY file read filtered stays page-
+    # selected (clean writer); forcing a pre-1.8 created_by must produce
+    # identical results through the sequential whole-chunk fallback
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_read_enc as R
+
+    p = str(tmp_path / "dba.parquet")
+    t = pa.table(
+        {
+            "s": pa.array([f"prefix-common-{i:05d}" for i in range(5000)]),
+            "k": pa.array(range(5000)),
+        }
+    )
+    pq.write_table(
+        t, p, use_dictionary=False,
+        column_encoding={"s": "DELTA_BYTE_ARRAY", "k": "PLAIN"},
+        write_page_index=True, data_page_size=2048,
+    )
+    clean = R.read_table_filtered(p, [("k", ">=", 4900)])
+    assert clean.num_rows == 100
+
+    orig_init = R.EncryptedFile.__init__
+
+    def fake_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        self.created_by = "parquet-mr version 1.6.0 (build abc)"
+
+    monkeypatch.setattr(R.EncryptedFile, "__init__", fake_init)
+    seq = R.read_table_filtered(p, [("k", ">=", 4900)])
+    assert seq.num_rows == 100
+    assert seq.equals(clean)
