@@ -127,3 +127,23 @@ def test_grouped_encode_tolerates_null_keys(tmp_path):
     assert len(got) == 100
     # nulls survive the grouped encode untouched (sentinel is shuffle-only)
     assert got["source"].isna().sum() == sum(1 for i in range(100) if i % 7 == 0)
+
+
+def test_nan_float_stats_omitted_and_pruning_sound(tmp_path):
+    # NaN-poisoned float pages write NO min/max (the spec-safe choice:
+    # poisoned bounds must never prune) and filtered reads stay exact
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_read_enc import read_table_filtered
+
+    p = str(tmp_path / "nan.parquet")
+    v = np.array([1.5, float("nan"), -3.0, 2.0, float("nan")] * 200)
+    t = pa.table({"f": pa.array(v), "k": pa.array(range(1000))})
+    parquet_write.write_table(t, p, row_group_size=250)
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert st is None or not st.has_min_max
+    got = read_table_filtered(p, [("f", ">", 1.9)])
+    assert got.num_rows == 200
