@@ -90,3 +90,14 @@ def test_filtered_read_matches_duckdb(files, pi):
             f"select count(*) from read_parquet('{path}') where {where}"
         ).fetchone()[0]
         assert got.num_rows == want, (path, where)
+        # values, not just counts: the i64 column is unique per row, so a
+        # sorted compare against pyarrow's own filtered read pins the rows
+        expect = pq.read_table(path).filter(
+            pa.compute.is_in(
+                pq.read_table(path, columns=["i64"]).column("i64"),
+                value_set=got.column("i64").combine_chunks(),
+            )
+        )
+        assert got.sort_by("i64").cast(expect.schema).equals(
+            expect.sort_by("i64")
+        ), (path, where)
