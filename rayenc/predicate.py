@@ -21,6 +21,14 @@ Pruning soundness with nulls: a leaf verdict uses min/max of the granule's
 NON-null values; null rows fail every comparison leaf (SQL semantics), so a
 granule is safely skippable when no non-null value can match — including for
 NotEq/NotIn, whose bounds rule is "prunable iff lo == hi == excluded value".
+
+NaN semantics: comparisons follow IEEE (every comparison with NaN is false),
+matching the reference — `LogicalInverseRewriter` rewrites not(ltEq(x)) to
+gt(x), and Java primitive comparisons with NaN are false — and pyarrow's
+compute kernels. This DIVERGES from SQL engines that totally order NaN as
+the greatest value (DuckDB: `NOT (f <= x)` keeps NaN rows; here it drops
+them, because the NNF leaf `f > x` is false for NaN). Filter NaN explicitly
+(e.g. `is_nan` masks upstream) when SQL total-order behavior is needed.
 """
 
 from __future__ import annotations

@@ -389,3 +389,20 @@ class TestNullPredicates:
         assert P.leaf_vs_bounds(P.Leaf("x", "not_null", None), None, None, all_null=True) is False
         assert P.leaf_vs_bounds(P.Leaf("x", "not_null", None), 1, 5) is True
         assert P.leaf_vs_bounds(P.Leaf("x", "is_null", None), 1, 5) is True
+
+
+def test_nan_comparison_semantics_ieee_like_reference():
+    # IEEE/parquet-java semantics: every comparison with NaN is false, and
+    # Not() is NNF-rewritten (not(f<=x) -> f>x), so NaN rows are dropped by
+    # BOTH polarities — unlike SQL engines that totally order NaN greatest
+    # (documented divergence in the module docstring)
+    import numpy as np
+    import pyarrow as pa
+
+    from rayenc import predicate as P
+
+    t = pa.table({"f": pa.array([1.0, float("nan"), -5.0])})
+    kept_pos = P.filter_table(P.normalize(P.LtEq("f", 0.0)), t)
+    assert kept_pos.num_rows == 1  # -5.0 only
+    kept_neg = P.filter_table(P.normalize(P.Not(P.LtEq("f", 0.0))), t)
+    assert kept_neg.num_rows == 1  # 1.0 only; NaN dropped in both
