@@ -101,3 +101,50 @@ def test_filtered_read_matches_duckdb(files, pi):
         assert got.sort_by("i64").cast(expect.schema).equals(
             expect.sort_by("i64")
         ), (path, where)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_predicate_trees_match_duckdb(tmp_path, seed):
+    # bounded randomized campaign: random tables x random And/Or/Not trees
+    # over nullable strings + floats (NaN-free: NaN Not-semantics follow the
+    # reference's IEEE comparisons, documented in rayenc.predicate) must
+    # match DuckDB row counts
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(50, 4000))
+    t = pa.table({
+        "i": pa.array(rng.integers(-10**6, 10**6, n), pa.int64()),
+        "f": pa.array(rng.normal(0, 100, n)),
+        "s": pa.array([f"k{v:04d}" if v % 11 else None
+                       for v in rng.integers(0, 200, n)]),
+    })
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(t, path, row_group_size=max(10, n // 5),
+                   write_page_index=True, data_page_size=2048)
+    iv = int(rng.integers(-10**6, 10**6))
+    fv = float(rng.normal(0, 100))
+    sv = f"k{int(rng.integers(0, 200)):04d}"
+    leaves = [
+        (P.Gt("i", iv), f"i > {iv}"),
+        (P.LtEq("f", fv), f"f <= {fv}"),
+        (P.Eq("s", sv), f"s = '{sv}'"),
+        (P.IsNull("s"), "s is null"),
+        (P.NotIn("s", [sv, "k0001"]), f"s not in ('{sv}', 'k0001')"),
+    ]
+    for shape in ("and", "or", "notand", "notor"):
+        sel = rng.choice(len(leaves), 3, replace=False)
+        preds = [leaves[i] for i in sel]
+        body = [p for p, _ in preds]
+        ws = [f"({w})" for _, w in preds]
+        if shape == "and":
+            tree, where = P.And(body), " and ".join(ws)
+        elif shape == "or":
+            tree, where = P.Or(body), " or ".join(ws)
+        elif shape == "notand":
+            tree, where = P.Not(P.And(body)), "not (" + " and ".join(ws) + ")"
+        else:
+            tree, where = P.Not(P.Or(body)), "not (" + " or ".join(ws) + ")"
+        got = read_table_filtered(path, tree)
+        want = duckdb.sql(
+            f"select count(*) from read_parquet('{path}') where {where}"
+        ).fetchone()[0]
+        assert got.num_rows == want, (seed, where)
