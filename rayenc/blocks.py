@@ -87,13 +87,15 @@ class _Candidate:
     """Planned chunk encoding: exact (or, for FSST, estimated) total size plus
     a deferred ``emit`` that materializes aux + page bytes exactly once."""
 
-    __slots__ = ("encoding", "size", "estimated", "aux_meta", "_emit")
+    __slots__ = ("encoding", "size", "estimated", "aux_meta", "_emit", "aux_size")
 
-    def __init__(self, encoding, size, emit, aux_meta=None, estimated=False):
+    def __init__(self, encoding, size, emit, aux_meta=None, estimated=False,
+                 aux_size=0):
         self.encoding = encoding
         self.size = size
         self.estimated = estimated
         self.aux_meta = aux_meta
+        self.aux_size = aux_size
         self._emit = emit
 
     def emit(self):
@@ -147,7 +149,8 @@ def _plan_candidate(
         def emit():
             return aux_emit(), [bytes([width]) + p.emit() for p in id_plans]
 
-        return _Candidate(encoding, size, emit, {"kind": kind, "count": len(dic)})
+        return _Candidate(encoding, size, emit, {"kind": kind, "count": len(dic)},
+                          aux_size=aux_size)
 
     if encoding == "FSST":
         offsets, data = v
@@ -179,7 +182,8 @@ def _plan_candidate(
             return aux, pages
 
         return _Candidate(
-            encoding, est, emit, {"kind": "fsst", "count": len(table.symbols)}, estimated=True
+            encoding, est, emit, {"kind": "fsst", "count": len(table.symbols)},
+            estimated=True, aux_size=len(aux),
         )
 
     if ptype == "BINARY":
@@ -494,8 +498,28 @@ def encode_chunk(
         }
     stats = stats_mod.compute(col)
     ranges = page_ranges(col, config)
-    cands: list[_Candidate] = []
-    for encoding in sel.candidates_for(col, stats, config):
+    cand_names = sel.candidates_for(col, stats, config)
+    if len(ranges) > 4 and len(cand_names) > 1:
+        # two-phase selection: planning every candidate over every page is
+        # the dominant encode cost (the selector, not the winning kernel).
+        # Size candidates on a 3-page sample, extrapolate the page portion
+        # (aux — dict/FSST tables — is chunk-global and not scaled), and
+        # fully plan only the two best; the winner's manifest sizes stay
+        # exact because it is re-planned over all pages.
+        sample = [ranges[0], ranges[len(ranges) // 2], ranges[-1]]
+        scale = sum(b - a for a, b in ranges) / max(
+            1, sum(b - a for a, b in sample)
+        )
+        scored = []
+        for encoding in cand_names:
+            c = _plan_candidate(col, encoding, sample, config)
+            if c is not None:
+                est = c.aux_size + (c.size - c.aux_size) * scale
+                scored.append((est, encoding))
+        scored.sort()
+        cand_names = [e for _, e in scored[:2]]
+    cands = []
+    for encoding in cand_names:
         cand = _plan_candidate(col, encoding, ranges, config)
         if cand is not None:
             cands.append(cand)
