@@ -104,15 +104,23 @@ class _Candidate:
 
 
 def _plan_candidate(
-    col: PhysicalColumn, encoding: str, ranges, config: sel.EncodeConfig
+    col: PhysicalColumn, encoding: str, ranges, config: sel.EncodeConfig,
+    memo: dict | None = None,
 ) -> _Candidate | None:
     """Plan one encoding for the whole chunk without materializing payload
-    bytes (except cheap aux). Returns None when inapplicable."""
+    bytes (except cheap aux). Returns None when inapplicable. ``memo``
+    caches chunk-global work (dictionary factorize, FSST table training)
+    across the sampled and full planning passes."""
     ptype = col.ptype
     v = col.values
 
     if encoding == "RLE_DICTIONARY":
-        fac = sel.try_dictionary(col, config)
+        if memo is not None and "dict_fac" in memo:
+            fac = memo["dict_fac"]
+        else:
+            fac = sel.try_dictionary(col, config)
+            if memo is not None:
+                memo["dict_fac"] = fac
         if fac is None:
             return None
         indices, dic = fac
@@ -154,7 +162,12 @@ def _plan_candidate(
 
     if encoding == "FSST":
         offsets, data = v
-        table = fsst.train(offsets, data)
+        if memo is not None and "fsst_table" in memo:
+            table = memo["fsst_table"]
+        else:
+            table = fsst.train(offsets, data)
+            if memo is not None:
+                memo["fsst_table"] = table
         aux = table.serialize()
         n = len(offsets) - 1
         # estimate: compress a strided sample of rows
@@ -499,6 +512,7 @@ def encode_chunk(
     stats = stats_mod.compute(col)
     ranges = page_ranges(col, config)
     cand_names = sel.candidates_for(col, stats, config)
+    memo: dict = {}
     if len(ranges) > 4 and len(cand_names) > 1:
         # two-phase selection: planning every candidate over every page is
         # the dominant encode cost (the selector, not the winning kernel).
@@ -512,7 +526,7 @@ def encode_chunk(
         )
         scored = []
         for encoding in cand_names:
-            c = _plan_candidate(col, encoding, sample, config)
+            c = _plan_candidate(col, encoding, sample, config, memo)
             if c is not None:
                 est = c.aux_size + (c.size - c.aux_size) * scale
                 scored.append((est, encoding))
@@ -520,7 +534,7 @@ def encode_chunk(
         cand_names = [e for _, e in scored[:2]]
     cands = []
     for encoding in cand_names:
-        cand = _plan_candidate(col, encoding, ranges, config)
+        cand = _plan_candidate(col, encoding, ranges, config, memo)
         if cand is not None:
             cands.append(cand)
     assert cands, f"no applicable encoding for {col.name} ({col.ptype})"
