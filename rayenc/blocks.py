@@ -513,7 +513,11 @@ def encode_chunk(
     ranges = page_ranges(col, config)
     cand_names = sel.candidates_for(col, stats, config)
     memo: dict = {}
-    if len(ranges) > 4 and len(cand_names) > 1:
+    if (
+        not config.exhaustive_selection
+        and len(ranges) > 4
+        and len(cand_names) > 1
+    ):
         # two-phase selection: planning every candidate over every page is
         # the dominant encode cost (the selector, not the winning kernel).
         # Size candidates on a 3-page sample, extrapolate the page portion

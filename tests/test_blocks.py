@@ -435,3 +435,26 @@ def test_devnull_never_aliased():
     out = blocks.decode_block(blob, man)
     assert out.column_names == ["n_tok"]
     assert out["n_tok"].to_pylist() == [2, 1, 3]
+
+
+def test_two_phase_selection_matches_exhaustive_on_bench_table():
+    # the sampled selector must pick the same encodings and produce
+    # byte-identical blobs on the headline table; exhaustive_selection=True
+    # restores the plan-everything behavior for guaranteed min bytes
+    import numpy as np
+
+    from rayenc.selector import EncodeConfig
+
+    rng = np.random.default_rng(0)
+    v = np.concatenate(
+        [np.arange(200_000, dtype=np.int64),
+         rng.integers(0, 2**40, 200_000)]
+    )
+    t = pa.table({"x": pa.array(v),
+                  "s": pa.array([f"k{i%40:02d}" for i in range(400_000)])})
+    b1, m1 = blocks.encode_block(t, EncodeConfig(exhaustive_selection=True))
+    b2, m2 = blocks.encode_block(t, EncodeConfig())
+    assert [c["encoding"] for c in m1["chunks"]] == [
+        c["encoding"] for c in m2["chunks"]
+    ]
+    assert b1 == b2
