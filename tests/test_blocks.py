@@ -458,3 +458,27 @@ def test_two_phase_selection_matches_exhaustive_on_bench_table():
         c["encoding"] for c in m2["chunks"]
     ]
     assert b1 == b2
+
+
+def test_two_phase_selection_bounded_on_heterogeneous_blocks():
+    # adversarially heterogeneous columns (distribution changes mid-block):
+    # the sampled selector may pick a near-miss encoding, but its exact
+    # emitted size must stay within 30% of the exhaustive minimum
+    import numpy as np
+
+    from rayenc.selector import EncodeConfig
+
+    rng = np.random.default_rng(7)
+    shapes = [
+        np.concatenate([np.arange(300_000, dtype=np.int64),
+                        rng.integers(0, 2**45, 300_000)]),
+        np.concatenate([np.repeat(rng.integers(0, 50, 100), 3000),
+                        rng.integers(-2**60, 2**60, 300_000)]),
+        np.concatenate([rng.integers(0, 8, 300_000),
+                        np.cumsum(rng.integers(0, 3, 300_000))]),
+    ]
+    for v in shapes:
+        t = pa.table({"x": pa.array(v)})
+        b_ex, _ = blocks.encode_block(t, EncodeConfig(exhaustive_selection=True))
+        b_s, _ = blocks.encode_block(t, EncodeConfig())
+        assert len(b_s) <= 1.3 * len(b_ex), (len(b_s), len(b_ex))
