@@ -541,6 +541,16 @@ def encode_chunk(
         cand = _plan_candidate(col, encoding, ranges, config, memo)
         if cand is not None:
             cands.append(cand)
+    if not cands:
+        # both sampled finalists proved inapplicable over the full page set
+        # (e.g. an ALP/RLE_FOR-breaking page outside the sample): fall back
+        # to the exhaustive candidate list
+        for encoding in sel.candidates_for(col, stats, config):
+            if encoding in cand_names:
+                continue
+            cand = _plan_candidate(col, encoding, ranges, config, memo)
+            if cand is not None:
+                cands.append(cand)
     assert cands, f"no applicable encoding for {col.name} ({col.ptype})"
     cands.sort(key=lambda c: c.size)
     best = cands[0]
