@@ -1951,6 +1951,33 @@ def _ngram_jaccard_planted(sf_dir: str):
     )
 
 
+def _ingest_jsonl_documents(sf_dir: str):
+    """JSONL ingestion source format: render documents as JSON lines
+    deterministically, ingest through ray.data.read_json ->
+    encode_dataset_job, stream the container back (pipeline.
+    ingest_jsonl_job; the shape crawl corpora arrive in)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    from rayenc import pipeline
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang"],
+    )
+    src = tempfile.mktemp(suffix=".jsonl", dir="/tmp")
+    with open(src, "w") as f:
+        for row in t.to_pylist():
+            f.write(_json.dumps(row, sort_keys=True) + "\n")
+    out = tempfile.mkdtemp(prefix="rayenc-jsonl-", dir="/tmp")
+    pipeline.ingest_jsonl_job(
+        src, out, columns=["doc_id", "source", "lang"]
+    ).materialize()
+    return pipeline.decode_dataset(out).select_columns(
+        ["doc_id", "source", "lang"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for t in TABLES:
@@ -2020,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_sample_documents"] = _source_sample_documents
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
+    q["ingest_jsonl_documents"] = _ingest_jsonl_documents
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
     q["transcode_parquet_v2"] = _transcode_v2
@@ -2132,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     o = {f"roundtrip_{t}": f"SELECT * FROM {t}" for t in TABLES}
+    o["ingest_jsonl_documents"] = "SELECT doc_id, source, lang FROM documents"
     o["enc_delta_binary_packed"] = "SELECT l_orderkey FROM lineitem"
     o["enc_plain"] = "SELECT l_extendedprice FROM lineitem"
     o["enc_rle_dictionary"] = "SELECT l_returnflag FROM lineitem"

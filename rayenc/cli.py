@@ -645,6 +645,21 @@ def cmd_convert_csv(args):
     print(f"encoded {len(df)} partitions, {df['rows'].sum() if len(df) else 0} rows")
 
 
+def cmd_convert_jsonl(args):
+    """JSONL -> renc container: ray.data.read_json streamed ingestion
+    (the shape web-crawl corpora arrive in)."""
+    _ray()
+
+    from . import pipeline
+
+    df = pipeline.ingest_jsonl_job(
+        list(args.inputs), args.out,
+        columns=args.columns.split(",") if args.columns else None,
+        resume=not args.no_resume,
+    ).to_pandas()
+    print(f"encoded {len(df)} partitions, {df['rows'].sum() if len(df) else 0} rows")
+
+
 def cmd_transcode(args):
     from .selector import EncodeConfig
 
@@ -744,6 +759,13 @@ def main(argv=None):
     r.add_argument("--rename", action="append", default=[],
                    help="old=new (repeatable)")
     r.set_defaults(fn=cmd_rewrite)
+
+    cj = sub.add_parser("convert-jsonl")
+    cj.add_argument("inputs", nargs="+")
+    cj.add_argument("-o", "--out", required=True)
+    cj.add_argument("--columns", default=None, help="comma-separated projection")
+    cj.add_argument("--no-resume", action="store_true")
+    cj.set_defaults(fn=cmd_convert_jsonl)
 
     cv = sub.add_parser("convert-csv")
     cv.add_argument("inputs", nargs="+")

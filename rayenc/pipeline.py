@@ -486,6 +486,7 @@ def encode_dataset_job(
     out_dir: str,
     config: EncodeConfig | None = None,
     staging_dir: str | None = None,
+    min_rows_per_file: int | None = None,
     **encode_kwargs,
 ) -> "ray.data.Dataset":
     """Encode an arbitrary Ray Dataset (not just parquet paths): the dataset
@@ -497,13 +498,42 @@ def encode_dataset_job(
     import tempfile
 
     staging = default_staging_dir(staging_dir, "rayenc-stage-")
-    ds.write_parquet(staging)
+    # sources that arrive as many tiny blocks (read_json on small files)
+    # would otherwise stage one micro parquet file per block
+    wkw = {"min_rows_per_file": min_rows_per_file} if min_rows_per_file else {}
+    ds.write_parquet(staging, **wkw)
     paths = [
         os.path.join(staging, f)
         for f in sorted(os.listdir(staging))
         if f.endswith(".parquet")
     ]
     return encode_job(paths, out_dir, config=config, **encode_kwargs)
+
+
+def ingest_jsonl_job(
+    paths: list[str] | str,
+    out_dir: str,
+    config: EncodeConfig | None = None,
+    columns: "list[str] | None" = None,
+    staging_dir: str | None = None,
+    min_rows_per_file: int | None = 100_000,
+    **encode_kwargs,
+) -> "ray.data.Dataset":
+    """JSONL / JSON-lines corpus -> renc container: the ingestion shape web
+    crawls actually arrive in (one JSON document per line, e.g.
+    {"doc_id": ..., "text": ..., "source": ...}). ray.data.read_json
+    streams the lines as Arrow blocks; ``columns`` prunes to the needed
+    fields before staging; the rest is encode_dataset_job (stage as parquet
+    once, then the deterministic resumable encode)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    ds = ray.data.read_json(paths)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return encode_dataset_job(
+        ds, out_dir, config=config, staging_dir=staging_dir,
+        min_rows_per_file=min_rows_per_file, **encode_kwargs
+    )
 
 
 def transcode_parquet_job(

@@ -560,3 +560,30 @@ def test_encode_job_rerun_after_out_dir_deleted(
     shutil.rmtree(out)
     pipeline.encode_job([token_parquet], out, resume=False).materialize()
     assert pipeline.decode_dataset(out).count() > 0
+
+
+def test_ingest_jsonl_roundtrip(ray_session, tmp_path):
+    import json
+
+    rows = [
+        {"doc_id": f"d{i:04d}", "text": f"body {i} " * (1 + i % 7),
+         "source": ["web", "books"][i % 2]}
+        for i in range(500)
+    ]
+    src = str(tmp_path / "corpus.jsonl")
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "jl")
+    pipeline.ingest_jsonl_job(
+        src, out, columns=["doc_id", "text", "source"],
+        staging_dir=str(tmp_path / "stage"),
+    ).materialize()
+    got = (
+        pipeline.decode_dataset(out).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "text", "source"]], want)
