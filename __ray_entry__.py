@@ -216,8 +216,67 @@ def _tokens_roundtrip(sf_dir: str):
 
 
 def _selector_report(sf_dir: str):
-    """Deterministic (table, column, chosen encoding) report — the codec
-    auto-selector surface (SURVEY.md §2.3)."""
+    """Codec auto-selector drift tripwire (SURVEY.md §2.3): encode a
+    deterministic 8-column fixture where each column is shaped to exercise
+    one selector path, and report the chosen encoding per column.  The
+    oracle is a VALUES literal pinning the choices, so any selector
+    threshold drift shows up as a hash mismatch.  Fixture-based (not the sf
+    tables) because real-table choices legitimately vary with scale
+    (l_discount flips ALP->RLE_DICTIONARY between sf0.01 and sf0.1)."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rayenc import pipeline
+
+    n = 20_000
+    rng = np.random.default_rng(42)
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "data", "lake"]
+    prose = [
+        " ".join(words[int(x) % 10] for x in rng.integers(0, 10, size=30))
+        for _ in range(n)
+    ]
+    fixture = pa.table(
+        {
+            "sorted_ids": pa.array(np.arange(n, dtype=np.int64)),
+            "lowcard_label": pa.array(
+                [("red", "green", "blue", "cyan", "teal")[i % 5] for i in range(n)]
+            ),
+            "bounded_counts": pa.array(
+                rng.integers(1000, 1100, size=n).astype(np.int32)
+            ),
+            "prices": pa.array(np.round(rng.uniform(1, 1000, size=n), 2)),
+            "prose": pa.array(prose),
+            "gauss_noise": pa.array(rng.standard_normal(n)),
+            "flags": pa.array(np.arange(n) % 7 == 0),
+            "opaque": pa.array(
+                [
+                    rng.integers(0, 256, size=64).astype(np.uint8).tobytes()
+                    for _ in range(n)
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    src = tempfile.mkdtemp(prefix="rayenc-selfix-", dir="/tmp")
+    pq.write_table(fixture, os.path.join(src, "fixture.parquet"))
+    out = tempfile.mkdtemp(prefix="rayenc-selfix-out-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(src, "fixture.parquet"), out, target_block_bytes=64 << 20
+    ).materialize()
+    name = sorted(f for f in os.listdir(out) if f.endswith(".manifest.json"))[0]
+    manifest = json.loads(open(os.path.join(out, name)).read())
+    rows = sorted((c["name"], c["encoding"]) for c in manifest["chunks"])
+    return pa.table(
+        {"col": [r[0] for r in rows], "encoding": [r[1] for r in rows]}
+    )
+
+
+def _selector_report_tables(sf_dir: str):
+    """Selector choices over the real sf tables (rows-only: choices vary
+    with scale, so no fixed oracle — the graded tripwire is
+    ``selector_report`` over the deterministic fixture)."""
     import json
 
     from rayenc import pipeline
@@ -2070,9 +2129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_features_documents"] = _multimodal_docs_oracle
     q["multimodal_png_decode"] = _multimodal_png_oracle
     q["chunk_documents_256"] = _chunk_documents
-    # rows-only (non-SQL-expressible) gates
     q["tokens_roundtrip"] = _tokens_roundtrip
     q["selector_report"] = _selector_report
+    # rows-only (non-SQL-expressible) gates
+    q["selector_report_tables"] = _selector_report_tables
     q["minhash_lsh_pairs"] = _minhash_pairs
     q["minhash_dedup"] = _minhash_dedup_q
     q["ann_topk_ivf"] = _ann_ivf
@@ -2495,6 +2555,28 @@ def oracle_sql() -> dict[str, str]:
     )
     o["multimodal_png_decode"] = (
         "SELECT doc_id, n_chars % 256 AS pixel FROM documents"
+    )
+    # tokens_roundtrip returns one constant row when the north-rule gate
+    # holds: 5000 fixture rows decoded, zero token-length mismatches,
+    # bit-identical token arrays (the query computes these distributedly;
+    # the oracle pins the only passing outcome)
+    o["tokens_roundtrip"] = (
+        'SELECT CAST(5000 AS BIGINT) AS "rows",'
+        " CAST(0 AS BIGINT) AS len_mismatch, TRUE AS bit_identical"
+    )
+    # selector drift tripwire: the deterministic fixture's expected choices,
+    # one row per selector path (see _selector_report docstring)
+    o["selector_report"] = (
+        "SELECT * FROM (VALUES"
+        " ('bounded_counts', 'RLE_FOR'),"
+        " ('flags', 'PLAIN'),"
+        " ('gauss_noise', 'BYTE_STREAM_SPLIT'),"
+        " ('lowcard_label', 'RLE_DICTIONARY'),"
+        " ('opaque', 'DELTA_LENGTH_BYTE_ARRAY'),"
+        " ('prices', 'ALP'),"
+        " ('prose', 'FSST'),"
+        " ('sorted_ids', 'DELTA_BINARY_PACKED')"
+        ") AS t(col, encoding)"
     )
     o["chunk_documents_256"] = (
         "SELECT d.doc_id, gs.k AS chunk_idx,"
