@@ -2153,9 +2153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     head = [
         # north star: decoded token arrays bit-identical through the engine
         "tokens_roundtrip",
-        # one forced roundtrip per SURVEY §2.1 encoder family
+        # one forced roundtrip per SURVEY §2.1 encoder family (PLAIN is
+        # exercised by every whole-table roundtrip below; its forced row
+        # rotated out to the extended battery in r5 to make room for the
+        # r4 flagship surfaces — VERDICT r4 task 2)
         "enc_delta_binary_packed",
-        "enc_plain",
         "enc_rle_dictionary",
         "enc_delta_length_byte_array",
         "enc_delta_byte_array",
@@ -2182,27 +2184,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_filter_or",
         "pushdown_filter_lineitem",
         "rewrite_prune_lineitem",
-        "rewrite_mask_ndv",
         "merge_parquet_files",
         "transcode_parquet_snappy",
         "geospatial_stats",
         "variant_shred_events",
-        "variant_roundtrip_events",
         "schema_evolution_read",
+        "summary_filtered_read",
+        "ingest_jsonl_documents",
         # stats / dictionary / selector
         "stats_lineitem",
         "dict_source_counts",
         "selector_report",
         # LLM-training-data operators (dedup, similarity, text analysis)
         "exact_dedup_documents",
+        "dup_span_counts_documents",
+        "remove_token_spans_planted",
         "minhash_pairs_planted",
-        "minhash_dedup_planted",
         "simhash_pairs_planted",
         "ngram_jaccard_planted",
         "cosine_near_dup_planted",
         "ann_topk_bruteforce",
         "ann_topk_ivf_indexed",
-        "token_counts_documents",
+        "asof_join_events",
         "bpe_token_counts_documents",
         "quality_scores_documents",
         "language_id_documents",
