@@ -197,7 +197,21 @@ def read_column_chunk(path: str, column: str, row_group: int = 0,
     if cmeta.compression != "UNCOMPRESSED":
         import pyarrow as pa
 
-        codec = pa.Codec(cmeta.compression.lower())
+        name = cmeta.compression.lower()
+        # pyarrow's metadata API has no name for LZ4_HADOOP (codec id 5)
+        # and reports "UNKNOWN"; only that codec maps to it in this pyarrow
+        if name in ("lz4", "unknown"):
+            # legacy codec id 5: Hadoop-framed (parquet-mr) or raw-block
+            # (old parquet-cpp) dialect — Lz4HadoopCodec handles both
+            from .codecs.lz4hadoop import Lz4HadoopCodec
+
+            codec = Lz4HadoopCodec()
+        elif name == "lzo":
+            from .codecs.lz4hadoop import codec_for_id
+
+            codec_for_id(3)  # raises the named legacy-LZO error
+        else:
+            codec = pa.Codec(name)
     ptype = cmeta.physical_type
     start = cmeta.dictionary_page_offset
     if start is None or start < 0:

@@ -128,6 +128,21 @@ def _read_struct_full(buf, i):
 # ------------------------------------------------------------ footer model
 
 _CODEC_NAME = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 6: "zstd", 7: "lz4_raw"}
+
+
+def _resolve_codec(codec_id: int):
+    """Page codec for a CompressionCodec ordinal.  Ids 5 (legacy LZ4,
+    Hadoop-framed or raw dialect) and 3 (LZO) route through
+    ``codecs.lz4hadoop.codec_for_id`` — LZ4 decodes, LZO raises a named
+    error instead of a KeyError (CompressionCodecName.java:29-31)."""
+    if codec_id in _CODEC_NAME:
+        name = _CODEC_NAME[codec_id]
+        return pa.Codec(name) if name else None
+    from .codecs.lz4hadoop import codec_for_id
+
+    return codec_for_id(codec_id)
+
+
 _PTYPE_NAME = {
     0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
     4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
@@ -573,10 +588,7 @@ class EncryptedFile:
         total = md[7]
         num_values = md[5]
         raw = np.frombuffer(self.raw[start : start + total], np.uint8)
-        codec_name = _CODEC_NAME.get(md.get(4, 0))
-        if md.get(4, 0) not in _CODEC_NAME:
-            raise NotImplementedError(f"codec id {md.get(4)}")
-        codec = pa.Codec(codec_name) if codec_name else None
+        codec = _resolve_codec(md.get(4, 0))
         key = self._chunk_key(rg_ord, col_ord)
         if key is None:
             pages = _plain_page_iter(raw, num_values, self.path, leaf.dotted)
@@ -775,8 +787,7 @@ def read_dictionary_values(f: "EncryptedFile", rg_ord: int, col_ord: int):
     dict_off = md.get(11)
     if dict_off is None or dict_off < 0:
         return None
-    codec_name = _CODEC_NAME.get(md.get(4, 0))
-    codec = pa.Codec(codec_name) if codec_name else None
+    codec = _resolve_codec(md.get(4, 0))
     key = f._chunk_key(rg_ord, col_ord)
     if key is None:
         h = read_page_header(
@@ -1208,8 +1219,7 @@ def _decode_selected_pages(f, rg_ord, col_ord, locs, page_sel, arrow_t):
 
     leaf = f.leaves[col_ord]
     md = f.chunk_meta(rg_ord, col_ord)
-    codec_name = _CODEC_NAME.get(md.get(4, 0))
-    codec = pa.Codec(codec_name) if codec_name else None
+    codec = _resolve_codec(md.get(4, 0))
     key = f._chunk_key(rg_ord, col_ord)
     dict_off = md.get(11)
     has_dict = dict_off is not None and dict_off >= 0

@@ -251,7 +251,14 @@ class _W:
 
 # parquet CompressionCodec enum (CompressionCodecName.java:26-33); "lz4" maps
 # to LZ4_RAW (7) — the modern raw-block variant readers implement
-_CODEC_ID = {"snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6, "lz4": 7}
+_CODEC_ID = {
+    "snappy": 1,
+    "gzip": 2,
+    "brotli": 4,
+    "lz4_hadoop": 5,  # legacy LZ4, Hadoop block framing (parquet-mr parity)
+    "zstd": 6,
+    "lz4": 7,
+}
 
 
 def _page_codec(name: str | None):
@@ -260,6 +267,10 @@ def _page_codec(name: str | None):
     key = name.lower()
     if key not in _CODEC_ID:
         raise ValueError(f"unsupported parquet page codec {name!r}")
+    if key == "lz4_hadoop":
+        from .codecs.lz4hadoop import Lz4HadoopCodec
+
+        return 5, Lz4HadoopCodec()
     return _CODEC_ID[key], pa.Codec("lz4_raw" if key == "lz4" else key)
 
 
