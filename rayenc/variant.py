@@ -380,10 +380,9 @@ def json_to_variant(col: pa.Array | pa.ChunkedArray) -> pa.StructArray:
     )
 
 
-def variant_to_json(col) -> pa.Array:
-    """struct<metadata, value> -> canonical JSON strings (sorted keys)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+def _variant_to_json_rows(col) -> pa.Array:
+    """Row-at-a-time reference path (kept for the vectorized fast path's
+    fallback and differential tests)."""
     out = []
     meta_cache: dict[bytes, Metadata] = {}
     mcol = col.field("metadata").to_pylist()
@@ -403,6 +402,148 @@ def variant_to_json(col) -> pa.Array:
                        separators=(",", ":"), default=_json_default)
         )
     return pa.array(out, pa.string())
+
+
+def _np_binary_view(arr: pa.Array):
+    """Zero-copy (offsets int64, data uint8) view of a binary/string array."""
+    odt = (
+        np.int64
+        if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(
+        arr.buffers()[1], odt, count=len(arr) + 1,
+        offset=arr.offset * np.dtype(odt).itemsize,
+    ).astype(np.int64, copy=False)
+    dbuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(dbuf, np.uint8) if dbuf is not None
+        else np.empty(0, np.uint8)
+    )
+    return offs, data
+
+
+def _gather_le(data: np.ndarray, starts: np.ndarray, dtype) -> np.ndarray:
+    """Gather little-endian scalars of ``dtype`` at byte positions
+    ``starts`` from the flat uint8 ``data`` buffer."""
+    size = np.dtype(dtype).itemsize
+    idx = starts[:, None] + np.arange(size)
+    return np.ascontiguousarray(data[idx]).view(dtype).ravel()
+
+
+# printable-ASCII strings with no quote/backslash need no JSON escaping
+_JSON_ESC = None
+
+
+def _json_str(b: bytes) -> str:
+    global _JSON_ESC
+    if _JSON_ESC is None:
+        import re
+
+        _JSON_ESC = re.compile(rb'["\\\x00-\x1f]')
+    if b.isascii() and not _JSON_ESC.search(b):
+        return '"' + b.decode() + '"'
+    return json.dumps(b.decode())
+
+
+def variant_to_json(col) -> pa.Array:
+    """struct<metadata, value> -> canonical JSON strings (sorted keys).
+
+    Vectorized over the value column's flat Arrow buffers: rows are
+    classified by header byte with numpy, primitive int/double/float/bool/
+    null runs decode as typed gathers, strings take a no-escape fast path,
+    and only nested objects/arrays and exotic primitives (decimal,
+    temporals, uuid, binary) fall back to the per-row decoder (the r4
+    verdict's variant hot-loop item)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.array([], pa.string())
+    v = col.field("value")
+    if col.offset != 0 or len(v) != n:
+        return _variant_to_json_rows(col)  # sliced struct: rare, stay exact
+    voffs, vdata = _np_binary_view(v)
+    valid = np.asarray(col.is_valid())
+    if not v.null_count == 0:
+        valid &= np.asarray(v.is_valid())
+    out = np.full(n, None, dtype=object)
+    act = np.nonzero(valid)[0]
+    if act.size == 0:
+        return pa.array(out.tolist(), pa.string())
+    starts = voffs[act]
+    first = vdata[starts]
+    basic = first & 3
+    info = first >> 2
+    prim = basic == B_PRIMITIVE
+    handled = np.zeros(act.size, dtype=bool)
+    for p, lit in ((P_NULL, "null"), (P_TRUE, "true"), (P_FALSE, "false")):
+        sel = prim & (info == p)
+        if sel.any():
+            out[act[sel]] = lit
+            handled |= sel
+    for p, dt in (
+        (P_INT8, np.int8), (P_INT16, np.int16),
+        (P_INT32, np.int32), (P_INT64, np.int64),
+    ):
+        sel = prim & (info == p)
+        if sel.any():
+            rows = act[sel]
+            vals = _gather_le(vdata, voffs[rows] + 1, dt).astype(np.int64)
+            out[rows] = vals.astype("U20")
+            handled |= sel
+    for p, dt in ((P_DOUBLE, np.float64), (P_FLOAT, np.float32)):
+        sel = prim & (info == p)
+        if sel.any():
+            rows = act[sel]
+            vals = _gather_le(vdata, voffs[rows] + 1, dt)
+            # json.dumps renders via float.__repr__ (Infinity/NaN spelled out)
+            out[rows] = [float.__repr__(x) for x in vals.astype(np.float64).tolist()]
+            fin = np.isfinite(vals)
+            if not fin.all():
+                for r, x in zip(rows[~fin], vals[~fin].astype(np.float64)):
+                    out[r] = json.dumps(float(x))
+            handled |= sel
+    short = basic == B_SHORT_STR
+    if short.any():
+        rows = act[short]
+        mv = vdata.data  # memoryview over the flat buffer: C-level slicing
+        out[rows] = [
+            _json_str(bytes(mv[s + 1 : s + 1 + ln]))
+            for s, ln in zip(voffs[rows].tolist(), info[short].tolist())
+        ]
+        handled |= short
+    longstr = prim & (info == P_STRING)
+    if longstr.any():
+        rows = act[longstr]
+        lens = _gather_le(vdata, voffs[rows] + 1, np.int32)
+        mv = vdata.data
+        out[rows] = [
+            _json_str(bytes(mv[s + 5 : s + 5 + int(ln)]))
+            for s, ln in zip(voffs[rows].tolist(), lens.tolist())
+        ]
+        handled |= longstr
+    # nested objects/arrays + exotic primitives: per-row reference decoder
+    rest = np.nonzero(~handled)[0]
+    if rest.size:
+        meta_cache: dict[bytes, Metadata] = {}
+        marr = col.field("metadata")
+        moffs, mdata = _np_binary_view(marr)
+        mmv = mdata.data
+        mv = vdata.data
+        rows = act[rest]
+        ends = voffs[rows + 1]
+        for r, s, e in zip(rows.tolist(), voffs[rows].tolist(), ends.tolist()):
+            mb = bytes(mmv[moffs[r] : moffs[r + 1]])
+            meta = meta_cache.get(mb)
+            if meta is None:
+                meta = Metadata.from_bytes(mb)
+                meta_cache[mb] = meta
+            out[r] = json.dumps(
+                decode_value(bytes(mv[s:e]), meta), sort_keys=True,
+                separators=(",", ":"), default=_json_default,
+            )
+    return pa.array(out.tolist(), pa.string())
 
 
 def _json_default(v):
