@@ -79,12 +79,22 @@ def cmd_encode(args):
         else:
             inputs.append(p)
     cfg = EncodeConfig(compression=args.compress)
+    kwargs = {}
+    if getattr(args, "schema", None):
+        # declare the write schema in message-type syntax (the reference's
+        # MessageTypeParser config idiom): inputs align/cast to it
+        from rayenc.message_type import message_type_to_arrow
+
+        if getattr(args, "evolved", False):
+            raise SystemExit("--schema and --evolved are mutually exclusive")
+        with open(args.schema) as fh:
+            kwargs["align_schema"] = message_type_to_arrow(fh.read())
     job = (
         pipeline.encode_evolved_job if getattr(args, "evolved", False)
         else pipeline.encode_job
     )
     df = job(
-        inputs, args.out, config=cfg, resume=not args.no_resume
+        inputs, args.out, config=cfg, resume=not args.no_resume, **kwargs
     ).to_pandas()
     total_raw = int(df.raw_bytes.sum()) if len(df) else 0
     total_blob = int(df.blob_bytes.sum()) if len(df) else 0
@@ -709,6 +719,9 @@ def main(argv=None):
     e.add_argument("-o", "--out", required=True)
     e.add_argument("--compress", default=None)
     e.add_argument("--no-resume", action="store_true")
+    e.add_argument("--schema", default=None,
+                   help="message-type schema file (MessageTypeParser "
+                        "syntax): inputs align/cast to it before encoding")
     e.add_argument("--evolved", action="store_true",
                    help="union evolved input schemas (missing columns "
                         "null-fill, numerics widen) before encoding")
