@@ -1069,6 +1069,43 @@ def _row_byte_sizes(table: pa.Table) -> "np.ndarray":
     return total
 
 
+def _has_time32s(t: pa.DataType) -> bool:
+    """Any time32[s] leaf anywhere under ``t`` (struct/list/map included)?"""
+    if pa.types.is_time32(t) and t.unit == "s":
+        return True
+    if pa.types.is_dictionary(t):
+        return _has_time32s(t.value_type)
+    for i in range(t.num_fields):
+        if _has_time32s(t.field(i).type):
+            return True
+    return False
+
+
+def _coerce_time32s(t: pa.DataType) -> pa.DataType:
+    """Recursively replace time32[s] with time32[ms] (parquet TIME has no
+    seconds unit), preserving struct/list/map/dictionary shape."""
+    if pa.types.is_time32(t) and t.unit == "s":
+        return pa.time32("ms")
+    if pa.types.is_dictionary(t):
+        return pa.dictionary(t.index_type, _coerce_time32s(t.value_type), t.ordered)
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [f.with_type(_coerce_time32s(f.type)) for f in t]
+        )
+    if pa.types.is_map(t):
+        return pa.map_(
+            _coerce_time32s(t.key_type), _coerce_time32s(t.item_type)
+        )
+    if pa.types.is_large_list(t):
+        return pa.large_list(_coerce_time32s(t.value_type))
+    if pa.types.is_fixed_size_list(t):
+        return pa.list_(_coerce_time32s(t.value_type), t.list_size)
+    if pa.types.is_list(t):
+        f = t.value_field
+        return pa.list_(f.with_type(_coerce_time32s(f.type)))
+    return t
+
+
 def _slice_by_bytes(table: pa.Table, target_bytes: int) -> "list[pa.Table]":
     cum = np.cumsum(_row_byte_sizes(table))
     if not len(cum) or cum[-1] <= target_bytes:
@@ -1153,15 +1190,13 @@ def write_tables(
         # (DecimalLogicalTypeAnnotation on INT32/INT64; the reader side —
         # ours, pyarrow, DuckDB — restores decimal128 from the annotation)
         slices = [_decimals_to_ints(s, decimal_ints) for s in slices]
-    if any(pa.types.is_time32(f.type) and f.type.unit == "s"
-           for f in slices[0].schema):
+    if any(_has_time32s(f.type) for f in slices[0].schema):
         # parquet TIME has no seconds unit — coerce time32[s] to ms up
         # front (pyarrow's write-side coercion), so stats, ARROW:schema
-        # and the shredded values all agree
+        # and the shredded values all agree; recursive so a seconds-unit
+        # leaf nested in a struct/list/map is coerced too
         cast_schema = pa.schema(
-            [f.with_type(pa.time32("ms"))
-             if pa.types.is_time32(f.type) and f.type.unit == "s" else f
-             for f in slices[0].schema]
+            [f.with_type(_coerce_time32s(f.type)) for f in slices[0].schema]
         )
         slices = [s.cast(cast_schema) for s in slices]
     table = slices[0] if len(slices) == 1 else pa.concat_tables(slices)

@@ -855,24 +855,32 @@ def decode_dataset(
         # inside a Ray task after work has launched
         from . import predicate as _P
 
-        with open(os.path.join(out_dir, manifests[0])) as f:
-            chunk_names = {c["name"] for c in json.load(f)["chunks"]}
-        # nested columns shred to "name#..." chunks; the decoded table
-        # exposes the top-level name
-        known = chunk_names | {n.split("#", 1)[0] for n in chunk_names}
-        missing = _P.columns(_P.normalize(predicate)) - known
+        def _names(manifest: str) -> set:
+            with open(os.path.join(out_dir, manifest)) as f:
+                chunk_names = {c["name"] for c in json.load(f)["chunks"]}
+            # nested columns shred to "name#..." chunks; the decoded table
+            # exposes the top-level name
+            return chunk_names | {n.split("#", 1)[0] for n in chunk_names}
+
+        known = _names(manifests[0])
+        requested = _P.columns(_P.normalize(predicate)) if predicate else set()
+        if columns is not None:
+            requested |= set(columns)
+        missing = requested - known
+        # merged containers may carry differing per-part schemas: a column
+        # absent from the first manifest can exist in later parts, so only
+        # when something looks missing do we union the remaining manifests
+        # (rare path — the common homogeneous case stays one driver read)
+        for m in manifests[1:]:
+            if not missing:
+                break
+            known |= _names(m)
+            missing = requested - known
         if missing:
             raise ValueError(
-                f"predicate column(s) {sorted(missing)} not in container "
+                f"column(s) {sorted(missing)} not in container "
                 f"schema {sorted(known)}"
             )
-        if columns is not None:
-            missing = set(columns) - known
-            if missing:
-                raise ValueError(
-                    f"column(s) {sorted(missing)} not in container "
-                    f"schema {sorted(known)}"
-                )
     ds = ray.data.from_items([{"manifest": m} for m in manifests])
     if concurrency is None:
         concurrency = min(12, max(1, int(ray.cluster_resources().get("CPU", 4))))

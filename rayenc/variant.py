@@ -141,13 +141,17 @@ def encode_value(obj, meta: Metadata) -> bytes:
                 return bytes([(p << 2) | B_PRIMITIVE]) + struct.pack(fmt, obj)
         if -(1 << 63) <= obj < (1 << 63):
             return bytes([(P_INT64 << 2) | B_PRIMITIVE]) + struct.pack("<q", obj)
-        if -(1 << 127) <= obj < (1 << 127):
-            # JSON integers beyond int64 ride decimal16 scale 0 (exact)
+        if -(10**38) < obj < 10**38:
+            # JSON integers beyond int64 ride decimal16 scale 0 (exact);
+            # bounded at 38 digits — the spec's max decimal16 precision —
+            # not the 128-bit range, so strict readers accept the value
             return (
                 bytes([(P_DECIMAL16 << 2) | B_PRIMITIVE, 0])
                 + obj.to_bytes(16, "little", signed=True)
             )
-        raise ValueError(f"integer out of variant range (needs >128 bits): {obj}")
+        raise ValueError(
+            f"integer exceeds variant decimal16 precision (38 digits): {obj}"
+        )
     if isinstance(obj, float):
         return bytes([(P_DOUBLE << 2) | B_PRIMITIVE]) + struct.pack("<d", obj)
     import datetime as _dt
@@ -163,13 +167,17 @@ def encode_value(obj, meta: Metadata) -> bytes:
         unscaled = int("".join(map(str, digits))) * (10 ** max(exp, 0))
         if sign:
             unscaled = -unscaled
-        for p, size in ((P_DECIMAL4, 4), (P_DECIMAL8, 8), (P_DECIMAL16, 16)):
-            if -(1 << (size * 8 - 1)) <= unscaled < (1 << (size * 8 - 1)):
+        # spec precision caps (decimal4<=9, decimal8<=18, decimal16<=38
+        # digits), tighter than the raw two's-complement ranges
+        for p, size, prec in (
+            (P_DECIMAL4, 4, 9), (P_DECIMAL8, 8, 18), (P_DECIMAL16, 16, 38)
+        ):
+            if -(10**prec) < unscaled < 10**prec:
                 return (
                     bytes([(p << 2) | B_PRIMITIVE, scale])
                     + unscaled.to_bytes(size, "little", signed=True)
                 )
-        raise ValueError(f"decimal out of range: {obj}")
+        raise ValueError(f"decimal exceeds precision 38: {obj}")
     if isinstance(obj, _dt.datetime):  # before date: datetime IS a date
         if obj.tzinfo is not None:
             delta = obj - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)

@@ -64,6 +64,32 @@ class TestTimeTypes:
         assert got.type == pa.time32("ms")
         assert got.cast(pa.time32("s")).to_pylist() == t.column("t").to_pylist()
 
+    def test_time32_seconds_nested_normalized(self):
+        # ADVICE r4: a time32[s] leaf nested in a struct/list used to reach
+        # _logical_type and crash with KeyError: 's' — coercion is recursive
+        t = pa.table(
+            {
+                "s": pa.array(
+                    [{"t": 1, "x": 7}, {"t": None, "x": 8}],
+                    pa.struct([("t", pa.time32("s")), ("x", pa.int32())]),
+                ),
+                "l": pa.array([[1, 2], [3]], pa.list_(pa.time32("s"))),
+            }
+        )
+        out = _tmp()
+        parquet_write.write_table(t, out)
+        got = pq.read_table(out)
+        assert got.column("s").type.field("t").type == pa.time32("ms")
+        assert got.column("l").type.value_type == pa.time32("ms")
+        assert (
+            got.column("s").combine_chunks().field("t").to_pylist()
+            == t.column("s").combine_chunks().field("t").to_pylist()
+        )
+        assert (
+            got.column("l").combine_chunks().flatten().to_pylist()
+            == t.column("l").combine_chunks().flatten().to_pylist()
+        )
+
     def test_duckdb_reads_our_time(self):
         t = pa.table({"t64": pa.array([3723000000], pa.time64("us"))})
         out = _tmp()

@@ -540,12 +540,36 @@ def test_decode_dataset_rejects_unknown_columns_at_plan_time(
 ):
     out = str(tmp_path / "cval")
     pipeline.encode_job([token_parquet], out).materialize()
-    with pytest.raises(ValueError, match="predicate column"):
+    with pytest.raises(ValueError, match="not in container"):
         pipeline.decode_dataset(out, predicate=[("nope", "==", 1)])
     with pytest.raises(ValueError, match="not in container"):
         pipeline.decode_dataset(out, columns=["zzz"])
     # known columns still plan fine
     assert pipeline.decode_dataset(out, columns=["doc_id"]).count() > 0
+
+
+def test_decode_dataset_validation_unions_manifest_schemas(
+    ray_session, tmp_path
+):
+    # merged containers can have per-part schemas: a column present only in
+    # LATER manifests must not be rejected at plan time (ADVICE r4)
+    import pyarrow.parquet as pq
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": [1, 2, 3]}), a)
+    pq.write_table(pa.table({"x": [4, 5], "extra": [1.0, 2.0]}), b)
+    out = str(tmp_path / "cmerge")
+    pipeline.encode_job([a, b], out).materialize()
+    manifests = sorted(
+        n for n in os.listdir(out) if n.endswith(".manifest.json")
+    )
+    assert len(manifests) == 2
+    # "extra" exists only in the second part: plan must accept it
+    got = pipeline.decode_dataset(out, columns=["extra"])
+    assert got.count() >= 1
+    with pytest.raises(ValueError, match="not in container"):
+        pipeline.decode_dataset(out, columns=["really_missing"])
 
 
 def test_encode_job_rerun_after_out_dir_deleted(

@@ -183,8 +183,13 @@ def test_variant_big_int_beyond_int64():
         got = json.loads(back[i].as_py())
         # decimal16 renders via _json_default (string, exactness kept)
         assert int(got) == v, (v, got)
-    with pytest.raises(ValueError, match="128 bits"):
+    with pytest.raises(ValueError, match="38 digits"):
         variant.json_to_variant(pa.array([json.dumps(2**130)]))
+    # a 39-digit int fits in 128 bits but exceeds decimal16 precision 38
+    with pytest.raises(ValueError, match="38 digits"):
+        variant.json_to_variant(pa.array([json.dumps(10**38)]))
+    # 38 digits is the max that encodes
+    assert variant.json_to_variant(pa.array([json.dumps(10**38 - 1)]))
 
 
 def test_vectorized_json_matches_row_path():
