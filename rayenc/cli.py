@@ -296,9 +296,9 @@ def cmd_show_dictionary(args):
                 body = np.frombuffer(body_pt, np.uint8)
             codec_id = md.get(4, 0)
             if codec_id:
-                from .parquet_read_enc import _CODEC_NAME
+                from .parquet_read_enc import _resolve_codec
 
-                codec = pa.Codec(_CODEC_NAME[codec_id])
+                codec = _resolve_codec(codec_id)
                 body = np.frombuffer(
                     codec.decompress(body.tobytes(), h.uncompressed_size), np.uint8
                 )

@@ -81,9 +81,18 @@ def _lz4_block_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+class _Buf(bytes):
+    """bytes that also answers ``to_pybytes()`` — pa.Buffer-compatible for
+    call sites that do ``codec.decompress(...).to_pybytes()``."""
+
+    def to_pybytes(self) -> bytes:
+        return bytes(self)
+
+
 class Lz4HadoopCodec:
     """Duck-typed like ``pa.Codec`` for the page (de)compression call sites:
-    ``compress(bytes) -> buffer`` / ``decompress(bytes, uncompressed_size)``.
+    ``compress(bytes) -> buffer`` / ``decompress(bytes, uncompressed_size)``
+    (the decompress result is bytes that also supports ``to_pybytes()``).
     """
 
     name = "lz4_hadoop"
@@ -104,10 +113,10 @@ class Lz4HadoopCodec:
     def decompress(self, data: bytes, uncompressed_size: int) -> bytes:
         out = self._try_hadoop(data, uncompressed_size)
         if out is not None:
-            return out
+            return _Buf(out)
         # parquet-cpp legacy dialect: the whole body is one raw LZ4 block
         try:
-            return (
+            return _Buf(
                 pa.Codec("lz4_raw").decompress(data, uncompressed_size).to_pybytes()
             )
         except Exception:
@@ -117,7 +126,7 @@ class Lz4HadoopCodec:
         # with the size-free pure-python block decoder
         out = self._try_hadoop(data, uncompressed_size, pure=True)
         if out is not None:
-            return out
+            return _Buf(out)
         raise ValueError(
             "legacy LZ4 page body matches neither the Hadoop framing nor "
             "the raw-block dialect"

@@ -737,7 +737,6 @@ def transcompress_parquet_raw(
     from .parquet_compat import read_page_header
     from .parquet_read_enc import EncryptedFile
     from .parquet_write import (
-        _CODEC_ID,
         _W,
         _arrow_schema_b64,
         _emit_schema_elem,
@@ -749,10 +748,10 @@ def transcompress_parquet_raw(
     f = EncryptedFile(path_in)
     if f.algorithm:
         raise ValueError("transcompress_parquet_raw requires plaintext input")
-    new_codec = pa.Codec(compression) if compression else None
-    new_codec_id = _CODEC_ID[compression] if compression else 0
-    codec_names = {0: None, 1: "snappy", 2: "gzip", 4: "brotli",
-                   6: "zstd", 7: "lz4_raw"}
+    from .parquet_write import _page_codec
+
+    # _page_codec handles lz4_hadoop (codec 5) and validates the name
+    new_codec_id, new_codec = _page_codec(compression)
 
     out = bytearray(b"PAR1")
     merged_rgs = []
@@ -762,8 +761,12 @@ def transcompress_parquet_raw(
             orig_cc = rg[1][ci]
             orig_idx = _parse_index(f, rg_ord, ci)
             md = dict(rg[1][ci][3])
-            old_name = codec_names.get(md.get(4, 0))
-            old_codec = pa.Codec(old_name) if old_name else None
+            # _resolve_codec decodes legacy LZ4 (id 5) and raises a named
+            # error for LZO (id 3) — id 5 used to map to None here, which
+            # silently treated compressed pages as UNCOMPRESSED
+            from .parquet_read_enc import _resolve_codec
+
+            old_codec = _resolve_codec(md.get(4, 0))
             start = md.get(11, md[9])
             if md.get(10):
                 start = min(start, md[10])

@@ -115,3 +115,35 @@ def test_lzo_raises_named_error():
         codec_for_id(3)
     with pytest.raises(NotImplementedError, match="CompressionCodec id 8"):
         codec_for_id(8)
+
+
+def test_transcompress_raw_from_and_to_legacy_lz4(tmp_path):
+    # raw page recompression used to map codec id 5 to None (silently
+    # treating compressed pages as UNCOMPRESSED); both directions now work
+    from rayenc.parquet_read_enc import read_table_encrypted
+    from rayenc.rewrite import transcompress_parquet_raw
+
+    t = _lineitem()
+    # our hadoop-framed writer output -> zstd
+    src1 = str(tmp_path / "h.parquet")
+    parquet_write.write_table(
+        t, src1, EncodeConfig(compression="lz4_hadoop"), row_group_size=2000
+    )
+    out1 = str(tmp_path / "h2z.parquet")
+    transcompress_parquet_raw(src1, out1, "zstd")
+    assert pq.read_table(out1).cast(t.schema).equals(t)
+    # pyarrow's raw-dialect codec-5 output -> snappy
+    src2 = str(tmp_path / "c.parquet")
+    pq.write_table(t, src2, compression="LZ4", use_dictionary=False)
+    out2 = str(tmp_path / "c2s.parquet")
+    transcompress_parquet_raw(src2, out2, "snappy")
+    assert pq.read_table(out2).cast(t.schema).equals(t)
+    # zstd -> lz4_hadoop as the TARGET codec
+    src3 = str(tmp_path / "z.parquet")
+    parquet_write.write_table(
+        t, src3, EncodeConfig(compression="zstd"), row_group_size=2000
+    )
+    out3 = str(tmp_path / "z2h.parquet")
+    transcompress_parquet_raw(src3, out3, "lz4_hadoop")
+    assert pq.read_table(out3).cast(t.schema).equals(t)  # Arrow reads it
+    assert read_table_encrypted(out3).cast(t.schema).equals(t)  # so do we
