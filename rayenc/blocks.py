@@ -485,6 +485,11 @@ def _content_key(col: PhysicalColumn):
 def _compressor(config: sel.EncodeConfig):
     if not config.compression:
         return None
+    if config.compression == "lz4_hadoop":
+        raise ValueError(
+            "lz4_hadoop is a parquet-interop page codec (write_table / "
+            "transcode); renc containers use lz4 (raw frames) instead"
+        )
     return pa.Codec(config.compression, compression_level=config.compression_level)
 
 

@@ -147,3 +147,23 @@ def test_transcompress_raw_from_and_to_legacy_lz4(tmp_path):
     transcompress_parquet_raw(src3, out3, "lz4_hadoop")
     assert pq.read_table(out3).cast(t.schema).equals(t)  # Arrow reads it
     assert read_table_encrypted(out3).cast(t.schema).equals(t)  # so do we
+
+
+def test_nonstandard_compressor_buffer_framing():
+    # a writer configured with a small io.compression.codec.lz4.buffersize
+    # produces sub-256KiB middle chunks; the fast walk's final-chunk size
+    # guess breaks structurally and the pure-python re-walk must recover
+    import struct
+
+    data = bytes(range(251)) * 611  # ~150 KB
+    raw = pa.Codec("lz4_raw")
+    for buf in (16 * 1024, 64 * 1024):
+        parts = [struct.pack(">I", len(data))]
+        for pos in range(0, len(data), buf):
+            c = raw.compress(data[pos : pos + buf]).to_pybytes()
+            parts += [struct.pack(">I", len(c)), c]
+        framed = b"".join(parts)
+        assert Lz4HadoopCodec().decompress(framed, len(data)) == data
+    # garbage is an error, not silent passthrough
+    with pytest.raises((ValueError, OSError)):
+        Lz4HadoopCodec().decompress(b"\x00\x01\x02 definitely not lz4", 64)
