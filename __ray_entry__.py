@@ -1069,6 +1069,57 @@ def _transcode_v2(sf_dir: str):
     )
 
 
+def _legacy_lz4_read(sf_dir: str):
+    """Legacy LZ4 (CompressionCodec id 5) read parity, BOTH public dialects:
+    orders written with our Hadoop-framed lz4_hadoop writer AND with
+    pyarrow's raw-block codec-5 dialect, each read back with rayenc's own
+    conformance reader (codecs/lz4hadoop.py; CompressionCodecName.java:31,
+    NonBlockedDecompressorStream.java)."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+    from rayenc.selector import EncodeConfig
+
+    src = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    d = tempfile.mkdtemp(prefix="rayenc-lz4-", dir="/tmp")
+    hadoop = os.path.join(d, "hadoop.parquet")
+    parquet_write.write_table(
+        src, hadoop, EncodeConfig(compression="lz4_hadoop"), row_group_size=4000
+    )
+    rawfile = os.path.join(d, "raw.parquet")
+    pq.write_table(src, rawfile, compression="LZ4", use_dictionary=False)
+    a = read_table_conformance(hadoop)
+    b = read_table_conformance(rawfile)
+    return pa.concat_tables([a, b.cast(a.schema)])
+
+
+def _declared_schema_encode(sf_dir: str):
+    """MessageTypeParser parse direction (schema/MessageTypeParser.java):
+    a message-type string declares the write schema; the input casts to it
+    (int64 keys, float64 price from decimal, string flag), encodes through
+    the renc container and decodes back."""
+    from rayenc import pipeline
+    from rayenc.message_type import message_type_to_arrow
+
+    mt = """message declared {
+      required int64 l_orderkey;
+      optional int64 l_linenumber (INTEGER(64,true));
+      optional double l_extendedprice;
+      optional binary l_returnflag (STRING);
+    }"""
+    schema = message_type_to_arrow(mt)
+    out = tempfile.mkdtemp(prefix="rayenc-mt-", dir="/tmp")
+    pipeline.encode_job(
+        os.path.join(sf_dir, "lineitem.parquet"), out, align_schema=schema
+    ).materialize()
+    import ray
+
+    return pa.concat_tables(
+        [ray.get(r) for r in pipeline.decode_dataset(out).to_arrow_refs()]
+    )
+
+
 def _parquet_write_roundtrip(sf_dir: str):
     """Write a real parquet file with rayenc encoders; read it back with
     pyarrow (independent reader) — write-side format parity."""
@@ -2107,6 +2158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["variant_shred_events"] = _variant_shred_events
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["ingest_jsonl_documents"] = _ingest_jsonl_documents
+    q["legacy_lz4_read"] = _legacy_lz4_read
+    q["declared_schema_encode"] = _declared_schema_encode
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
     q["transcode_parquet_v2"] = _transcode_v2
@@ -2487,6 +2540,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(CAST(l_linenumber AS DECIMAL(12,2)) AS VARCHAR) AS d,"
         " l_returnflag AS m_key, CAST(l_linenumber AS BIGINT) AS m_val,"
         " l_orderkey AS x, l_linestatus AS y FROM lineitem"
+    )
+    o["legacy_lz4_read"] = (
+        "SELECT * FROM orders UNION ALL SELECT * FROM orders"
+    )
+    o["declared_schema_encode"] = (
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,"
+        " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice, l_returnflag"
+        " FROM lineitem"
     )
     o["transcode_parquet"] = "SELECT * FROM orders"
     o["transcode_parquet_snappy"] = "SELECT * FROM orders"
