@@ -480,6 +480,11 @@ def variant_to_json(col) -> pa.Array:
     if act.size == 0:
         return pa.array(out.tolist(), pa.string())
     starts = voffs[act]
+    if not (voffs[act + 1] > starts).all():
+        # malformed: a valid row with zero value bytes — fail loudly like
+        # the row path (buf[0] IndexError) instead of reading a neighbor's
+        # header byte through the flat buffer
+        raise ValueError("variant value with zero bytes")
     first = vdata[starts]
     basic = first & 3
     info = first >> 2
