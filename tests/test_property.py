@@ -504,3 +504,80 @@ def test_boundary_order_binary_search_equals_linear(data, op, order, nulls):
     assert _matching_pages(leaf, bounds, order) == linear
     # UNORDERED always takes the linear path
     assert _matching_pages(leaf, bounds, 0) == linear
+
+
+@given(data=st.binary(max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lz4_pure_decoder_matches_arrow(data):
+    # pure-python LZ4 block decoder (lz4hadoop chunk-size inference path)
+    from rayenc.codecs.lz4hadoop import _lz4_block_decompress
+
+    comp = pa.Codec("lz4_raw").compress(data).to_pybytes()
+    assert _lz4_block_decompress(comp) == data
+
+
+@given(data=st.binary(max_size=300_000))
+@settings(max_examples=20, deadline=None)
+def test_lz4_hadoop_frame_roundtrip(data):
+    from rayenc.codecs.lz4hadoop import Lz4HadoopCodec
+
+    c = Lz4HadoopCodec()
+    assert c.decompress(c.compress(data).to_pybytes(), len(data)) == data
+
+
+# --- message-type parser fixpoint over random schemas -----------------
+
+_MT_NAME = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_MT_PRIM = st.sampled_from([
+    "boolean", "int32", "int64", "float", "double", "binary",
+    "fixed_len_byte_array(5)",
+])
+_MT_ANN = st.sampled_from([
+    "", " (STRING)", " (DECIMAL(9,2))", " (DATE)", " (JSON)",
+    " (TIMESTAMP(MICROS,true))", " (INTEGER(32,false))", " (UUID)",
+])
+_MT_REP = st.sampled_from(["required", "optional", "repeated"])
+
+
+def _mt_field(draw, depth, used):
+    name = draw(_MT_NAME)
+    while name in used or name in ("message", "group", "required",
+                                   "optional", "repeated"):
+        name = draw(_MT_NAME)
+    used.add(name)
+    rep = draw(_MT_REP)
+    if depth > 0 and draw(st.booleans()):
+        inner_used: set = set()
+        n = draw(st.integers(1, 3))
+        kids = "\n".join(_mt_field(draw, depth - 1, inner_used) for _ in range(n))
+        return f"{rep} group {name} {{\n{kids}\n}}"
+    prim = draw(_MT_PRIM)
+    ann = draw(_MT_ANN)
+    if prim.startswith("fixed") and ann in (" (STRING)", " (JSON)"):
+        ann = ""  # string annotations need BINARY physical
+    if ann in (" (DECIMAL(9,2))",) and prim not in (
+        "int32", "int64", "binary", "fixed_len_byte_array(5)"
+    ):
+        ann = ""
+    if ann in (" (DATE)", " (INTEGER(32,false))") and prim != "int32":
+        ann = ""
+    if ann == " (TIMESTAMP(MICROS,true))" and prim != "int64":
+        ann = ""
+    if ann == " (UUID)" and prim != "fixed_len_byte_array(5)":
+        ann = ""
+    return f"{rep} {prim} {name}{ann};"
+
+
+@given(st.data())
+@settings(max_examples=50, deadline=None)
+def test_message_type_parse_print_fixpoint(data):
+    from rayenc.message_type import parse_message_type
+    from rayenc.parquet_read_enc import format_message_type
+
+    used: set = set()
+    n = data.draw(st.integers(1, 4))
+    body = "\n".join(_mt_field(data.draw, 2, used) for _ in range(n))
+    txt = f"message m {{\n{body}\n}}"
+    printed = format_message_type(parse_message_type(txt))
+    # the printer's output is the canonical form: parse->print is idempotent
+    assert format_message_type(parse_message_type(printed)) == printed
