@@ -1094,6 +1094,27 @@ def _legacy_lz4_read(sf_dir: str):
     return pa.concat_tables([a, b.cast(a.schema)])
 
 
+def _legacy_lzo_read(sf_dir: str):
+    """Legacy LZO (CompressionCodec id 3) read parity: orders written with
+    Hadoop-framed LZO1X pages (clean-room codec, rayenc/codecs/lzo.py;
+    CompressionCodecName.java:29) and read back with rayenc's conformance
+    reader — the migration path for old Hadoop/Spark LZO lakes that no
+    standard python reader (pyarrow, duckdb) can decode."""
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+    from rayenc.selector import EncodeConfig
+
+    src = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+    d = tempfile.mkdtemp(prefix="rayenc-lzo-", dir="/tmp")
+    path = os.path.join(d, "lzo.parquet")
+    parquet_write.write_table(
+        src, path, EncodeConfig(compression="lzo"), row_group_size=8000
+    )
+    return read_table_conformance(path)
+
+
 def _declared_schema_encode(sf_dir: str):
     """MessageTypeParser parse direction (schema/MessageTypeParser.java):
     a message-type string declares the write schema; the input casts to it
@@ -2159,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["variant_roundtrip_events"] = _variant_roundtrip_events
     q["ingest_jsonl_documents"] = _ingest_jsonl_documents
     q["legacy_lz4_read"] = _legacy_lz4_read
+    q["legacy_lzo_read"] = _legacy_lzo_read
     q["declared_schema_encode"] = _declared_schema_encode
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
@@ -2544,6 +2566,7 @@ def oracle_sql() -> dict[str, str]:
     o["legacy_lz4_read"] = (
         "SELECT * FROM orders UNION ALL SELECT * FROM orders"
     )
+    o["legacy_lzo_read"] = "SELECT * FROM orders"
     o["declared_schema_encode"] = (
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,"
         " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice, l_returnflag"

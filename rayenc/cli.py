@@ -236,7 +236,7 @@ def cmd_file_meta(args):
     enc_names = {0: "PLAIN", 3: "RLE", 4: "BIT_PACKED", 5: "DELTA_BINARY_PACKED",
                  6: "DELTA_LENGTH_BYTE_ARRAY", 7: "DELTA_BYTE_ARRAY",
                  8: "RLE_DICTIONARY", 9: "BYTE_STREAM_SPLIT", 2: "PLAIN_DICTIONARY"}
-    codecs = {0: "none", 1: "snappy", 2: "gzip", 3: "lzo(legacy)", 4: "brotli",
+    codecs = {0: "none", 1: "snappy", 2: "gzip", 3: "lzo", 4: "brotli",
               5: "lz4_hadoop(legacy)", 6: "zstd", 7: "lz4_raw"}
     for rg in range(len(f.row_groups)):
         print(f"  row group {rg}: {f.row_groups[rg].get(3)} rows")

@@ -16,9 +16,9 @@ incompatible on-disk dialects, both public:
 Arrow's reader reconciles the two by *trying* Hadoop framing and falling
 back to raw (``arrow/util/compression_lz4.cc`` ``Lz4HadoopCodec``); we do
 the same so files from old Spark/parquet-mr lakes AND old parquet-cpp both
-decode.  ``LZO`` (id 3, ``CompressionCodecName.java:29``) stays unsupported
-— GPL-encumbered, no public pure-python decoder — but now fails with a
-named error instead of a KeyError.
+decode.  ``LZO`` (id 3, ``CompressionCodecName.java:29``) decodes through
+the clean-room LZO1X implementation in ``codecs/lzo.py`` (same Hadoop
+framing, different block format).
 """
 
 from __future__ import annotations
@@ -200,14 +200,13 @@ class Lz4HadoopCodec:
 
 
 def codec_for_id(codec_id: int):
-    """Page codec for a thrift ``CompressionCodec`` ordinal, with named
-    errors for the legacy ids (parquet.thrift enum; LZO=3, LZ4=5)."""
+    """Page codec for a thrift ``CompressionCodec`` ordinal — the legacy
+    ids (parquet.thrift enum; LZO=3, LZ4=5) both decode now; anything else
+    gets a named error instead of a KeyError."""
     if codec_id == 5:
         return Lz4HadoopCodec()
     if codec_id == 3:
-        raise NotImplementedError(
-            "unsupported legacy codec LZO (CompressionCodec id 3): "
-            "GPL-licensed, no pure-python decoder; re-write the file with "
-            "a modern codec (snappy/zstd/gzip)"
-        )
+        from .lzo import LzoHadoopCodec
+
+        return LzoHadoopCodec()
     raise NotImplementedError(f"unsupported CompressionCodec id {codec_id}")

@@ -207,9 +207,11 @@ def read_column_chunk(path: str, column: str, row_group: int = 0,
 
             codec = Lz4HadoopCodec()
         elif name == "lzo":
-            from .codecs.lz4hadoop import codec_for_id
+            # legacy codec id 3: Hadoop framing around raw LZO1X blocks —
+            # clean-room decoder (codecs/lzo.py), same framing as LZ4
+            from .codecs.lzo import LzoHadoopCodec
 
-            codec_for_id(3)  # raises the named legacy-LZO error
+            codec = LzoHadoopCodec()
         else:
             codec = pa.Codec(name)
     ptype = cmeta.physical_type

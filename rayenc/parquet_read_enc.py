@@ -132,9 +132,9 @@ _CODEC_NAME = {0: None, 1: "snappy", 2: "gzip", 4: "brotli", 6: "zstd", 7: "lz4_
 
 def _resolve_codec(codec_id: int):
     """Page codec for a CompressionCodec ordinal.  Ids 5 (legacy LZ4,
-    Hadoop-framed or raw dialect) and 3 (LZO) route through
-    ``codecs.lz4hadoop.codec_for_id`` — LZ4 decodes, LZO raises a named
-    error instead of a KeyError (CompressionCodecName.java:29-31)."""
+    Hadoop-framed or raw dialect) and 3 (legacy LZO, Hadoop-framed LZO1X)
+    route through ``codecs.lz4hadoop.codec_for_id``
+    (CompressionCodecName.java:29-31)."""
     if codec_id in _CODEC_NAME:
         name = _CODEC_NAME[codec_id]
         return pa.Codec(name) if name else None

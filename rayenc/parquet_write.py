@@ -254,6 +254,7 @@ class _W:
 _CODEC_ID = {
     "snappy": 1,
     "gzip": 2,
+    "lzo": 3,  # legacy LZO, Hadoop block framing (clean-room LZO1X)
     "brotli": 4,
     "lz4_hadoop": 5,  # legacy LZ4, Hadoop block framing (parquet-mr parity)
     "zstd": 6,
@@ -271,6 +272,10 @@ def _page_codec(name: str | None):
         from .codecs.lz4hadoop import Lz4HadoopCodec
 
         return 5, Lz4HadoopCodec()
+    if key == "lzo":
+        from .codecs.lzo import LzoHadoopCodec
+
+        return 3, LzoHadoopCodec()
     return _CODEC_ID[key], pa.Codec("lz4_raw" if key == "lz4" else key)
 
 

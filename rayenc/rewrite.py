@@ -761,9 +761,9 @@ def transcompress_parquet_raw(
             orig_cc = rg[1][ci]
             orig_idx = _parse_index(f, rg_ord, ci)
             md = dict(rg[1][ci][3])
-            # _resolve_codec decodes legacy LZ4 (id 5) and raises a named
-            # error for LZO (id 3) — id 5 used to map to None here, which
-            # silently treated compressed pages as UNCOMPRESSED
+            # _resolve_codec decodes the legacy ids too (5 = LZ4 hadoop/raw,
+            # 3 = LZO) — id 5 used to map to None here, which silently
+            # treated compressed pages as UNCOMPRESSED
             from .parquet_read_enc import _resolve_codec
 
             old_codec = _resolve_codec(md.get(4, 0))

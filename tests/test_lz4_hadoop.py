@@ -110,9 +110,12 @@ def test_filtered_read_over_lz4_hadoop(tmp_path):
     )
 
 
-def test_lzo_raises_named_error():
-    with pytest.raises(NotImplementedError, match="LZO"):
-        codec_for_id(3)
+def test_legacy_codec_ids_resolve():
+    # id 3 decodes now (clean-room LZO1X, tests/test_lzo.py); unknown ids
+    # still fail with a named error, not a KeyError
+    from rayenc.codecs.lzo import LzoHadoopCodec
+
+    assert isinstance(codec_for_id(3), LzoHadoopCodec)
     with pytest.raises(NotImplementedError, match="CompressionCodec id 8"):
         codec_for_id(8)
 
