@@ -1115,6 +1115,40 @@ def _legacy_lzo_read(sf_dir: str):
     return read_table_conformance(path)
 
 
+def _int96_timestamp_write(sf_dir: str):
+    """Deprecated INT96 timestamp write (EncodeConfig.int96_timestamps;
+    PrimitiveTypeName.INT96, the Spark-legacy 12-byte layout): events
+    written with INT96 physical timestamps, read back with rayenc's
+    conformance reader, returned as epoch nanoseconds."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayenc import parquet_write
+    from rayenc.parquet_compat import read_table_conformance
+    from rayenc.selector import EncodeConfig
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+    d = tempfile.mkdtemp(prefix="rayenc-i96-", dir="/tmp")
+    path = os.path.join(d, "i96.parquet")
+    parquet_write.write_table(
+        src, path, EncodeConfig(int96_timestamps=True), row_group_size=8000
+    )
+    f = pq.ParquetFile(path)
+    assert f.metadata.row_group(0).column(1).physical_type == "INT96"
+    back = read_table_conformance(path)
+    ts_ns = back.column("ts").cast(pa.timestamp("ns")).cast(pa.int64())
+    return pa.table(
+        {
+            "event_id": back.column("event_id"),
+            "ts_ns": ts_ns,
+            "event_type": back.column("event_type"),
+        }
+    )
+
+
 def _declared_schema_encode(sf_dir: str):
     """MessageTypeParser parse direction (schema/MessageTypeParser.java):
     a message-type string declares the write schema; the input casts to it
@@ -2181,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ingest_jsonl_documents"] = _ingest_jsonl_documents
     q["legacy_lz4_read"] = _legacy_lz4_read
     q["legacy_lzo_read"] = _legacy_lzo_read
+    q["int96_timestamp_write"] = _int96_timestamp_write
     q["declared_schema_encode"] = _declared_schema_encode
     q["transcode_parquet"] = _transcode_parquet
     q["transcode_parquet_snappy"] = _transcode_snappy
@@ -2567,6 +2602,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders UNION ALL SELECT * FROM orders"
     )
     o["legacy_lzo_read"] = "SELECT * FROM orders"
+    o["int96_timestamp_write"] = (
+        "SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) AS ts_ns,"
+        " event_type FROM events"
+    )
     o["declared_schema_encode"] = (
         "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,"
         " CAST(l_extendedprice AS DOUBLE) AS l_extendedprice, l_returnflag"

@@ -252,7 +252,10 @@ def _leaf_arrow(e: dict) -> pa.DataType:
             return pa.timestamp("ms" if conv == 9 else "us", "UTC")
         return pa.int64()
     if pt == 3:
-        raise ValueError("INT96 is read-only; declare timestamp via INT64")
+        # a declared int96 leaf maps to timestamp[ns]; the writer emits
+        # INT64 unless EncodeConfig(int96_timestamps=True) opts into the
+        # deprecated 12-byte physical layout
+        return pa.timestamp("ns")
     if pt == 4:
         return pa.float32()
     if pt == 5:

@@ -159,6 +159,7 @@ _PARQUET_TYPE = {
     "DOUBLE": T_DOUBLE,
     "BINARY": T_BYTE_ARRAY,
     "FIXED_LEN_BYTE_ARRAY": T_FLBA,
+    "INT96": T_INT96,
 }
 _ENC_CODE = {
     "PLAIN": ENC_PLAIN,
@@ -890,6 +891,7 @@ def _write_row_group(
     config: sel.EncodeConfig,
     file_crypto: "tuple[pcrypt.FileEncryption, bytes] | None" = None,
     rg_ord: int = 0,
+    int96_cols: "frozenset[str] | set[str]" = frozenset(),
 ) -> list[_Column]:
     columns: list[_Column] = []
     col_ord = 0
@@ -905,7 +907,15 @@ def _write_row_group(
                 be = np.asarray(col.values)[:, ::-1]
                 L = _decimal_flba_len(t.precision)
                 col.values = np.ascontiguousarray(be[:, be.shape[1] - L :])
-            meta = _Column(leaf.path, col.ptype, leaf.max_rep, leaf.max_def)
+            # INT96 columns arrive as FLBA(12) (the _timestamps_to_int96
+            # storage) and encode as FLBA PLAIN pages — byte-identical to
+            # INT96 PLAIN — but the footer stamps physical type INT96 with
+            # no type_length and no min/max (sort order UNKNOWN)
+            is_int96 = len(leaf.path) == 1 and leaf.path[0] in int96_cols
+            meta = _Column(
+                leaf.path, "INT96" if is_int96 else col.ptype,
+                leaf.max_rep, leaf.max_def,
+            )
             crypto = None
             if file_crypto is not None:
                 props, file_aad = file_crypto
@@ -927,7 +937,7 @@ def _write_row_group(
                     crypto=crypto,
                 )
             col_ord += 1
-            if col.ptype == "FIXED_LEN_BYTE_ARRAY":
+            if col.ptype == "FIXED_LEN_BYTE_ARRAY" and not is_int96:
                 meta.type_length = int(np.asarray(col.values).shape[1])
             _leaf_statistics(meta, col, leaf)
             dotted = ".".join(leaf.path)
@@ -1195,6 +1205,11 @@ def write_tables(
         # (DecimalLogicalTypeAnnotation on INT32/INT64; the reader side —
         # ours, pyarrow, DuckDB — restores decimal128 from the annotation)
         slices = [_decimals_to_ints(s, decimal_ints) for s in slices]
+    int96_map: dict[str, pa.DataType] = {}
+    if getattr(config, "int96_timestamps", False):
+        # flat timestamps -> deprecated INT96 physical (opt-in legacy
+        # interop; PrimitiveTypeName.INT96). Nested timestamps keep INT64.
+        slices = [_timestamps_to_int96(s, int96_map) for s in slices]
     if any(_has_time32s(f.type) for f in slices[0].schema):
         # parquet TIME has no seconds unit — coerce time32[s] to ms up
         # front (pyarrow's write-side coercion), so stats, ARROW:schema
@@ -1225,6 +1240,7 @@ def write_tables(
             sl, out, config,
             file_crypto=(crypto[0], crypto[1]) if crypto else None,
             rg_ord=rg_ord,
+            int96_cols=frozenset(int96_map),
         )
         row_groups.append((cols, sl.num_rows))
 
@@ -1292,6 +1308,7 @@ def write_tables(
         sorting=sorting, extra_kv=key_value_metadata,
         annotations=getattr(config, "logical_annotations", None) or None,
         decimal_ints=decimal_ints or None,
+        int96_map=int96_map or None,
     )
     if encryption is None:
         out += footer
@@ -1615,9 +1632,53 @@ def _decimals_to_ints(table: pa.Table, decimal_ints: dict) -> pa.Table:
     return pa.table(cols, schema=pa.schema(fields))
 
 
+_NS_PER_DAY = 86_400_000_000_000
+_JULIAN_EPOCH = 2440588  # Julian day number of 1970-01-01
+
+
+def _timestamps_to_int96(table: pa.Table, int96_map: dict) -> pa.Table:
+    """Replace flat timestamp columns with their 12-byte INT96 storage
+    ([int64 LE nanos-of-day][int32 LE Julian day] — the layout
+    ``parquet_compat.int96_to_timestamp_ns`` inverts), recording
+    {name: original arrow type} for the footer's ARROW:schema."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols, fields = [], []
+    for i, f in enumerate(table.schema):
+        col = table.column(i)
+        t = f.type
+        if not pa.types.is_timestamp(t):
+            cols.append(col)
+            fields.append(f)
+            continue
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ns = arr.cast(pa.timestamp("ns", tz=t.tz)).cast(pa.int64())
+        total = pc.fill_null(ns, 0).to_numpy()
+        # floor div/mod keep nanos-of-day non-negative for pre-1970 values
+        v = np.empty((len(arr), 12), np.uint8)
+        v[:, :8] = (total % _NS_PER_DAY).astype("<i8").view(np.uint8).reshape(-1, 8)
+        v[:, 8:] = (
+            (total // _NS_PER_DAY + _JULIAN_EPOCH)
+            .astype("<i4")
+            .view(np.uint8)
+            .reshape(-1, 4)
+        )
+        fsb = pa.Array.from_buffers(
+            pa.binary(12), len(arr), [None, pa.py_buffer(v.tobytes())]
+        )
+        if arr.null_count:
+            fsb = pc.if_else(arr.is_valid(), fsb, pa.scalar(None, pa.binary(12)))
+        int96_map[f.name] = t
+        cols.append(fsb)
+        fields.append(pa.field(f.name, pa.binary(12), f.nullable))
+    return pa.table(cols, schema=pa.schema(fields))
+
+
 def _file_metadata(
     table: pa.Table, row_groups, crypto=None, geo=None,
     sorting=None, extra_kv=None, annotations=None, decimal_ints=None,
+    int96_map=None,
 ) -> bytes:
     w = _W()
     w.i(1, 2)  # version
@@ -1635,6 +1696,11 @@ def _file_metadata(
             p, s = decimal_ints[field.name]
             fb[0]["converted"] = 5  # DECIMAL on INT32/INT64 physical
             fb[0]["precision"], fb[0]["scale"] = p, s
+        if int96_map and field.name in int96_map and len(fb) == 1:
+            # deprecated INT96 physical: no type_length, no logical type
+            fb[0]["type"] = T_INT96
+            for k in ("type_length", "converted", "logical"):
+                fb[0].pop(k, None)
         body += fb
     elems = [{"name": "schema", "children": table.num_columns}] + body
 
@@ -1653,6 +1719,15 @@ def _file_metadata(
                 f.with_type(pa.decimal128(*decimal_ints[f.name]))
                 if f.name in decimal_ints
                 else f
+                for f in kv_schema
+            ]
+        )
+    if int96_map:
+        # advertise the original timestamp types: pyarrow reads INT96 as
+        # timestamp[ns] and restores unit/tz from this metadata
+        kv_schema = pa.schema(
+            [
+                f.with_type(int96_map[f.name]) if f.name in int96_map else f
                 for f in kv_schema
             ]
         )

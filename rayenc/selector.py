@@ -93,6 +93,14 @@ class EncodeConfig:
     # smaller than 16-byte FLBA and readers (pyarrow, DuckDB, ours)
     # restore decimal128 from the annotation
     decimal_as_integer: bool = False
+    # write flat timestamp columns as the deprecated INT96 physical type
+    # (12-byte nanos-of-day + Julian day, the Spark/Impala legacy layout
+    # parquet-java still writes behind spark.sql.parquet's
+    # writeLegacyFormat / int96 flags; PrimitiveTypeName.INT96). Read-side
+    # support is unconditional; writing is opt-in because the type is
+    # deprecated (PLAIN pages, no min/max stats — INT96 sort order is
+    # UNKNOWN, matching ParquetMetadataConverter's stats omission)
+    int96_timestamps: bool = False
 
 
 def candidates_for(col: PhysicalColumn, stats: ChunkStats, config: EncodeConfig) -> list[str]:

@@ -96,8 +96,12 @@ def test_field_ids_and_errors():
         parse_message_type("message m { required varchar a; }")
     with pytest.raises(ValueError, match="unknown annotation"):
         parse_message_type("message m { required int32 a (BOGUS); }")
-    with pytest.raises(ValueError, match="INT96"):
-        message_type_to_arrow("message m { required int96 t; }")
+    # int96 leaves map to timestamp[ns] (the writer stores INT64 unless
+    # EncodeConfig(int96_timestamps=True) opts into the legacy physical)
+    import pyarrow as pa
+
+    t96 = message_type_to_arrow("message m { required int96 t; }")
+    assert t96.field("t").type == pa.timestamp("ns")
 
 
 def test_write_path_with_declared_schema(tmp_path):
