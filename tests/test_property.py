@@ -581,3 +581,20 @@ def test_message_type_parse_print_fixpoint(data):
     printed = format_message_type(parse_message_type(txt))
     # the printer's output is the canonical form: parse->print is idempotent
     assert format_message_type(parse_message_type(printed)) == printed
+
+
+@given(
+    data=st.binary(max_size=4000),
+    reps=st.integers(1, 4),
+    cut_frac=st.floats(0, 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_lzo1x_roundtrip_property(data, reps, cut_frac):
+    from rayenc.codecs.lzo import lzo1x_compress, lzo1x_decompress
+
+    # splice in self-repeats so hypothesis exercises match opcodes
+    # (M2/M3, S-bit literals, overlapping copies), not just literal runs
+    if len(data) > 4:
+        cut = max(1, int(len(data) * cut_frac))
+        data = data[:cut] * reps + data[cut:]
+    assert lzo1x_decompress(lzo1x_compress(data)) == data
