@@ -524,6 +524,20 @@ def run_micro() -> dict:
     table = fsst.train(s_off, s_dat)
     results["fsst_enc"], pair = mbs(lambda: fsst.compress(table, s_off, s_dat), sb)
     results["fsst_dec"], _ = mbs(lambda: fsst.decompress(table, *pair), sb)
+    # legacy page codecs on one 256 KiB page-sized body (LZO is a pure-
+    # python legacy-compat path, reported honestly at its real speed;
+    # LZ4-hadoop rides Arrow's lz4_raw inside the framing walk)
+    from rayenc.codecs.lz4hadoop import Lz4HadoopCodec
+    from rayenc.codecs.lzo import LzoHadoopCodec
+
+    page = bytes(s_dat[: 256 * 1024])
+    pb = len(page)
+    l4 = Lz4HadoopCodec()
+    results["lz4_hadoop_enc"], framed = mbs(lambda: l4.compress(page).to_pybytes(), pb)
+    results["lz4_hadoop_dec"], _ = mbs(lambda: l4.decompress(framed, pb), pb)
+    lz = LzoHadoopCodec()
+    results["lzo_enc"], framed = mbs(lambda: lz.compress(page).to_pybytes(), pb, reps=1)
+    results["lzo_dec"], _ = mbs(lambda: lz.decompress(framed, pb), pb, reps=1)
     return {
         "metric": "per-codec throughput (MB/s of raw data, best of 3 warm)",
         "value": results["delta_bp_random_enc"],
